@@ -1,0 +1,66 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol follows the reference harness (BASELINE.md): ≥3 iterations per
+query, median aggregation, nested wall-clock timer, and an explicit action
+barrier per timed region (noop-format write — runs every task, returns
+nothing to the driver) so Spark's lazy fusion can't misattribute stage time
+(SURVEY.md §4.1). A warm-up iteration absorbs one-time JVM/codegen cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timedf_spark.queries import all_queries  # noqa: E402
+from timedf_spark.session import get_spark  # noqa: E402
+from timedf_spark.sources import trigger  # noqa: E402
+
+ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+# Headline set: every oracle-checked query. Non-SQL ops are benchmarked too
+# once they land; anything erroring is reported as -1 rather than crashing
+# the whole bench.
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="timedf_spark_bench")
+    specs = all_queries()
+
+    per_query: dict[str, float] = {}
+    for name, spec in specs.items():
+        try:
+            trigger(spec.fn(spark, sf_dir))  # warm-up (scan cache, codegen)
+            times = []
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                trigger(spec.fn(spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+        except Exception:  # noqa: BLE001
+            per_query[name] = -1.0
+
+    total = round(sum(t for t in per_query.values() if t > 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

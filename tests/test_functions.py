@@ -1,0 +1,87 @@
+"""Property tests for the pandas-semantics-gap expressions (SURVEY.md §5
+item 4): our Spark expressions must agree with pandas on random frames.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.deterministic import davg, dskew_pandas_centered, dsum
+from timedf_spark.functions.pandas_parity import floor_div, skew_pandas, ts_to_ns_epoch
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("dist", ["normal", "lognormal", "uniform"])
+def test_skew_matches_pandas(spark, seed, dist):
+    rng = np.random.default_rng(seed)
+    gen = getattr(rng, dist)
+    groups = []
+    for g in range(5):
+        n = int(rng.integers(3, 200))
+        groups.append(pd.DataFrame({"g": g, "x": gen(size=n) * 100.0 + 500.0}))
+    pdf = pd.concat(groups, ignore_index=True)
+    expected = pdf.groupby("g")["x"].skew()
+
+    sdf = spark.createDataFrame(pdf)
+    # fast path: built-in skewness + G1 correction
+    got_fast = {
+        r["g"]: r["s"]
+        for r in sdf.groupBy("g").agg(skew_pandas("x").alias("s")).collect()
+    }
+    # deterministic path: two-pass centered range-normalized moments
+    means = sdf.groupBy("g").agg(
+        F.expr(davg("x", scale=6)).alias("mu"),
+        F.expr("max(x) - min(x)").alias("rng"),
+    )
+    got_det = {
+        r["g"]: r["s"]
+        for r in sdf.join(means, "g")
+        .groupBy("g")
+        .agg(F.expr(dskew_pandas_centered("x", "mu", "rng")).alias("s"))
+        .collect()
+    }
+    for g, exp in expected.items():
+        for got in (got_fast[g], got_det[g]):
+            if math.isnan(exp):
+                assert got is None
+            else:
+                assert got == pytest.approx(exp, rel=1e-4, abs=1e-6), (g, got, exp)
+
+
+def test_dsum_davg_match_pandas(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"g": rng.integers(0, 4, 500), "x": rng.normal(size=500) * 50})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["g"]: (r["s"], r["a"])
+        for r in sdf.groupBy("g")
+        .agg(F.expr(dsum("x", 6)).alias("s"), F.expr(davg("x", 6)).alias("a"))
+        .collect()
+    }
+    exp = pdf.groupby("g")["x"].agg(["sum", "mean"])
+    for g, (s, a) in got.items():
+        assert s == pytest.approx(exp.loc[g, "sum"], abs=1e-5)
+        assert a == pytest.approx(exp.loc[g, "mean"], abs=1e-5)
+
+
+def test_ns_epoch_matches_pandas(spark):
+    ts = pd.Series(pd.to_datetime(["2015-01-03 12:34:56", "1999-12-31 23:59:59"]))
+    expected = ts.astype("int64").tolist()  # pandas: epoch nanoseconds
+    sdf = spark.createDataFrame(pd.DataFrame({"t": ts}))
+    got = [r["ns"] for r in sdf.select(ts_to_ns_epoch("t").alias("ns")).collect()]
+    assert got == expected
+
+
+def test_floor_div_keeps_float_dtype(spark):
+    pdf = pd.DataFrame({"x": [1.2345, -0.5, 40.7701]})
+    expected = (pdf["x"] // 1e-4).tolist()
+    sdf = spark.createDataFrame(pdf)
+    out = sdf.select(floor_div("x", 1e-4).alias("r"))
+    assert dict(out.dtypes)["r"] == "double"
+    got = [r["r"] for r in out.collect()]
+    assert got == pytest.approx(expected)

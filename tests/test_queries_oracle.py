@@ -1,0 +1,34 @@
+"""Differential oracle tests — the engine's primary correctness gate
+(SURVEY.md §5 item 2: implements the cross-backend validation the reference
+only promised, ny_taxi.py:156-162 / docs 06-future.rst).
+
+Every registered query with an oracle must match DuckDB exactly (row count,
+column names, order-insensitive values) at the test scale factor.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_compare import compare, duckdb_connection
+from timedf_spark.queries import all_queries
+
+_SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    spec = _SPECS[name]
+    if spec.oracle is None:
+        df = spec.fn(spark, sf_dir)
+        assert df.count() >= 0  # rows-only check, mirroring the driver
+        return
+    issues = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+    assert issues == [], f"{name}: {issues}"

@@ -1,0 +1,119 @@
+"""Cross-engine-deterministic aggregate expressions (shared SQL text).
+
+The driver's correctness gate hashes query output values and compares Spark
+against a DuckDB oracle. Floating-point SUM/AVG are order-dependent, and
+Spark's partitioned partial aggregation sums in a different order than
+DuckDB — so a naive ``sum(double)`` differs in the last bits and fails a
+hash comparison. The same problem exists at cluster scale as run-to-run
+nondeterminism (partition order varies between executions), which matters
+for reproducible pipelines.
+
+Fix: quantize each row in pure IEEE double arithmetic, sum exactly in
+decimal, convert once:
+
+    cast(sum(cast(floor((x) * 10000.0 + 0.5) as decimal(38,0))) as double) / 10000.0
+
+Why each step is engine-independent:
+- ``x * 10000.0 + 0.5`` and ``floor`` are IEEE-exact ops — any engine
+  computing this expression tree gets bit-identical doubles. (A plain
+  ``cast(double as decimal)`` does NOT have this property: Spark rounds the
+  double's shortest decimal representation (Java ``BigDecimal.valueOf``)
+  while DuckDB rounds its exact binary expansion — they disagree near
+  rounding boundaries, observed as a 6e-3 drift on a 5e8 sum.)
+- the floored value is an integer-valued double < 2^53 → its decimal cast
+  is exact everywhere;
+- decimal addition is exact and associative → any summation order, any
+  partitioning, same total;
+- totals are kept < 2^53 (see scale notes per helper) → the final
+  decimal→double conversion is exact, not merely correctly-rounded, in both
+  engines (int128-based and BigDecimal-based conversions agree);
+- the trailing ``/ 10000.0`` is one IEEE division on identical inputs.
+
+Every helper returns a SQL *string* that parses identically in Spark SQL
+and DuckDB: the Spark side wraps it in ``F.expr``, the oracle embeds the
+same text, so the expression trees — and therefore the results — are
+identical by construction. Cost at scale: nothing extra — these are still
+one-pass partial aggregates with map-side combine inside whole-stage
+codegen (decimal sums instead of double sums).
+
+Quantization: scale=4 keeps 1e-4 absolute per-row precision — exact for
+the testdata's 2-decimal money values and far below any float noise for
+derived products. Totals up to ~9e11 stay exactly convertible.
+"""
+
+from __future__ import annotations
+
+__all__ = ["dsum", "davg", "dwavg", "dskew_pandas_centered", "SKEW_NEEDS_MEAN"]
+
+
+def _qsum(col: str, mult: str) -> str:
+    """Exact decimal sum of floor(col*mult+0.5), back to double (still scaled)."""
+    return f"cast(sum(cast(floor(({col}) * {mult} + 0.5) as decimal(38,0))) as double)"
+
+
+def dsum(col: str, scale: int = 4) -> str:
+    """Order-independent SUM(double) → double. Shared Spark/DuckDB SQL text."""
+    mult = f"{10**scale}.0"
+    return f"({_qsum(col, mult)} / {mult})"
+
+
+def davg(col: str, scale: int = 4) -> str:
+    """Order-independent AVG as exact-sum / count (NULL-skipping like pandas
+    NaN-skipping mean, SURVEY.md §1.2)."""
+    return f"({dsum(col, scale)} / count({col}))"
+
+
+def dwavg(value_col: str, weight_col: str, scale: int = 4) -> str:
+    """Weighted mean sum(v*w)/sum(w) with exact partials
+    (ref: plasticc flux_w_mean, plasticc_pandas_modin.py:44-48)."""
+    return f"({dsum(f'({value_col}) * ({weight_col})', scale)} / {dsum(weight_col, scale)})"
+
+
+# --- pandas-parity skewness ------------------------------------------------
+#
+# Reference semantics: plasticc aggregates ``flux.skew()`` per object
+# (plasticc_pandas_modin.py:31-40); pandas applies the bias correction
+# G1 = g1 * sqrt(n(n-1))/(n-2) to the population coefficient g1 (verified
+# numerically; DuckDB's skewness() uses the same G1 definition).
+#
+# A one-pass raw-moment version cannot be made cross-engine-exact: Σx³
+# overflows the exactly-convertible 2^53 range for price-scale data. So the
+# deterministic version is TWO-PASS (centered): pass 1 computes the
+# deterministic per-group mean AND the exact range (max-min); pass 2 sums
+# quantized powers of the range-normalized deviations. Because skewness is
+# scale-invariant, normalizing by the range both (a) bounds |devk| ≤ 1 so
+# quantized totals stay < 2^53 for groups up to ~1e5 rows, and (b) makes
+# the quantization grid data-magnitude-independent. At cluster scale this
+# costs one extra shuffle of (key, mean, range) — the price of
+# bit-reproducibility; use functions.pandas_parity.skew_pandas (built-in
+# one-pass skewness + G1 correction) as the fast non-reproducible path.
+
+SKEW_NEEDS_MEAN = True
+
+# quantization of devk powers: 1e-10 absolute on values ≤ 1. Exactness
+# bound: group_rows * 1e10 must stay < 2^53 → safe to ~9e5 rows per group.
+_QK = "10000000000.0"
+
+
+def dskew_pandas_centered(col: str, mean_col: str, range_col: str) -> str:
+    """Bias-corrected sample skewness from centered, range-normalized,
+    quantized moments.
+
+    Use in a second-pass aggregation where ``mean_col`` is the group mean
+    (davg) and ``range_col`` the exact ``max(col)-min(col)`` from a first
+    pass, joined back on the group key.
+    NULL for n < 3 or zero variance (pandas yields NaN).
+    """
+    n = f"count({col})"
+    nd = f"cast(count({col}) as double)"
+    devk = f"((({col}) - ({mean_col})) / nullif({range_col}, 0.0))"
+    s2 = f"({_qsum(f'({devk}) * ({devk})', _QK)} / {_QK})"
+    s3 = f"({_qsum(f'({devk}) * ({devk}) * ({devk})', _QK)} / {_QK})"
+    m2 = f"({s2} / {nd})"
+    m3 = f"({s3} / {nd})"
+    # g1 = m3 / m2^1.5 — written sqrt(m2)*m2: IEEE sqrt/mul are exactly
+    # rounded, unlike libm pow(x, 1.5) which differs across engines. The
+    # range normalization cancels: m3/m2^1.5 is the same for devk as for dev.
+    g1 = f"({m3} / (sqrt({m2}) * {m2}))"
+    corr = f"(sqrt({nd} * ({nd} - 1)) / ({nd} - 2))"
+    return f"case when {n} > 2 and {m2} > 0 then {g1} * {corr} else null end"

@@ -1,0 +1,271 @@
+"""OLAP suite over the full star schema — joins, semi/anti joins, windows,
+pivots, distincts (SURVEY.md §2 C, D7-D16, F5, G4).
+
+These queries exercise the operator surface the reference delegates to its
+backends (and the gaps §2 marks "absent": semi/anti joins, top-k, pivot,
+distinct-agg), expressed in shapes that survive a 100 TB scale-up:
+
+- dimension joins carry explicit ``broadcast()`` hints (region/nation/
+  customer/part are small in any TPC-H-shaped world; broadcasting removes
+  the fact-side shuffle entirely);
+- the fact-fact join (orders⋈lineitem) is a plain equi-join on the natural
+  key — AQE picks shuffle-hash/sort-merge and handles skew splitting;
+- top-k per group is a window row_number + filter: one shuffle on the
+  partition key, no global sort;
+- the pricing summary (flagship) is scan -> pushed filter -> one hash agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.deterministic import davg, dsum
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+# --- pricing summary (flagship; TPC-H Q1 shape) ---------------------------
+
+_PS_AGGS = {
+    "sum_qty": dsum("l_quantity"),
+    "sum_base_price": dsum("l_extendedprice"),
+    "sum_disc_price": dsum("l_extendedprice * (1 - l_discount)"),
+    "sum_charge": dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+    "avg_qty": davg("l_quantity"),
+    "avg_price": davg("l_extendedprice"),
+    "avg_disc": davg("l_discount"),
+    "count_order": "count(*)",
+}
+_PS_FILTER = "l_shipdate <= timestamp '2001-09-02 00:00:00'"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(_PS_FILTER)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*[F.expr(sql).alias(n) for n, sql in _PS_AGGS.items()])
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {', '.join(f'{sql} AS {n}' for n, sql in _PS_AGGS.items())}
+FROM lineitem
+WHERE {_PS_FILTER}
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --- segment revenue: 3-way join through the star (TPC-H Q3/Q5 shape) -----
+
+_REV = dsum("l_extendedprice * (1 - l_discount)")
+
+
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per market segment / priority.
+
+    customer is a dimension → broadcast (no shuffle of orders);
+    orders⋈lineitem shuffles both sides on orderkey once, and the groupBy
+    reuses nothing downstream (tiny output)."""
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.expr(_REV).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SEGMENT_REVENUE_ORACLE = f"""
+SELECT c.c_mktsegment, o.o_orderpriority,
+       {_REV} AS revenue, count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+"""
+
+# --- nation revenue: 5-way dimension chain (TPC-H Q5 shape) ---------------
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→customer→orders→lineitem; every dimension broadcast, so
+    the only shuffle is orders⋈lineitem + the final tiny aggregation."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.expr(_REV).alias("revenue"))
+    )
+
+
+NATION_REVENUE_ORACLE = f"""
+SELECT r.r_name, n.n_name, {_REV} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+# --- semi join (G/C gap: EXISTS), anti join (NOT EXISTS) ------------------
+
+
+def priority_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having at least one late line (TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    late = load_table(spark, sf_dir, "lineitem").filter("l_shipdate > timestamp '1998-01-01 00:00:00'")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+PRIORITY_SEMI_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > timestamp '1998-01-01 00:00:00'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (TPC-H Q22 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUST_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+# --- top-k per group (F5 gap) via window ----------------------------------
+
+TOPK_SQL_BODY = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         ) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) t
+WHERE rn <= 5
+"""
+
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders by price per segment. Window + filter: one shuffle on the
+    partition key; ties broken by o_orderkey so results are deterministic.
+    Executed from the same SQL text as the oracle (Spark SQL ≡ ANSI here)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(TOPK_SQL_BODY)
+
+
+# --- distincts (D9-D12) and pivot (D14) -----------------------------------
+
+
+def column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct counts (ref: df.nunique(), report_xlsx.py:17-20).
+    Single-row result; exact counts (approx_count_distinct is the 100 TB
+    variant, kept out of the oracle path)."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priority"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custkey"),
+    )
+
+
+CARDINALITIES_ORACLE = """
+SELECT count(DISTINCT o_orderstatus) AS n_status,
+       count(DISTINCT o_orderpriority) AS n_priority,
+       count(DISTINCT o_custkey) AS n_custkey
+FROM orders
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (ref: benchmark_db.py:174 pivot). Fixed pivot values —
+    at scale, never let Spark run the extra distinct-scan to discover them."""
+    df = load_table(spark, sf_dir, "events")
+    return (
+        df.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .select("user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+EVENT_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+SUITE = {
+    "pricing_summary": QuerySpec(
+        "pricing_summary", pricing_summary, PRICING_SUMMARY_ORACLE,
+        "flagship: filter→8-agg groupBy→sort (TPC-H Q1 shape)",
+    ),
+    "segment_revenue": QuerySpec(
+        "segment_revenue", segment_revenue, SEGMENT_REVENUE_ORACLE,
+        "3-way star join + agg (C1/C2)",
+    ),
+    "nation_revenue": QuerySpec(
+        "nation_revenue", nation_revenue, NATION_REVENUE_ORACLE,
+        "5-way dimension chain join (C1)",
+    ),
+    "priority_semi_join": QuerySpec(
+        "priority_semi_join", priority_with_lineitems, PRIORITY_SEMI_ORACLE,
+        "left-semi join / EXISTS (C3 gap)",
+    ),
+    "customers_anti_join": QuerySpec(
+        "customers_anti_join", customers_without_orders, CUST_ANTI_ORACLE,
+        "left-anti join / NOT EXISTS (C3 gap)",
+    ),
+    "topk_per_segment": QuerySpec(
+        "topk_per_segment", topk_orders_per_segment, TOPK_SQL_BODY,
+        "top-k per group via window (F5, E gap)",
+    ),
+    "column_cardinalities": QuerySpec(
+        "column_cardinalities", column_cardinalities, CARDINALITIES_ORACLE,
+        "distinct counts (D9-D12)",
+    ),
+    "event_type_pivot": QuerySpec(
+        "event_type_pivot", event_type_pivot, EVENT_PIVOT_ORACLE,
+        "long→wide pivot (D14)",
+    ),
+}

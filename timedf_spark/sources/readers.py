@@ -1,0 +1,114 @@
+"""Sources: explicit-schema scans, multi-file ingest, materialization triggers.
+
+Reference surface covered (SURVEY.md §2.A):
+  A1/A2 — CSV scan with explicit schema, no header, gzip
+          (timedf/benchmark_utils.py:25-74): Spark reads gzip CSV natively
+          and `schema=` skips inference, the reference's deliberate choice.
+  A4    — multi-file UNION ALL ingest (ny_taxi.py:281-305): one multi-path
+          scan, NOT a loop of per-file reads — a single scan parallelizes
+          across all files' splits and keeps one lineage node for Catalyst.
+  A5    — eager-load trigger (timedf/backend.py:57-66): Spark is lazy; a
+          timed "load" stage must end with an action. ``trigger`` is the
+          standardized barrier (noop-format write: runs every task, collects
+          nothing to the driver — unlike count() it cannot be optimized into
+          a metadata-only scan).
+  A12   — synthetic in-memory source.
+
+At 100 TB these helpers matter because: explicit schemas avoid a full
+inference pass over the data; multi-path scans give Spark the full file
+list for split planning; and Parquet (`load_table`) carries min/max stats
+so Catalyst prunes row groups on pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["read_csv", "union_ingest", "load_table", "load_tables", "trigger"]
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType,
+    *,
+    header: bool = False,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV scan with a mandated explicit schema (ref: benchmark_utils.py:25-46).
+
+    Schema inference is banned by design — the reference always declares
+    dtypes, and at scale inference costs a full extra pass. gzip/bzip2 are
+    decompressed natively by Spark based on file extension.
+    """
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(paths if isinstance(paths, list) else [paths])
+
+
+def union_ingest(dfs: list[DataFrame]) -> DataFrame:
+    """UNION ALL by column name (ref: pd.concat(ignore_index=True), ny_taxi.py:305).
+
+    Prefer passing all paths to one ``read_csv`` call when files share a
+    schema — a single scan beats N scans + N-1 unions. This helper is for
+    the heterogeneous-schema case (ny_taxi_ml's per-year schemas) after
+    per-file normalization, and tolerates missing columns by filling NULL.
+    """
+    if not dfs:
+        raise ValueError("union_ingest needs at least one DataFrame")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver-generated testdata table (TESTDATA.md).
+
+    The events table stores ns-precision timestamps, which Spark's Parquet
+    reader cannot type natively; with spark.sql.legacy.parquet.nanosAsLong
+    (set by the session factory) `ts` arrives as epoch-ns long and is
+    converted here to Spark's µs timestamp via exact integer division (the
+    driver's data is µs-aligned, so no precision is lost; a float division
+    would corrupt ns-magnitude int64s past 2^53).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def trigger(df: DataFrame) -> None:
+    """Materialization barrier for timed stages (ref: backend.py:57-76,
+    modin_utils.py:120-161 — the reference drains partition futures; we run
+    every task via a noop sink so the stage's wall-clock includes all work).
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synthetic_frame(spark: SparkSession, n_rows: int, n_cols: int, seed: int = 42) -> DataFrame:
+    """Distributed synthetic source (ref: example_benchmark/benchmark_content.py:42
+    builds a random pandas frame driver-side; we generate executor-side so it
+    scales to any n_rows)."""
+    cols = [(F.rand(seed + i) * 100).cast("long").alias(f"c{i}") for i in range(n_cols)]
+    return spark.range(n_rows).select(*cols)
