@@ -1,0 +1,316 @@
+"""Deduplication operators for LLM-data pipelines over ``documents``.
+
+Four tiers, each the idiomatic Spark expression of a published technique:
+
+1. exact_dedup          — hash-groupBy on md5(text): one shuffle on the
+                          digest, arbitrarily wide scale-out. (The digest,
+                          not the text, is the shuffle key: 16 bytes/row.)
+2. ngram_jaccard_pairs  — exact word-shingle Jaccard via inverted-index
+                          self-join: explode shingles → join on shingle →
+                          per-pair intersection counts. Quadratic in docs
+                          per shingle; correct baseline + oracle for the
+                          approximate tiers.
+3. minhash_lsh_pairs    — MinHash signatures + LSH banding (Broder '97 /
+                          MMDS ch.3): per-doc signature is a small agg;
+                          candidate generation is an equi-join on
+                          (band, band-signature) — linear-ish, the 100 TB
+                          path. Hash = md5 (engine-independent) so even
+                          this tier is oracle-checkable.
+4. simhash64            — Charikar SimHash over tokens: 64-bit signature
+                          from per-bit weighted sums; hamming-ball pairing
+                          via 4×16-bit band exact-match (covers distance ≤3
+                          by pigeonhole).
+
+All tiers share the shingle/token expressions from operators.text and are
+pure Column/HOF pipelines — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark.operators.text import shingle_expr_duckdb, shingle_expr_spark
+from timedf_spark.sources import load_table
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_sql",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_sql",
+    "minhash_lsh_pairs",
+    "minhash_lsh_sql",
+    "simhash64",
+]
+
+# ---- tier 1: exact --------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of byte-identical texts: keeper (min doc_id) + group size."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.expr("md5(text)").alias("text_hash"))
+        .agg(
+            F.expr("min(doc_id)").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+# ---- tier 2: exact n-gram Jaccard ----------------------------------------
+
+_K = 4  # word-shingle width
+_JACCARD_THRESHOLD = 0.2
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """All near-dup pairs (a<b) with shingle-set Jaccard ≥ threshold.
+
+    Plan shape: explode distinct shingles (flatMap, no shuffle) → self
+    equi-join on shingle (one shuffle each side) → count common per pair
+    (one shuffle on the pair) → join per-doc set sizes (broadcast — the
+    per-doc size table is |docs| rows). The join key is the shingle string;
+    at 100 TB you'd pre-hash it to 8 bytes (xxhash64) to shrink the
+    shuffle — kept as md5-free plaintext here for oracle parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.expr("n_common / (n_a + n_b - n_common)"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def ngram_jaccard_sql(k: int = _K, threshold: float = _JACCARD_THRESHOLD) -> str:
+    sh = shingle_expr_duckdb("text", k)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""
+
+# ---- tier 3: MinHash + LSH -----------------------------------------------
+
+_N_HASHES = 16
+_BANDS = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 — s-curve at j≈0.55
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard.
+
+    Signature: minhash_i = min over shingles of md5(i || ':' || shingle) —
+    md5 hex compares lexicographically and identically in any engine.
+    Banding: rows/band consecutive hashes concatenated and re-hashed; a
+    pair is a candidate iff some band matches exactly (equi-join on
+    (band_idx, band_key) — THIS is what makes it linear at 100 TB: no
+    pairwise comparisons outside hash buckets).
+    Verification: exact Jaccard on the candidates only.
+    """
+    rows_per_band = n_hashes // bands
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
+    )
+    sh = sh.cache()  # reused: signatures + sizes + verification
+    seeded = sh.join(F.broadcast(spark.range(n_hashes).select(F.col("id").alias("seed"))), how="cross")
+    minh = seeded.groupBy("doc_id", "seed").agg(
+        F.expr("min(md5(concat(cast(seed as string), ':', sh)))").alias("mh")
+    )
+    bands_df = (
+        minh.withColumn("band", F.expr(f"cast(seed div {rows_per_band} as int)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), ','))"
+            ).alias("band_key")
+        )
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pair_common = (
+        sh.alias("x")
+        .join(candidates, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pair_common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.expr("n_common / (n_a + n_b - n_common)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_sql(
+    k: int = _K, n_hashes: int = _N_HASHES, bands: int = _BANDS, threshold: float = _JACCARD_THRESHOLD
+) -> str:
+    rows_per_band = n_hashes // bands
+    sh = shingle_expr_duckdb("text", k)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
+),
+seeded AS (
+  SELECT doc_id, sh, seed
+  FROM sh, (SELECT unnest(range({n_hashes})) AS seed)
+),
+minh AS (
+  SELECT doc_id, seed, min(md5(concat(cast(seed as varchar), ':', sh))) AS mh
+  FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, cast(seed // {rows_per_band} as int) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM minh GROUP BY doc_id, cast(seed // {rows_per_band} as int)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cand
+  JOIN sh x ON x.doc_id = doc_a
+  JOIN sh y ON y.doc_id = doc_b AND x.sh = y.sh
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""
+
+# ---- tier 4: SimHash ------------------------------------------------------
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token md5s (Charikar 2002).
+
+    Per-token 64-bit hash = first 15 hex chars of md5 (60 bits, kept under
+    2^63 so conv() stays exact); bit i contributes +1/-1 to a 60-lane sum;
+    the sign vector is the signature. Emitted with 4×15-bit band keys for
+    hamming-distance-≤3 candidate lookup (pigeonhole). Pure HOF pipeline:
+    explode tokens → per-doc fold — one shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w")
+    )
+    hashed = toks.withColumn(
+        "h", F.expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+    )
+    # lane sums: +1 where bit set, -1 where clear
+    lanes = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(case when (h div {1 << i}) % 2 = 1 then 1 else -1 end)").alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    sig = lanes.select(
+        "doc_id",
+        F.expr(
+            "+".join(f"(case when b{i} > 0 then cast({1 << i} as bigint) else 0 end)" for i in range(60))
+        ).alias("simhash"),
+    )
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(f"cast((simhash div {1 << (15 * j)}) % {1 << 15} as int)").alias(f"band{j}")
+            for j in range(4)
+        ],
+    )
+
+
+def simhash_sql() -> str:
+    """DuckDB oracle for simhash64 — same md5-derived lanes.
+
+    DuckDB lacks conv(); the 60-bit int is rebuilt from 15 hex chars via a
+    fold over substrings: sum(hexval(c) * 16^pos).
+    """
+    # explicit 15-term sum with Python-precomputed 16^j constants — DuckDB's
+    # power() returns double, which is inexact past 2^53 (16^14 ≈ 7e16)
+    hexv = " + ".join(
+        f"(cast(strpos('0123456789abcdef', substring(md5(w), {i + 1}, 1)) - 1 as bigint)"
+        f" * {16 ** (15 - (i + 1))})"
+        for i in range(15)
+    )
+    lanes = ", ".join(
+        f"sum(case when (h // {1 << i}) % 2 = 1 then 1 else -1 end) AS b{i}" for i in range(60)
+    )
+    sig = "+".join(f"(case when b{i} > 0 then cast({1 << i} as bigint) else 0 end)" for i in range(60))
+    bandsel = ", ".join(
+        f"cast((simhash // {1 << (15 * j)}) % {1 << 15} as int) AS band{j}" for j in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hashed AS (SELECT doc_id, {hexv} AS h FROM toks),
+lanes AS (SELECT doc_id, {lanes} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS simhash FROM lanes)
+SELECT doc_id, simhash, {bandsel} FROM sig
+"""

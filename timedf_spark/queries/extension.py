@@ -1,9 +1,188 @@
-"""Extension-layer suite placeholder — populated by operators/ modules.
+"""Extension-layer suite: LLM-data-pipeline operators as driver queries
+(dedup, similarity search, text analysis, sessionization, splits).
 
-Filled in as dedup/similarity/text/sessionize operators land; kept separate
-so queries/__init__ imports cleanly from the first commit.
+These go beyond the reference's own surface (BASELINE.json north star) and
+are first-class: each has a (spark, sf_dir) callable; everything except the
+recall-validated ANN tier has a DuckDB oracle.
 """
 
 from __future__ import annotations
 
-SUITE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.deterministic import davg
+from timedf_spark.operators import dedup, sessionize, similarity
+from timedf_spark.operators.text import (
+    fingerprint_sql,
+    lang_guess_sql,
+    text_stats_sql,
+    with_fingerprint,
+    with_lang_guess,
+    with_text_stats,
+)
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+
+# ---- text analysis --------------------------------------------------------
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_text_stats(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "lang", "source", "n_chars",
+        "n_tokens", "n_uniq_tokens", "n_chars_obs", "n_punct", "n_stop",
+        "stop_ratio", "uniq_ratio", "quality_score",
+    )
+
+
+def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_lang_guess(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "lang_guess")
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_fingerprint(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint")
+
+
+# ---- dedup ----------------------------------------------------------------
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(spark, sf_dir)
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(spark, sf_dir)
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(spark, sf_dir)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(spark, sf_dir)
+
+
+# ---- similarity search ----------------------------------------------------
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(spark, sf_dir)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(spark, sf_dir)
+
+
+# ---- embeddings misc ------------------------------------------------------
+
+_EMB_STATS_AGGS = {
+    "n_vectors": "count(*)",
+    "dim": "cast(max(size) as bigint)",
+    "first_mean": davg("first_val", scale=8),
+}
+
+
+def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats — array columns meet plain aggregation.
+    first_val goes through double so the quantized mean matches the oracle
+    (float32 widening is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr("cast(size(embedding) as int)").alias("size"),
+        F.expr("cast(embedding[0] as double)").alias("first_val"),
+    )
+    return emb.groupBy("label").agg(
+        *[F.expr(sql).alias(name) for name, sql in _EMB_STATS_AGGS.items()]
+    )
+
+
+EMB_STATS_ORACLE = f"""
+WITH emb AS (
+  SELECT label, cast(len(embedding) as int) AS size,
+         cast(embedding[1] as double) AS first_val
+  FROM embeddings
+)
+SELECT label, {', '.join(f'{sql} AS {name}' for name, sql in _EMB_STATS_AGGS.items())}
+FROM emb GROUP BY label
+"""
+
+
+# ---- stratified split (K1, exact/systematic) ------------------------------
+#
+# sklearn's stratified split (ref: benchmark_utils.py:118-155) takes exact
+# per-stratum fractions. Spark's sampleBy is only approximate; the
+# deterministic, oracle-checkable equivalent is systematic sampling: number
+# rows per stratum in a stable order, assign every 5th to test (20%).
+
+_SPLIT_SQL_BODY = """
+SELECT label, split, count(*) AS cnt FROM (
+  SELECT label,
+         CASE WHEN row_number() OVER (PARTITION BY label ORDER BY vec_id) % 5 = 0
+              THEN 'test' ELSE 'train' END AS split
+  FROM embeddings
+) GROUP BY label, split
+"""
+
+
+def _stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_SPLIT_SQL_BODY)
+
+
+# ---- sessionization -------------------------------------------------------
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize.sessionize(spark, sf_dir)
+
+
+SUITE = {
+    "text_stats": QuerySpec(
+        "text_stats", _text_stats, text_stats_sql(),
+        "token/char/punct/stopword metrics + quality score",
+    ),
+    "lang_id": QuerySpec(
+        "lang_id", _lang_guess, lang_guess_sql(),
+        "marker-based language ID",
+    ),
+    "doc_fingerprint": QuerySpec(
+        "doc_fingerprint", _fingerprint, fingerprint_sql(),
+        "min-md5-shingle document fingerprint",
+    ),
+    "dedup_exact": QuerySpec(
+        "dedup_exact", _exact_dedup, dedup.EXACT_DEDUP_SQL,
+        "exact dedup via md5 hash-groupBy",
+    ),
+    "dedup_ngram_jaccard": QuerySpec(
+        "dedup_ngram_jaccard", _ngram_jaccard, dedup.ngram_jaccard_sql(),
+        "exact shingle-Jaccard near-dup pairs (inverted-index join)",
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        "dedup_minhash_lsh", _minhash_lsh, dedup.minhash_lsh_sql(),
+        "MinHash+LSH banding candidates, Jaccard-verified",
+    ),
+    "dedup_simhash": QuerySpec(
+        "dedup_simhash", _simhash, dedup.simhash_sql(),
+        "64-bit SimHash signatures + hamming bands",
+    ),
+    "ann_brute_topk": QuerySpec(
+        "ann_brute_topk", _ann_brute, similarity.brute_force_topk_sql(),
+        "exact cosine top-k (broadcast queries, windowed rank)",
+    ),
+    "ann_lsh_topk": QuerySpec(
+        "ann_lsh_topk", _ann_lsh, None,  # approximate: validated by recall test
+        "SRP-LSH bucketed approximate top-k",
+    ),
+    "embedding_stats": QuerySpec(
+        "embedding_stats", _embedding_stats, EMB_STATS_ORACLE,
+        "array-column aggregation per label",
+    ),
+    "stratified_split": QuerySpec(
+        "stratified_split", _stratified_split, _SPLIT_SQL_BODY,
+        "exact systematic stratified split (K1)",
+    ),
+    "sessionize": QuerySpec(
+        "sessionize", _sessionize, sessionize.SESSIONIZE_SQL,
+        "gap-based sessionization via windows (E gap)",
+    ),
+}
