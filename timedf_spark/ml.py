@@ -1,0 +1,178 @@
+"""ML-adjacent dataflow (SURVEY.md §2.K, §2.J1) — Spark-native.
+
+The reference's ML surface is: stratified split, label encoding, class
+weights, XGBoost train/predict, and a custom weighted multi-class log-loss
+(plasticc_pandas_modin.py:92-228, benchmark_utils.py:118-155). Here:
+
+- splits/encoding/metric are distributed DataFrame ops (no sklearn);
+- the trainer is a closed-form distributed ridge regression — the normal
+  equations reduce to ONE aggregation over feature products (a single scan
+  + tiny driver solve), which scales to any row count and keeps this repo
+  dependency-free;
+- ``xgboost.spark`` integration is feature-gated: ``fit_xgboost`` uses the
+  distributed SparkXGBRegressor/Classifier when the library exists and
+  raises a clear error here (not installed in this container).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "stratified_split",
+    "random_split",
+    "encode_labels",
+    "with_class_weights",
+    "weighted_multiclass_logloss",
+    "fit_ridge",
+    "predict_ridge",
+    "fit_xgboost",
+]
+
+
+# ---- K1: splits -----------------------------------------------------------
+
+def stratified_split(
+    df: DataFrame, label_col: str, test_fraction: float, order_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact systematic stratified split (sklearn-parity counts per stratum,
+    deterministic given order_col). row_number per stratum → every
+    round(1/f)-th row is test. One shuffle on the label; at 100 TB prefer
+    ``random_split`` (shuffle-free) unless strict stratification matters."""
+    every = round(1.0 / test_fraction)
+    w = Window.partitionBy(label_col).orderBy(order_col)
+    tagged = df.withColumn("__rn", F.row_number().over(w))
+    test = tagged.filter(F.col("__rn") % every == 0).drop("__rn")
+    train = tagged.filter(F.col("__rn") % every != 0).drop("__rn")
+    return train, test
+
+
+def random_split(
+    df: DataFrame, test_fraction: float, seed: int, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash-based split: no shuffle, no state, reproducible
+    across runs and cluster sizes (unlike randomSplit, which depends on
+    partitioning). Standard trick: bucket = xxhash64(id, seed) mod N."""
+    n_buckets = 1_000_000
+    cut = int(test_fraction * n_buckets)
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
+    test = df.filter(bucket < cut)
+    train = df.filter(bucket >= cut)
+    return train, test
+
+
+# ---- K2/K3: encoding + weights -------------------------------------------
+
+def encode_labels(df: DataFrame, label_col: str, out_col: str = "label_idx") -> DataFrame:
+    """LabelEncoder parity (ref: plasticc_pandas_modin.py:102-103): dense
+    0..K-1 codes in sorted label order. Broadcast join against the distinct
+    dictionary — the dictionary is tiny by definition."""
+    dictionary = (
+        df.select(label_col)
+        .distinct()
+        .withColumn(out_col, F.dense_rank().over(Window.orderBy(label_col)) - 1)
+    )
+    return df.join(F.broadcast(dictionary), label_col)
+
+
+def with_class_weights(
+    df: DataFrame, label_col: str, weights: dict, default: float = 1.0, out_col: str = "class_weight"
+) -> DataFrame:
+    """Literal weight map (ref: plasticc class_weights {64:2, 15:2})."""
+    mapping = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    return df.withColumn(out_col, F.coalesce(mapping[F.col(label_col)], F.lit(default)))
+
+
+# ---- J1: weighted multi-class log-loss as distributed aggregation ---------
+
+def weighted_multiclass_logloss(
+    scored: DataFrame,
+    label_col: str = "label_idx",
+    probs_col: str = "probs",
+    weights: dict[int, float] | None = None,
+    eps: float = 1e-15,
+) -> float:
+    """plasticc's multi_weighted_logloss (plasticc_pandas_modin.py:128-160)
+    as Spark aggs — works on any row count (the reference collects an n×14
+    matrix driver-side; here only K partial sums cross the cluster):
+
+        loss = -Σ_c w_c · mean_over_class_c(log p_true) / Σ_c w_c
+    """
+    w = weights or {}
+    p_true = F.element_at(
+        F.col(probs_col), (F.col(label_col) + 1).cast("int")
+    ).cast("double")
+    clipped = F.greatest(F.least(p_true, F.lit(1.0 - eps)), F.lit(eps))
+    per_class = (
+        scored.groupBy(label_col)
+        .agg(F.avg(F.log(clipped)).alias("mean_log_p"))
+        .collect()
+    )
+    num, den = 0.0, 0.0
+    for r in per_class:
+        wc = float(w.get(r[label_col], 1.0))
+        num += wc * r["mean_log_p"]
+        den += wc
+    return -num / den if den else float("nan")
+
+
+# ---- K4/K5: trainers ------------------------------------------------------
+
+def fit_ridge(
+    df: DataFrame, feature_cols: Sequence[str], target_col: str, l2: float = 1e-6
+) -> list[float]:
+    """Closed-form distributed ridge: one pass computes XᵀX and Xᵀy as
+    aggregate sums (d(d+1)/2 + d doubles — trivially small), the driver
+    solves the (d+1)×(d+1) system. Distribution-wise this is the optimal
+    plan: single scan, map-side partial aggregation, no iteration."""
+    import numpy as np
+
+    cols = list(feature_cols) + ["__one"]
+    dfx = df.withColumn("__one", F.lit(1.0))
+    aggs: list[Column] = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}__{b}"))
+        aggs.append(F.sum(F.col(a) * F.col(target_col)).alias(f"xy_{a}"))
+    row = dfx.agg(*aggs).first()
+    d = len(cols)
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i, a in enumerate(cols):
+        for j in range(i, d):
+            v = row[f"xx_{a}__{cols[j]}"]
+            xtx[i, j] = xtx[j, i] = v
+        xty[i] = row[f"xy_{a}"]
+    xtx += l2 * np.eye(d)
+    theta = np.linalg.solve(xtx, xty)
+    return [float(t) for t in theta]  # weights..., intercept
+
+
+def predict_ridge(df: DataFrame, feature_cols: Sequence[str], theta: Sequence[float]) -> DataFrame:
+    expr = F.lit(float(theta[-1]))
+    for c, t in zip(feature_cols, theta[:-1]):
+        expr = expr + F.col(c) * F.lit(float(t))
+    return df.withColumn("prediction", expr)
+
+
+def fit_xgboost(df: DataFrame, feature_cols: Sequence[str], target_col: str, **params):
+    """Distributed XGBoost (ref: ny_taxi_ml.py:222-258, plasticc :163-228)
+    via the official Spark estimator — feature-gated on the library."""
+    try:
+        from xgboost.spark import SparkXGBRegressor
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "xgboost is not installed in this environment; fit_ridge is the "
+            "built-in trainer. With xgboost present this uses "
+            "SparkXGBRegressor(features_col=..., label_col=...) distributed "
+            "histogram training."
+        ) from exc
+    from pyspark.ml.feature import VectorAssembler
+
+    assembled = VectorAssembler(inputCols=list(feature_cols), outputCol="features").transform(df)
+    reg = SparkXGBRegressor(features_col="features", label_col=target_col, **params)
+    return reg.fit(assembled)

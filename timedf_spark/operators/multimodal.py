@@ -1,0 +1,149 @@
+"""Multimodal (image/audio/video) column plumbing for LLM-data pipelines.
+
+Model: media = opaque ``binary`` payload + typed ``struct`` metadata
+(SURVEY.md §1.2 reserved types). The Spark-side machinery — schemas, Arrow
+batch transfer, ``mapInPandas`` signatures, partition-sized batching — is
+real and tested; the codec step itself is STUBBED (this container has no
+image/audio libraries): ``decode=`` defaults to a deterministic fake that
+derives pixel stats from payload bytes, and ``strict=True`` raises
+``NotImplementedError`` exactly where a real decoder (PIL/ffmpeg) would
+plug in.
+
+Scale notes: mapInPandas streams Arrow record batches — payloads never
+materialize as one driver list; per-task memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it down for large
+blobs, e.g. 64 for multi-MB images). Feature extraction emits small fixed
+schemas so downstream joins/aggregations shed the payload column early —
+project features, drop bytes, THEN shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "IMAGE_FEATURES_SCHEMA",
+    "attach_fake_payloads",
+    "decode_stub",
+    "extract_image_features",
+    "sample_frames",
+]
+
+# media row: payload + metadata struct (what a real ingest would carry)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("mean_byte", DoubleType(), True),
+        StructField("std_byte", DoubleType(), True),
+        StructField("entropy", DoubleType(), True),
+    ]
+)
+
+
+def attach_fake_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents`` (the container
+    has no media files): payload = utf-8 bytes of text; metadata from
+    doc stats. Exercises BinaryType end-to-end (Parquet-writable, Arrow
+    round-trip) without external data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").cast(BinaryType()).alias("payload"),
+        F.lit("image").alias("media_type"),
+        (F.length("text") % 640).cast("int").alias("width"),
+        (F.length("text") % 480).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+    )
+
+
+def decode_stub(payload: bytes, strict: bool = False) -> dict:
+    """Where a real codec goes. strict=True is the honest production path:
+    it raises until a decoder library is installed."""
+    if strict:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec library (e.g. PIL, "
+            "torchaudio, pyav) — not available in this environment"
+        )
+    # deterministic fake: derive "pixel" stats from raw bytes
+    import numpy as np
+
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256).astype("float64")
+    p = hist[hist > 0] / arr.size
+    return {
+        "n_bytes": int(arr.size),
+        "mean_byte": float(arr.mean()),
+        "std_byte": float(arr.std()),
+        "entropy": float(-(p * np.log2(p)).sum()),
+    }
+
+
+def extract_image_features(
+    media: DataFrame,
+    decode: Callable[[bytes], dict] | None = None,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow).
+
+    The UDF sees an iterator of pandas batches — constant memory per task
+    regardless of table size; ``batch_size`` caps rows per Arrow batch so
+    multi-MB payloads don't balloon a batch.
+    """
+    dec = decode or decode_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [dec(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    spark = media.sparkSession
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        return media.select("media_id", "payload").mapInPandas(
+            run, schema=IMAGE_FEATURES_SCHEMA
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explode frame indices
+    0..n_frames-1 step every_nth; a real pipeline would mapInPandas-decode
+    each (payload, frame_idx). Pure Column ops — the explode happens
+    executor-side, so a 2-hour video row fans out without driver involvement."""
+    return media.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
+        ).alias("frame_idx"),
+    )
