@@ -1,0 +1,132 @@
+"""Sources coverage (SURVEY.md §2.A): explicit-schema CSV scans (A1), gzip,
+multi-file union ingest (A4), synthetic source (A12), and as-of join
+semantics (operators/asof.py) against a pandas merge_asof reference."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from timedf_spark.operators.asof import asof_join
+from timedf_spark.sources import load_table, read_csv, union_ingest
+from timedf_spark.sources.readers import synthetic_frame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def csv_dir(spark, sf_dir, tmp_path_factory):
+    """orders exported to headerless CSV (2 plain files + 1 gzip), the
+    reference's ingest format (benchmark_utils.py:25-46)."""
+    d = tmp_path_factory.mktemp("csv")
+    pdf = load_table(spark, sf_dir, "orders").toPandas()
+    third = len(pdf) // 3
+    pdf.iloc[:third].to_csv(d / "part1.csv", index=False, header=False)
+    pdf.iloc[third : 2 * third].to_csv(d / "part2.csv", index=False, header=False)
+    with gzip.open(d / "part3.csv.gz", "wt") as f:
+        pdf.iloc[2 * third :].to_csv(f, index=False, header=False)
+    return str(d)
+
+
+def test_csv_multi_file_scan_roundtrip(spark, sf_dir, csv_dir):
+    """A1+A4: one multi-path scan over plain+gzip files == the parquet table."""
+    paths = sorted(glob.glob(os.path.join(csv_dir, "*")))
+    df = read_csv(spark, paths, _SCHEMA)
+    orig = load_table(spark, sf_dir, "orders")
+    assert df.count() == orig.count()
+    a = df.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).first()
+    b = orig.agg(F.sum("o_orderkey"), F.sum("o_totalprice")).first()
+    assert a[0] == b[0]
+    assert a[1] == pytest.approx(b[1], rel=1e-12)
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+
+
+def test_union_ingest_heterogeneous(spark, sf_dir, csv_dir):
+    """A4 heterogeneous path: per-file frames with a missing column union
+    by name with NULL fill (ny_taxi_ml per-year schemas)."""
+    paths = sorted(glob.glob(os.path.join(csv_dir, "*.csv")))
+    df1 = read_csv(spark, paths[0], _SCHEMA)
+    df2 = read_csv(spark, paths[1], _SCHEMA).drop("o_orderpriority")
+    merged = union_ingest([df1, df2])
+    assert merged.count() == df1.count() + df2.count()
+    assert merged.filter("o_orderpriority IS NULL").count() == df2.count()
+
+
+def test_synthetic_source_distributed(spark):
+    df = synthetic_frame(spark, 10_000, 3)
+    assert df.columns == ["c0", "c1", "c2"]
+    assert df.count() == 10_000
+    stats = df.agg(F.min("c0"), F.max("c0")).first()
+    assert 0 <= stats[0] and stats[1] < 100
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Union-window as-of join vs pandas merge_asof (allow_exact_matches=True,
+    by=key) on a randomized problem."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 200), unit="s"),
+            "lid": np.arange(200),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 80), unit="s"),
+            "rv": rng.normal(size=80),
+        }
+    )
+    right = right.drop_duplicates(subset=["k", "t"]).sort_values("t").reset_index(drop=True)
+
+    expected = pd.merge_asof(left, right, on="t", by="k", allow_exact_matches=True)
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = asof_join(sl, sr, key="k", ts="t", carry_cols=["rv"]).toPandas()
+    merged = expected.merge(got, on="lid", suffixes=("_exp", "_got"))
+    assert len(merged) == len(expected)
+    for _, row in merged.iterrows():
+        if pd.isna(row["rv_exp"]):
+            assert pd.isna(row["rv_got"]), row
+        else:
+            assert row["rv_exp"] == pytest.approx(row["rv_got"]), row
+
+
+def test_one_hot_parity(spark, sf_dir):
+    from timedf_spark import ml
+
+    orders = load_table(spark, sf_dir, "orders")
+    dummies = ml.one_hot(orders, "o_orderstatus", values=["F", "O", "P", "X"])
+    assert "o_orderstatus_X" in dummies.columns  # missing-class column exists
+    row = dummies.agg(
+        F.sum("o_orderstatus_X"),
+        F.sum(F.col("o_orderstatus_F") + F.col("o_orderstatus_O") + F.col("o_orderstatus_P")),
+    ).first()
+    assert row[0] == 0
+    assert row[1] == orders.count()

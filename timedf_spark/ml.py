@@ -87,6 +87,22 @@ def with_class_weights(
     return df.withColumn(out_col, F.coalesce(mapping[F.col(label_col)], F.lit(default)))
 
 
+def one_hot(df: DataFrame, col: str, values: Sequence[str] | None = None, prefix: str | None = None) -> DataFrame:
+    """pandas.get_dummies parity (ref: plasticc_pandas_modin.py:135-143,
+    including the missing-class zero-column fill): one 0/1 column per
+    value. Pass ``values`` explicitly at scale — discovering them costs an
+    extra distinct-scan, and fixed values make the schema stable."""
+    if values is None:
+        values = [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
+    p = prefix if prefix is not None else col
+    return df.withColumns(
+        {
+            f"{p}_{v}": F.when(F.col(col) == v, F.lit(1)).otherwise(F.lit(0))
+            for v in values
+        }
+    )
+
+
 # ---- J1: weighted multi-class log-loss as distributed aggregation ---------
 
 def weighted_multiclass_logloss(

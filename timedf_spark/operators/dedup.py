@@ -156,19 +156,38 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
     )
     sh = sh.cache()  # reused: signatures + sizes + verification
-    seeded = sh.join(F.broadcast(spark.range(n_hashes).select(F.col("id").alias("seed"))), how="cross")
-    minh = seeded.groupBy("doc_id", "seed").agg(
-        F.expr("min(md5(concat(cast(seed as string), ':', sh)))").alias("mh")
+    # All n_hashes minhashes as independent aggregates of ONE groupBy —
+    # single shuffle, no seed×row blowup, no collect_list. (The per-seed
+    # "hash function" is min over md5('<seed>:'||shingle); md5 hex order is
+    # engine-independent.) Map-side combine reduces each partition to one
+    # row per doc before the exchange.
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(md5(concat('{s}:', sh)))").alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
     )
-    bands_df = (
-        minh.withColumn("band", F.expr(f"cast(seed div {rows_per_band} as int)"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), ','))"
-            ).alias("band_key")
-        )
-    )
+    # band keys are row-local md5s over consecutive signature columns
+    band_keys = [
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
+            + "))"
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    sig = minh.select("doc_id", *band_keys)
+    bands_df = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("tb"),
+    ).select("doc_id", "tb.band", "tb.band_key")
     a, b = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(
@@ -207,22 +226,24 @@ def minhash_lsh_sql(
 ) -> str:
     rows_per_band = n_hashes // bands
     sh = shingle_expr_duckdb("text", k)
+    minh_cols = ", ".join(
+        f"min(md5(concat('{s}:', sh))) AS mh{s}" for s in range(n_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
+        + ")) AS band_key FROM minh"
+        for b in range(bands)
+    )
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
 ),
-seeded AS (
-  SELECT doc_id, sh, seed
-  FROM sh, (SELECT unnest(range({n_hashes})) AS seed)
-),
 minh AS (
-  SELECT doc_id, seed, min(md5(concat(cast(seed as varchar), ':', sh))) AS mh
-  FROM seeded GROUP BY doc_id, seed
+  SELECT doc_id, {minh_cols} FROM sh GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, cast(seed // {rows_per_band} as int) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-  FROM minh GROUP BY doc_id, cast(seed // {rows_per_band} as int)
+  {band_rows}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

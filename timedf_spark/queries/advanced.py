@@ -1,0 +1,217 @@
+"""Advanced relational coverage: rollup/cube (D16 gap), set ops (G4 gap),
+exact median (D7), argmax/group-last (D8), as-of join and range join (C3
+gap) — each SURVEY.md §2 "absent" row implemented Spark-first with a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.deterministic import dsum
+from timedf_spark.operators.asof import asof_join
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+# ---- rollup (D16) ---------------------------------------------------------
+
+_REV = dsum("l_extendedprice * (1 - l_discount)")
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (flag → flag+status → grand total) in one pass —
+    Spark expands rollup to a single partial-agg + shuffle, not 3 scans."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.expr(_REV).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, {_REV} AS revenue, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# ---- set operations (G4) --------------------------------------------------
+
+
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1995 and 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter("year(o_orderdate) = 1995").select("o_custkey")
+    y96 = orders.filter("year(o_orderdate) = 1996").select("o_custkey")
+    return y95.intersect(y96)
+
+
+REPEAT_ORACLE = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: ordered in 1995, never in 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter("year(o_orderdate) = 1995").select("o_custkey")
+    y96 = orders.filter("year(o_orderdate) = 1996").select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would keep custkeys
+    # appearing in both years whenever 1995 had more orders than 1996
+    return y95.subtract(y96)
+
+
+CHURNED_ORACLE = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+# ---- exact median (D7: the reference's median aggregation policy) ---------
+
+
+def median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (ref: report agg policy 'median',
+    report_xlsx.py:111-117). Spark percentile() == DuckDB quantile_cont —
+    l_quantity is integral so interpolation lands on .0/.5 exactly.
+    At 100 TB use approx_percentile instead (single-pass sketch)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"))
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# ---- group-last / argmax (D8) ---------------------------------------------
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with a composite (date, key) ordering — deterministic
+    'last row per group' (ref groupby().last(), report_xlsx.py:150,164 —
+    which is order-sensitive; the composite key makes it well-defined).
+    The ordering key is a sortable string date||zero-padded-key because
+    DuckDB's arg_max (the oracle) cannot order by struct."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, concat(date_format(o_orderdate, 'yyyyMMddHHmmss'),"
+                " lpad(cast(o_orderkey as string), 12, '0')))"
+            ).alias("last_orderkey"),
+            F.expr("max(o_orderdate)").alias("last_orderdate"),
+        )
+    )
+
+
+LATEST_ORDER_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey, concat(strftime(o_orderdate, '%Y%m%d%H%M%S'),
+                                  lpad(cast(o_orderkey as varchar), 12, '0'))) AS last_orderkey,
+       max(o_orderdate) AS last_orderdate
+FROM orders GROUP BY o_custkey
+"""
+
+# ---- as-of join (C3) ------------------------------------------------------
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before it."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = (
+        events.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")  # unique (key, ts) — ASOF tie rule
+        .agg(
+            F.expr("max(event_id)").alias("purchase_id"),
+            F.expr("max_by(value, event_id)").alias("purchase_value"),
+        )
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts", carry_cols=["purchase_id", "purchase_value"])
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+# ---- range join (C3) ------------------------------------------------------
+
+
+def clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: count of same-user clicks in the preceding 10 min.
+    Equi-key (user_id) + range predicate → Spark executes a hash join with
+    the range as a post-filter; no cartesian explosion. (Pure interval
+    joins without an equi-key would use bucketized time-bin keys.)"""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter("event_type = 'error'").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = errors.join(
+        clicks,
+        (errors.user_id == clicks.user_id)
+        & (clicks.click_ts >= F.expr("err_ts - INTERVAL 10 MINUTE"))
+        & (clicks.click_ts < F.col("err_ts")),
+        "left",
+    )
+    return joined.groupBy("error_id").agg(F.count("click_id").alias("n_recent_clicks"))
+
+
+RANGE_JOIN_ORACLE = """
+WITH errors AS (
+  SELECT user_id, event_id AS error_id, ts AS err_ts FROM events WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT e.error_id, count(c.click_id) AS n_recent_clicks
+FROM errors e LEFT JOIN clicks c
+  ON e.user_id = c.user_id
+ AND c.click_ts >= e.err_ts - INTERVAL 10 MINUTE
+ AND c.click_ts < e.err_ts
+GROUP BY e.error_id
+"""
+
+
+SUITE = {
+    "rollup_revenue": QuerySpec("rollup_revenue", rollup_revenue, ROLLUP_ORACLE, "ROLLUP hierarchy totals (D16)"),
+    "repeat_customers": QuerySpec("repeat_customers", repeat_customers, REPEAT_ORACLE, "INTERSECT (G4)"),
+    "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
+    "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),
+    "latest_order_per_customer": QuerySpec(
+        "latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_ORACLE, "argmax / group-last (D8)"
+    ),
+    "asof_click_purchase": QuerySpec(
+        "asof_click_purchase", asof_click_purchase, ASOF_ORACLE, "as-of join via union-window (C3)"
+    ),
+    "clicks_before_errors": QuerySpec(
+        "clicks_before_errors", clicks_before_errors, RANGE_JOIN_ORACLE, "range join w/ equi-key (C3)"
+    ),
+}
