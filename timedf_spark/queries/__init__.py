@@ -23,10 +23,18 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from timedf_spark.queries import advanced, extension, ml_etl, plasticc, taxi, tpch
+    from timedf_spark.queries import (
+        advanced,
+        extension,
+        ml_etl,
+        plasticc,
+        taxi,
+        tpch,
+        windows_suite,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, advanced, extension):
+    for mod in (taxi, ml_etl, plasticc, tpch, advanced, windows_suite, extension):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec

@@ -1,0 +1,129 @@
+"""Window-function suite (SURVEY.md §2.E — absent from the reference,
+extension-layer time-series capability): rolling frames, running totals,
+lag deltas.
+
+Determinism: sums inside window frames re-use the quantized-decimal
+construction (functions/deterministic.py) — a windowed decimal sum is
+exact under any evaluation order, so Spark's incremental frame evaluation
+and DuckDB's segment-tree evaluation agree bit-for-bit. Date arithmetic is
+NOT dialect-shared (Spark date−date is an INTERVAL, DuckDB's is days), so
+these queries pair a DataFrame implementation with a separate oracle text
+whose integer outputs are trivially engine-independent.
+
+Scale notes: one shuffle per query (the window partition / the daily
+pre-aggregation); rolling frames evaluate incrementally per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+_EPOCH = "1970-01-01"
+
+
+def _windowed_qsum(col: str, frame: str) -> str:
+    """Order-independent windowed SUM(double) (shared construction with
+    deterministic.dsum, OVER a frame instead of GROUP BY)."""
+    return (
+        f"cast(sum(cast(floor(({col}) * 10000.0 + 0.5) as decimal(38,0))) "
+        f"OVER ({frame}) as double) / 10000.0"
+    )
+
+
+# ---- 7-day rolling revenue ------------------------------------------------
+
+
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff("o_orderdate", F.lit(_EPOCH).cast("date")).cast("long").alias("day_idx"),
+            "o_totalprice",
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as decimal(38,0))) as double) / 10000.0"
+            ).alias("day_revenue")
+        )
+    )
+    frame = "ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW"
+    return daily.select(
+        "day_idx",
+        "day_revenue",
+        F.expr(_windowed_qsum("day_revenue", frame)).alias("rolling_7d_revenue"),
+        F.expr(f"cast(count(*) OVER ({frame}) as bigint)").alias("rolling_7d_days"),
+    )
+
+
+ROLLING_ORACLE = f"""
+WITH daily AS (
+  SELECT cast(date_diff('day', DATE '{_EPOCH}', o_orderdate) as bigint) AS day_idx,
+         cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as decimal(38,0))) as double) / 10000.0 AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT day_idx, day_revenue,
+       {_windowed_qsum("day_revenue", "ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW")} AS rolling_7d_revenue,
+       cast(count(*) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) as bigint) AS rolling_7d_days
+FROM daily
+"""
+
+# ---- running lifetime value per customer ----------------------------------
+
+_CUM_FRAME = "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING"
+
+CUMULATIVE_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) as bigint) AS order_seq,
+       {_windowed_qsum("o_totalprice", _CUM_FRAME)} AS lifetime_value
+FROM orders
+"""
+
+
+def cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fully dialect-shared text (no date arithmetic involved)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(CUMULATIVE_SQL)
+
+
+# ---- lag: days between consecutive orders ---------------------------------
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+    )
+
+
+LAG_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       cast(date_diff('day', prev_date, o_orderdate) as bigint) AS days_since_prev
+FROM seq
+"""
+
+
+SUITE = {
+    "rolling_revenue": QuerySpec(
+        "rolling_revenue", rolling_revenue, ROLLING_ORACLE, "7-day rolling revenue via RANGE frame (E)"
+    ),
+    "cumulative_value": QuerySpec(
+        "cumulative_value", cumulative_value, CUMULATIVE_SQL, "running total per customer (E)"
+    ),
+    "order_gaps": QuerySpec(
+        "order_gaps", order_gaps, LAG_ORACLE, "lag-based day gaps between orders (E)"
+    ),
+}
