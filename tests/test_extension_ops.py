@@ -110,3 +110,45 @@ def test_exact_dedup_conserves_rows(spark, sf_dir):
     groups = dedup.exact_dedup(spark, sf_dir)
     total = groups.agg(F.sum("dup_cnt")).first()[0]
     assert total == docs.count()
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF top-k: self-match at rank 1 (a vector's own cell is always among
+    its probed cells — it is the argmax), candidate set is a subset of the
+    corpus, and recall@10 beats the LSH floor (probing 6/32 cells covers
+    ~19% of the corpus chosen by centroid affinity, not at random)."""
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    approx_rows = similarity.ivf_topk(spark, sf_dir).collect()
+    approx = {(r["q_id"], r["vec_id"]) for r in approx_rows}
+    rank1 = {r["q_id"]: r["vec_id"] for r in approx_rows if r["rank"] == 1}
+    for q, v in rank1.items():
+        assert q == v, f"query {q} rank-1 is {v}, expected itself"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall@10 too low: {recall}"
+
+
+def test_cosine_dedup_pairs_exact_over_blocks(spark, sf_dir):
+    """Every emitted near-dup pair must have true cosine ≥ threshold
+    (blocking can only lose pairs, never fabricate them), and pairs are
+    canonical (id_a < id_b) with no duplicates."""
+    rows = similarity.cosine_dedup_pairs(spark, sf_dir).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r["cos_q"] >= 0.4 for r in rows)
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    import math
+
+    for r in rows:
+        a, b = emb[r["id_a"]], emb[r["id_b"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        assert abs(cos - r["cos_q"]) < 1e-4

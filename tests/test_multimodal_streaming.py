@@ -115,3 +115,78 @@ def test_streaming_tumbling_counts(spark, sf_dir):
         q.awaitTermination(120)
         total = spark.sql("select sum(n_events) as n from tumble_test").first()["n"]
         assert total == events.count()
+
+
+def test_stateful_sessionize_matches_batch_twin(spark, sf_dir):
+    """applyInPandasWithState sessionization must converge to the batch
+    twin: every emitted session matches a batch session exactly (bounds,
+    count, first/last event type); only each user's final session may be
+    missing (its event-time timeout cannot fire after the stream ends)."""
+    import time
+
+    from timedf_spark.streaming.stateful import (
+        batch_sessions_with_types,
+        stateful_sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    lo, hi = events.agg(
+        F.min("ts").cast("long"), F.max("ts").cast("long")
+    ).first()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        # sequential time-ordered appends → file mtime order == event-time
+        # order, so each micro-batch advances the watermark and times out
+        # earlier sessions
+        n_chunks = 4
+        step = (hi - lo) // n_chunks + 1
+        for i in range(n_chunks):
+            chunk = events.filter(
+                (F.col("ts").cast("long") >= lo + i * step)
+                & (F.col("ts").cast("long") < lo + (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)  # distinct mtimes for deterministic file order
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from stateful_sess").collect()
+
+    batch = batch_sessions_with_types(events).collect()
+
+    def key(r):
+        return (r["user_id"], r["t_start"], r["t_end"])
+
+    got_map = {key(r): r for r in got}
+    batch_map = {key(r): r for r in batch}
+    assert len(got_map) == len(got), "duplicate sessions emitted"
+    # every streamed session is a real batch session with identical content
+    assert set(got_map) <= set(batch_map)
+    for k, r in got_map.items():
+        b = batch_map[k]
+        assert r["n_events"] == b["n_events"]
+        assert r["first_event_type"] == b["first_event_type"]
+        assert r["last_event_type"] == b["last_event_type"]
+        assert r["value_sum"] == pytest.approx(b["value_sum"])
+    # everything except each user's (possibly unflushed) final session arrived
+    finals = {}
+    for k in batch_map:
+        uid, t_start, _ = k
+        if uid not in finals or t_start > finals[uid][1]:
+            finals[uid] = (k, t_start)
+    must_have = set(batch_map) - {k for k, _ in finals.values()}
+    missing = must_have - set(got_map)
+    assert not missing, f"non-final sessions missing from stream: {missing}"

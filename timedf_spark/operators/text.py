@@ -184,3 +184,43 @@ def fingerprint_sql(table: str = "documents", text_col: str = "text", k: int = 4
 SELECT doc_id, list_min(list_transform({sh}, s -> md5(s))) AS fingerprint
 FROM {table}
 """
+
+
+# ---- BPE-style regex tokenization -----------------------------------------
+#
+# GPT-2-family pre-tokenizers split on the pattern "word | number-digit |
+# punctuation-run | whitespace" before byte-pair merging. The regex below is
+# the library-free core of that split, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB): character
+# classes, alternation, +. Counting these pre-tokens is the standard
+# proxy for "LLM token count" when no tokenizer model is shipped.
+
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add bpe_tokens (regex pre-token count), ws_tokens (whitespace count),
+    and tokens_per_100_chars. One projection, no shuffle, no Python."""
+    return df.withColumns(
+        {
+            "bpe_tokens": F.expr(
+                f"cast(regexp_count({text_col}, '{BPE_TOKEN_PATTERN}') as bigint)"
+            ),
+            "ws_tokens": F.expr(f"cast(size(split({text_col}, ' ')) as bigint)"),
+            "tokens_per_100_chars": F.expr(
+                f"cast(regexp_count({text_col}, '{BPE_TOKEN_PATTERN}') as bigint)"
+                f" * 100e0 / length({text_col})"
+            ),
+        }
+    )
+
+
+def token_counts_sql(table: str = "documents", text_col: str = "text") -> str:
+    n_bpe = f"cast(len(regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}')) as bigint)"
+    return f"""
+SELECT doc_id,
+       {n_bpe} AS bpe_tokens,
+       cast(len(string_split({text_col}, ' ')) as bigint) AS ws_tokens,
+       {n_bpe} * 100e0 / length({text_col}) AS tokens_per_100_chars
+FROM {table}
+"""

@@ -34,6 +34,23 @@ SELECT l_returnflag, l_linestatus, {_REV} AS revenue, count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (returnflag, linestatus) in one
+    pass — Spark expands the grouping sets before the single partial-agg
+    shuffle, so the cost is one scan regardless of the set count."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.expr(_REV).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, {_REV} AS revenue, count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 # ---- set operations (G4) --------------------------------------------------
 
 
@@ -202,6 +219,7 @@ GROUP BY e.error_id
 
 SUITE = {
     "rollup_revenue": QuerySpec("rollup_revenue", rollup_revenue, ROLLUP_ORACLE, "ROLLUP hierarchy totals (D16)"),
+    "cube_revenue": QuerySpec("cube_revenue", cube_revenue, CUBE_ORACLE, "CUBE grouping sets (D16)"),
     "repeat_customers": QuerySpec("repeat_customers", repeat_customers, REPEAT_ORACLE, "INTERSECT (G4)"),
     "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
     "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),

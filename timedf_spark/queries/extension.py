@@ -17,9 +17,11 @@ from timedf_spark.operators.text import (
     fingerprint_sql,
     lang_guess_sql,
     text_stats_sql,
+    token_counts_sql,
     with_fingerprint,
     with_lang_guess,
     with_text_stats,
+    with_token_counts,
 )
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import load_table
@@ -44,6 +46,11 @@ def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = with_fingerprint(load_table(spark, sf_dir, "documents"))
     return df.select("doc_id", "fingerprint")
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = with_token_counts(load_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "bpe_tokens", "ws_tokens", "tokens_per_100_chars")
 
 
 # ---- dedup ----------------------------------------------------------------
@@ -72,6 +79,14 @@ def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(spark, sf_dir)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(spark, sf_dir)
+
+
+def _cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dedup_pairs(spark, sf_dir)
 
 
 # ---- embeddings misc ------------------------------------------------------
@@ -172,6 +187,18 @@ SUITE = {
     "ann_lsh_topk": QuerySpec(
         "ann_lsh_topk", _ann_lsh, None,  # approximate: validated by recall test
         "SRP-LSH bucketed approximate top-k",
+    ),
+    "ann_ivf_topk": QuerySpec(
+        "ann_ivf_topk", _ann_ivf, None,  # approximate: validated by recall test
+        "IVF coarse-quantized approximate top-k (nprobe cells)",
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        "dedup_embedding_cosine", _cosine_dedup, similarity.cosine_dedup_sql(),
+        "embedding-cosine near-dup pairs (SRP-LSH blocked, exact verify)",
+    ),
+    "token_counts": QuerySpec(
+        "token_counts", _token_counts, token_counts_sql(),
+        "BPE-style regex + whitespace token counting",
     ),
     "embedding_stats": QuerySpec(
         "embedding_stats", _embedding_stats, EMB_STATS_ORACLE,
