@@ -1,0 +1,123 @@
+"""Physical-plan audits: assert the scale-critical properties of the
+executed plans — these are what make the queries viable at 100 TB, and a
+regression here (a lost broadcast, a filter that stops reaching the scan,
+an extra shuffle) is a performance bug even while results stay correct.
+
+Checks run on the *executed* plan string at sf0.001 (AQE finalizes join
+strategies at runtime, so the executed plan is the honest artifact).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from timedf_spark.queries import all_queries
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_SMALL)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints the final plan followed by the initial one;
+    # audit only what actually executed
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _formatted(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_SMALL)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_single_key_groupby_is_one_shuffle(spark):
+    """taxi_q1 (groupBy.count) must be partial-agg → ONE exchange → final
+    agg; a second exchange would mean the partial aggregation was lost."""
+    plan = _executed_plan(spark, "taxi_q1")
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """pricing_summary's shipdate predicate must appear in PushedFilters on
+    the parquet scan — at 100 TB this is row-group skipping vs a full read."""
+    plan = _formatted(spark, "pricing_summary")
+    scan = plan[plan.index("Scan parquet") :]
+    assert "PushedFilters: [" in scan
+    assert "l_shipdate" in scan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """taxi_q2 touches 2 of lineitem's 16 columns; ReadSchema must not
+    contain untouched wide columns (l_comment)."""
+    plan = _formatted(spark, "taxi_q2")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    """segment_revenue's dim-table joins must be broadcast, not sort-merge:
+    shipping a few-KB dimension beats shuffling the fact table."""
+    plan = _executed_plan(spark, "segment_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pure_filter_has_no_shuffle(spark):
+    """ml_filter (17-predicate conjunctive filter) is map-only: zero
+    exchanges in the executed plan."""
+    plan = _executed_plan(spark, "ml_filter")
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_plasticc_multi_agg_single_aggregation_pass(spark):
+    """The 13-aggregate groupBy must stay ONE aggregation (pairs of
+    partial/final HashAggregate around one exchange), not one pass per
+    aggregate."""
+    plan = _executed_plan(spark, "plasticc_multi_agg")
+    # two-pass skew needs mean+range first: allow the join of the two
+    # passes, but each pass must itself be a single partial/final pair
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_sessionize_single_partition_shuffle(spark):
+    """Both window functions and the rollup share the user_id partitioning:
+    Spark must evaluate them over ONE exchange (+1 for the final agg at
+    most)."""
+    plan = _executed_plan(spark, "sessionize")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on (band, band_key) —
+    never a cartesian/broadcast-nested-loop over doc pairs."""
+    plan = _executed_plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_dedup_no_cartesian(spark):
+    """Embedding near-dup blocking likewise: equi-join on (tbl, bucket)."""
+    plan = _executed_plan(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_scan_and_agg(spark):
+    """The hot path of taxi_q3 (scan → project → partial agg) must sit
+    inside WholeStageCodegen spans."""
+    plan = _executed_plan(spark, "taxi_q3")
+    # codegen'd operators carry the `*(n)` stage marker in plan strings
+    assert "*(1) HashAggregate" in plan or "*(1) Project" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["taxi_q4", "nation_revenue", "rolling_revenue"])
+def test_no_query_reads_all_columns(spark, name):
+    """Every scan must project a subset schema (Catalyst column pruning
+    active end-to-end)."""
+    plan = _formatted(spark, name)
+    for seg in plan.split("ReadSchema:")[1:]:
+        schema_line = seg.splitlines()[0]
+        assert "comment" not in schema_line, (name, schema_line)
