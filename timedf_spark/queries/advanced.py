@@ -51,6 +51,35 @@ SELECT l_returnflag, l_linestatus, {_REV} AS revenue, count(*) AS n_rows
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
+# ---- per-group OLS regression (distributed ML fit, closed form) -----------
+#
+# slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²); every Σ is the quantized decimal
+# sum, so the whole fit is a single partial+final aggregation pass that is
+# bit-identical across engines and partitionings — the one-pass distributed
+# normal-equations pattern ml.py::fit_ridge uses, here SQL-expressible and
+# oracle-checked. x = quantity, y = extendedprice, grouped by returnflag.
+
+_SX = dsum("l_quantity")
+_SY = dsum("l_extendedprice")
+_SXY = dsum("l_quantity * l_extendedprice")
+_SXX = dsum("l_quantity * l_quantity")
+
+_OLS_BODY = f"""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       (count(*) * {_SXY} - {_SX} * {_SY})
+         / (count(*) * {_SXX} - {_SX} * {_SX}) AS slope,
+       ({_SY} - (count(*) * {_SXY} - {_SX} * {_SY})
+         / (count(*) * {_SXX} - {_SX} * {_SX}) * {_SX}) / count(*) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def linreg_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_OLS_BODY)
+
 # ---- set operations (G4) --------------------------------------------------
 
 
@@ -220,6 +249,10 @@ GROUP BY e.error_id
 SUITE = {
     "rollup_revenue": QuerySpec("rollup_revenue", rollup_revenue, ROLLUP_ORACLE, "ROLLUP hierarchy totals (D16)"),
     "cube_revenue": QuerySpec("cube_revenue", cube_revenue, CUBE_ORACLE, "CUBE grouping sets (D16)"),
+    "linreg_by_flag": QuerySpec(
+        "linreg_by_flag", linreg_by_flag, _OLS_BODY,
+        "per-group OLS fit via one-pass quantized normal equations (K)",
+    ),
     "repeat_customers": QuerySpec("repeat_customers", repeat_customers, REPEAT_ORACLE, "INTERSECT (G4)"),
     "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
     "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),

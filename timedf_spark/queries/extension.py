@@ -151,6 +151,23 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.sessionize(spark, sf_dir)
 
 
+# ---- multimodal feature extraction ----------------------------------------
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing (operators/multimodal.py): documents → BinaryType payloads →
+    Arrow-batched decode-stub features. Python-side float math → rows-only
+    driver check; the decode stub is deterministic so row count and schema
+    are stable."""
+    from timedf_spark.operators.multimodal import (
+        attach_fake_payloads,
+        extract_image_features,
+    )
+
+    media = attach_fake_payloads(load_table(spark, sf_dir, "documents"))
+    return extract_image_features(media)
+
+
 SUITE = {
     "text_stats": QuerySpec(
         "text_stats", _text_stats, text_stats_sql(),
@@ -211,5 +228,9 @@ SUITE = {
     "sessionize": QuerySpec(
         "sessionize", _sessionize, sessionize.SESSIONIZE_SQL,
         "gap-based sessionization via windows (E gap)",
+    ),
+    "multimodal_features": QuerySpec(
+        "multimodal_features", _multimodal_features, None,  # Python float math
+        "binary-payload feature extraction via Arrow mapInPandas",
     ),
 }
