@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
     )
+    sh = sh.cache()  # reused by both join sides + sizes (same as minhash)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -235,6 +235,44 @@ FROM events GROUP BY user_id
 """
 
 
+
+# --- fact-fact shuffle join: top unshipped orders (TPC-H Q3 shape) ---------
+#
+# orders ⋈ lineitem is the suite's large-×-large join: neither side fits a
+# broadcast at real scale, so the plan is a shuffle hash/sort-merge join on
+# o_orderkey — hash-partitioned on the join key, linear, and AQE splits any
+# skewed key at runtime (skewJoin on in session profiles). The top-k is a
+# TakeOrdered over the aggregated (small) result, never a global sort of
+# the fact table.
+
+_TOPN_UNSHIPPED = 10
+
+
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate < date '1995-03-15'"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > date '1995-03-15'"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_REV).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(_TOPN_UNSHIPPED)
+    )
+
+
+TOP_UNSHIPPED_ORACLE = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT {_TOPN_UNSHIPPED}
+"""
+
 SUITE = {
     "pricing_summary": QuerySpec(
         "pricing_summary", pricing_summary, PRICING_SUMMARY_ORACLE,
@@ -243,6 +281,10 @@ SUITE = {
     "segment_revenue": QuerySpec(
         "segment_revenue", segment_revenue, SEGMENT_REVENUE_ORACLE,
         "3-way star join + agg (C1/C2)",
+    ),
+    "top_unshipped_orders": QuerySpec(
+        "top_unshipped_orders", top_unshipped_orders, TOP_UNSHIPPED_ORACLE,
+        "fact-fact shuffle join + top-k (TPC-H Q3 shape)",
     ),
     "nation_revenue": QuerySpec(
         "nation_revenue", nation_revenue, NATION_REVENUE_ORACLE,
