@@ -1,0 +1,52 @@
+"""Skew-mitigation: salted joins for pathologically hot keys.
+
+AQE's skew-join splitting (on in every session profile) handles most skew
+by splitting oversized shuffle partitions at runtime. Salting is the
+explicit fallback for the cases AQE can't fix — a *single* key carrying a
+double-digit percentage of the fact table (a null-ish sentinel, a bot
+user, a default category), where one reducer would still receive the whole
+key even after partition splitting.
+
+Construction (classic): the skewed (large) side gets a uniform random salt
+in [0, n_salts); the small side is replicated n_salts times with every
+salt value; the join key becomes (key, salt). The hot key's rows now
+spread over n_salts reducers. Replication multiplies the small side by
+n_salts — keep it for dimension-sized right sides only.
+
+The salt uses a deterministic per-row hash (xxhash64 of the row's own
+columns, not rand()) so results are reproducible and retries/speculative
+tasks see the same salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join"]
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Inner equi-join of ``large`` ⋈ ``small`` on ``key`` with the large
+    side salted across ``n_salts`` sub-keys.
+
+    salt_source: column whose per-row hash drives the salt; defaults to
+    every column of ``large`` (fully deterministic, no rand()).
+    """
+    if salt_source is not None:
+        salt = (F.abs(F.xxhash64(salt_source)) % n_salts).alias("_salt")
+    else:
+        salt = (F.abs(F.xxhash64(*[F.col(c) for c in large.columns])) % n_salts).alias(
+            "_salt"
+        )
+    salted_large = large.withColumn("_salt", salt)
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_large.join(replicated_small, [key, "_salt"]).drop("_salt")
