@@ -32,3 +32,15 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         return
     issues = compare(spec.fn(spark, sf_dir), con, spec.oracle)
     assert issues == [], f"{name}: {issues}"
+
+
+def test_approx_cardinalities_within_tolerance(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct counts
+    (no equality oracle: sketches are engine-specific by design)."""
+    from timedf_spark.queries import all_queries
+
+    approx = all_queries()["approx_cardinalities"].fn(spark, sf_dir).first()
+    exact = all_queries()["column_cardinalities"].fn(spark, sf_dir).first()
+    for col in ["n_status", "n_priority", "n_custkey"]:
+        a, e = approx[col], exact[col]
+        assert abs(a - e) <= max(1, 0.05 * e), (col, a, e)

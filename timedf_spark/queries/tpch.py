@@ -212,6 +212,21 @@ SELECT count(DISTINCT o_orderstatus) AS n_status,
 FROM orders
 """
 
+
+def approx_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts — the 100 TB variant of
+    column_cardinalities: one pass, constant memory per column (a ~KB
+    sketch vs a hash set of every key), mergeable across partitions so the
+    shuffle carries sketches, not values. rsd=0.02 → ±2% typical error;
+    engines' sketches differ by design → rows-only for the driver, with a
+    tolerance test against the exact counts in tests/."""
+    df = load_table(spark, sf_dir, "orders")
+    return df.select(
+        F.approx_count_distinct("o_orderstatus", rsd=0.02).alias("n_status"),
+        F.approx_count_distinct("o_orderpriority", rsd=0.02).alias("n_priority"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custkey"),
+    )
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -305,6 +320,10 @@ SUITE = {
     "column_cardinalities": QuerySpec(
         "column_cardinalities", column_cardinalities, CARDINALITIES_ORACLE,
         "distinct counts (D9-D12)",
+    ),
+    "approx_cardinalities": QuerySpec(
+        "approx_cardinalities", approx_cardinalities, None,  # sketch-dependent
+        "HyperLogLog++ distinct counts (D9 at scale)",
     ),
     "event_type_pivot": QuerySpec(
         "event_type_pivot", event_type_pivot, EVENT_PIVOT_ORACLE,
