@@ -132,6 +132,23 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 _N_HASHES = 16
 _BANDS = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 — s-curve at j≈0.55
 
+# Universal-hash family over a 28-bit md5-prefix base value: products stay
+# < 2^59, so the arithmetic is exact int64 in every engine (no overflow,
+# no ANSI failure). p = 2^31 − 1 (Mersenne).
+_MERSENNE_P = 2147483647
+
+
+def _hash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_s, b_s) mixing constants, shared by the Spark
+    expression and the DuckDB oracle text."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(n_hashes)
+    ]
+
 
 def minhash_lsh_pairs(
     spark: SparkSession,
@@ -158,14 +175,17 @@ def minhash_lsh_pairs(
     )
     sh = sh.cache()  # reused: signatures + sizes + verification
     # All n_hashes minhashes as independent aggregates of ONE groupBy —
-    # single shuffle, no seed×row blowup, no collect_list. (The per-seed
-    # "hash function" is min over md5('<seed>:'||shingle); md5 hex order is
-    # engine-independent.) Map-side combine reduces each partition to one
-    # row per doc before the exchange.
+    # single shuffle, no seed×row blowup, no collect_list. The hash family
+    # is ONE md5 per shingle (engine-shared base value) + universal-hash
+    # mixing h_s = (a_s·h + b_s) mod p per signature slot — 64-bit integer
+    # arithmetic that is exact and identical in any engine, ~16× fewer md5
+    # evaluations than hashing per seed. Map-side combine reduces each
+    # partition to one row per doc before the exchange.
+    base = "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"
     minh = sh.groupBy("doc_id").agg(
         *[
-            F.expr(f"min(md5(concat('{s}:', sh)))").alias(f"mh{s}")
-            for s in range(n_hashes)
+            F.expr(f"min(({a} * {base} + {b}) % {_MERSENNE_P})").alias(f"mh{s}")
+            for s, (a, b) in enumerate(_hash_params(n_hashes))
         ]
     )
     # band keys are row-local md5s over consecutive signature columns
@@ -227,8 +247,10 @@ def minhash_lsh_sql(
 ) -> str:
     rows_per_band = n_hashes // bands
     sh = shingle_expr_duckdb("text", k)
+    base = "(('0x' || substr(md5(sh), 1, 7))::BIGINT)"
     minh_cols = ", ".join(
-        f"min(md5(concat('{s}:', sh))) AS mh{s}" for s in range(n_hashes)
+        f"min(({a} * {base} + {b}) % {_MERSENNE_P}) AS mh{s}"
+        for s, (a, b) in enumerate(_hash_params(n_hashes))
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
