@@ -190,3 +190,39 @@ def test_stateful_sessionize_matches_batch_twin(spark, sf_dir):
     must_have = set(batch_map) - {k for k, _ in finals.values()}
     missing = must_have - set(got_map)
     assert not missing, f"non-final sessions missing from stream: {missing}"
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join must produce exactly the
+    batch join's pairs: with availableNow replay of a static file the
+    watermark never evicts a row before its matches arrive (single-source
+    replay preserves both sides' order), so the streamed result is the
+    complete set."""
+    from timedf_spark.streaming.joins import attribution_join, attribution_join_batch
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            attribution_join(stream)
+            .writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("select * from attrib").collect()
+        }
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribution_join_batch(events).collect()
+    }
+    assert len(want) > 0, "fixture yields no click->purchase pairs"
+    assert got == want

@@ -1,0 +1,75 @@
+"""Watermarked stream-stream interval join (SURVEY.md §2.I — absent from
+the reference; extension layer).
+
+Attribution joins — every click followed by a purchase from the same user
+within an attribution window — are the canonical stream-stream case: both
+sides are unbounded, so the join is only computable because watermarks +
+the time-range condition bound how long either side's rows stay in state.
+Spark derives the state retention from the condition itself: a click can
+only match purchases up to ``window`` later, so clicks older than
+(watermark − window) are evicted, keeping state O(active window), not
+O(stream length).
+
+One shuffle per side (hash on user_id); the range predicate is evaluated
+within co-partitioned state.
+
+Batch twin for validation: the same join on static frames (Spark planners
+share the semantics; only state management differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["attribution_join", "attribution_join_batch"]
+
+WATERMARK = "10 minutes"
+ATTRIBUTION_WINDOW_MIN = 30
+
+
+def _sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
+
+
+def _condition():
+    return (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        )
+    )
+
+
+_OUT_COLS = ["c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"]
+
+
+def attribution_join(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming click→purchase attribution. ``events`` is a *streaming*
+    (ts, user_id, event_id, event_type, value) frame; both derived sides
+    carry the watermark, and the time-range condition bounds state."""
+    clicks, purchases = _sides(events)
+    return (
+        clicks.withWatermark("click_ts", watermark)
+        .join(purchases.withWatermark("purchase_ts", watermark), _condition(), "inner")
+        .select(*_OUT_COLS)
+    )
+
+
+def attribution_join_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: identical condition on static frames."""
+    clicks, purchases = _sides(events)
+    return clicks.join(purchases, _condition(), "inner").select(*_OUT_COLS)
