@@ -128,3 +128,26 @@ def test_salt_spreads_hot_key(spark, sf_dir):
         .count()
     )
     assert salts >= n_salts // 2, salts
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Writing a fact table partitioned by a coarse time key (year) makes
+    year-filtered scans read only matching directories: the filter must
+    appear as a PartitionFilter (metadata-level pruning, zero data read
+    from other years), not just a row-level PushedFilter."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_year")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).parquet(path)
+
+    filtered = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet") :]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_year" in pf, pf
+    # and the pruned read returns exactly the year's rows
+    want = orders.filter(F.year("o_orderdate") == 1995).count()
+    assert filtered.count() == want
