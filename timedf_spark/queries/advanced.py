@@ -134,6 +134,36 @@ SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
 FROM lineitem GROUP BY l_returnflag
 """
 
+
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95 per group in one aggregation pass (the full
+    D7 quantile policy, not just the median). l_quantity is integral, so
+    linear interpolation hits exact .0/.25/.5/.75 grid values in both
+    engines. At 100 TB swap for approx_percentile (t-digest sketch,
+    single-pass, mergeable) — the query shape is unchanged."""
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_quantity, {v})").alias(n)
+                for n, v in qs.items()
+            ]
+        )
+    )
+
+
+QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---- group-last / argmax (D8) ---------------------------------------------
 
 
@@ -256,6 +286,9 @@ SUITE = {
     "repeat_customers": QuerySpec("repeat_customers", repeat_customers, REPEAT_ORACLE, "INTERSECT (G4)"),
     "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
     "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),
+    "quantile_profile": QuerySpec(
+        "quantile_profile", quantile_profile, QUANTILE_ORACLE, "exact multi-quantile profile (D7)"
+    ),
     "latest_order_per_customer": QuerySpec(
         "latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_ORACLE, "argmax / group-last (D8)"
     ),
