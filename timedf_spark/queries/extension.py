@@ -168,6 +168,46 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+
+# ---- string-function depth (H11): opening-word profile per language -------
+#
+# regexp_extract + lower + nested aggregation (count per word, then argmax
+# per language). Regex kept to the Java/RE2-shared subset.
+
+_FIRST_WORD_SQL = """
+WITH words AS (
+  SELECT lang, lower(regexp_extract(text, '^[A-Za-z]+', 0)) AS w FROM documents
+),
+counts AS (
+  SELECT lang, w, count(*) AS n FROM words WHERE w <> '' GROUP BY lang, w
+)
+SELECT lang,
+       max_by(w, concat(lpad(cast(n as string), 12, '0'), w)) AS top_word,
+       max(n) AS top_count
+FROM counts GROUP BY lang
+"""
+
+_FIRST_WORD_ORACLE = """
+WITH words AS (
+  SELECT lang, lower(regexp_extract(text, '^[A-Za-z]+', 0)) AS w FROM documents
+),
+counts AS (
+  SELECT lang, w, count(*) AS n FROM words WHERE w <> '' GROUP BY lang, w
+)
+SELECT lang,
+       arg_max(w, concat(lpad(cast(n as varchar), 12, '0'), w)) AS top_word,
+       max(n) AS top_count
+FROM counts GROUP BY lang
+"""
+
+
+def _top_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common opening word per language; ties broken by the larger
+    word (count zero-padded into a sortable composite key, the same
+    construction as latest_order_per_customer)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_FIRST_WORD_SQL)
+
 SUITE = {
     "text_stats": QuerySpec(
         "text_stats", _text_stats, text_stats_sql(),
@@ -228,6 +268,10 @@ SUITE = {
     "sessionize": QuerySpec(
         "sessionize", _sessionize, sessionize.SESSIONIZE_SQL,
         "gap-based sessionization via windows (E gap)",
+    ),
+    "top_first_word": QuerySpec(
+        "top_first_word", _top_first_word, _FIRST_WORD_ORACLE,
+        "regexp_extract + nested agg + argmax (H11 depth)",
     ),
     "multimodal_features": QuerySpec(
         "multimodal_features", _multimodal_features, None,  # Python float math
