@@ -226,3 +226,18 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir):
     }
     assert len(want) > 0, "fixture yields no click->purchase pairs"
     assert got == want
+
+
+def test_resize_images_plumbing(media):
+    """Resize through mapInPandas: every output payload has exactly
+    width*height bytes, ids are preserved, and strict mode raises where a
+    real codec would plug in."""
+    out = multimodal.resize_images(media, width=8, height=4).collect()
+    assert {r["media_id"] for r in out} == {
+        r["media_id"] for r in media.select("media_id").collect()
+    }
+    for r in out:
+        assert len(r["payload"]) == 8 * 4
+        assert (r["width"], r["height"]) == (8, 4)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(b"xx", 8, 4, strict=True)

@@ -41,6 +41,8 @@ __all__ = [
     "decode_stub",
     "extract_image_features",
     "sample_frames",
+    "resize_images",
+    "resize_stub",
 ]
 
 # media row: payload + metadata struct (what a real ingest would carry)
@@ -147,3 +149,66 @@ def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int, strict: bool = False) -> bytes:
+    """Where a real resampler goes (PIL.Image.resize / ffmpeg scale).
+    The deterministic fake truncates/pads the byte stream to width*height
+    so output size tracks the requested dims — enough to exercise schema,
+    batching and memory behavior without a codec."""
+    if strict:
+        raise NotImplementedError(
+            "image resize requires a codec library (e.g. PIL) — not "
+            "available in this environment"
+        )
+    n = max(width, 0) * max(height, 0)
+    data = payload or b""
+    return data[:n] if len(data) >= n else data + b"\x00" * (n - len(data))
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Batch image resize over binary payloads via mapInPandas.
+
+    Same scale contract as extract_image_features: Arrow-batched payload
+    iteration, per-task memory bounded by the batch cap (set LOW — resize
+    holds input AND output buffers per row), output payload replaces input
+    so downstream stages never carry both."""
+    rs = resize or resize_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": [rs(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    spark = media.sparkSession
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        return media.select("media_id", "payload").mapInPandas(
+            run, schema=RESIZED_SCHEMA
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
