@@ -9,11 +9,14 @@ strategies at runtime, so the executed plan is the honest artifact).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from timedf_spark.queries import all_queries
 
-SF_SMALL = "/root/testdata/sf0.001"
+# honor the same override every other test module gets via conftest
+SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _executed_plan(spark, name: str) -> str:

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.skew import salted_join
+from timedf_spark.operators.skew import salt_col, salted_join
 from timedf_spark.sources import load_table
 from timedf_spark.sources.bucketing import bucketed_join, write_bucketed
 
@@ -118,10 +118,7 @@ def test_salt_spreads_hot_key(spark, sf_dir):
     )
     n_salts = 8
     salts = (
-        hot.withColumn(
-            "_salt",
-            F.abs(F.xxhash64(*[F.col(c) for c in hot.columns])) % n_salts,
-        )
+        hot.withColumn("_salt", salt_col(hot, n_salts))
         .filter(F.col("o_custkey") == 1)
         .select("_salt")
         .distinct()

@@ -160,12 +160,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard.
 
-    Signature: minhash_i = min over shingles of md5(i || ':' || shingle) —
-    md5 hex compares lexicographically and identically in any engine.
-    Banding: rows/band consecutive hashes concatenated and re-hashed; a
-    pair is a candidate iff some band matches exactly (equi-join on
-    (band_idx, band_key) — THIS is what makes it linear at 100 TB: no
-    pairwise comparisons outside hash buckets).
+    Signature: minhash_s = min over shingles of (a_s·h + b_s) mod (2^31−1),
+    where h is a 28-bit integer from one md5 prefix per shingle — a
+    universal-hash family whose int64 arithmetic is exact and identical in
+    any engine (one md5 per shingle, not one per slot).
+    Banding: rows/band consecutive signature slots concatenated and
+    re-hashed; a pair is a candidate iff some band matches exactly
+    (equi-join on (band_idx, band_key) — THIS is what makes it linear at
+    100 TB: no pairwise comparisons outside hash buckets).
     Verification: exact Jaccard on the candidates only.
     """
     rows_per_band = n_hashes // bands

@@ -108,13 +108,15 @@ def decode_stub(payload: bytes, strict: bool = False) -> dict:
 def extract_image_features(
     media: DataFrame,
     decode: Callable[[bytes], dict] | None = None,
-    batch_size: int = 256,
 ) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow).
 
     The UDF sees an iterator of pandas batches — constant memory per task
-    regardless of table size; ``batch_size`` caps rows per Arrow batch so
-    multi-MB payloads don't balloon a batch.
+    regardless of table size. Rows per Arrow batch follow the session conf
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; for multi-MB payloads
+    set it LOW (e.g. 64) on the session *before building the plan* — the
+    conf is read at execution time, so a set/restore bracket around this
+    (lazy) call would restore it before any task runs.
     """
     dec = decode or decode_stub
 
@@ -125,16 +127,9 @@ def extract_image_features(
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    spark = media.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    try:
-        return media.select("media_id", "payload").mapInPandas(
-            run, schema=IMAGE_FEATURES_SCHEMA
-        )
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 10) -> DataFrame:
@@ -181,14 +176,14 @@ def resize_images(
     width: int = 64,
     height: int = 64,
     resize: Callable[[bytes, int, int], bytes] | None = None,
-    batch_size: int = 64,
 ) -> DataFrame:
     """Batch image resize over binary payloads via mapInPandas.
 
-    Same scale contract as extract_image_features: Arrow-batched payload
-    iteration, per-task memory bounded by the batch cap (set LOW — resize
-    holds input AND output buffers per row), output payload replaces input
-    so downstream stages never carry both."""
+    Same scale contract (and same Arrow batch-sizing caveat) as
+    extract_image_features — resize additionally holds input AND output
+    buffers per row, so the session's maxRecordsPerBatch matters twice
+    over. Output payload replaces input so downstream stages never carry
+    both."""
     rs = resize or resize_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,13 +197,6 @@ def resize_images(
                 }
             )
 
-    spark = media.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    try:
-        return media.select("media_id", "payload").mapInPandas(
-            run, schema=RESIZED_SCHEMA
-        )
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

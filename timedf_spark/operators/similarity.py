@@ -128,7 +128,12 @@ def _buckets_pandas_udf(tables: list[list[list[float]]]):
 
 
 def _pair_cosine_udf():
-    """Row-wise cosine of two array columns, Arrow-vectorized."""
+    """Row-wise cosine of two array columns, Arrow-vectorized.
+
+    Zero-norm vectors yield NULL (not NaN): Spark sorts NaN *above* every
+    double, so a NaN cosine would steal rank 1 under orderBy(desc) — NULLs
+    sort last, matching the HOF cosine_similarity the exact baseline uses.
+    """
 
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -137,8 +142,11 @@ def _pair_cosine_udf():
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         with np.errstate(invalid="ignore", divide="ignore"):
-            out = np.where(den > 0, num / den, np.nan)
-        return pd.Series(out)
+            out = np.where(den > 0, num / den, 0.0)
+        # nullable Float64 so masked entries cross Arrow as NULL, not NaN
+        res = pd.array(out, dtype="Float64")
+        res[den <= 0] = pd.NA
+        return pd.Series(res)
 
     return cos
 

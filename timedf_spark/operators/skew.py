@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "salt_col"]
+
+
+def salt_col(df: DataFrame, n_salts: int, salt_source: str | None = None) -> F.Column:
+    """Deterministic per-row salt in [0, n_salts). pmod, not abs(...)%n:
+    abs(Long.MIN_VALUE) stays negative in Spark, and a negative salt would
+    match no replicated salt value — silently dropping the row."""
+    if salt_source is not None:
+        return F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
 def salted_join(
@@ -39,13 +48,7 @@ def salted_join(
     salt_source: column whose per-row hash drives the salt; defaults to
     every column of ``large`` (fully deterministic, no rand()).
     """
-    if salt_source is not None:
-        salt = (F.abs(F.xxhash64(salt_source)) % n_salts).alias("_salt")
-    else:
-        salt = (F.abs(F.xxhash64(*[F.col(c) for c in large.columns])) % n_salts).alias(
-            "_salt"
-        )
-    salted_large = large.withColumn("_salt", salt)
+    salted_large = large.withColumn("_salt", salt_col(large, n_salts, salt_source))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

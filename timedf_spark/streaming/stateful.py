@@ -98,8 +98,11 @@ def _sessionize_group(
 
     rows: list[dict[str, Any]] = []
     for pdf in pdfs:
-        rows.extend(pdf[["ts", "event_type", "value"]].to_dict("records"))
-    rows.sort(key=lambda r: r["ts"])
+        rows.extend(pdf[["ts", "event_id", "event_type", "value"]].to_dict("records"))
+    # (ts, event_id) — the same total order as the batch twin's
+    # min_by/max_by struct key, so same-timestamp events resolve
+    # identically in both paths
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
 
     cur: tuple | None = tuple(state.get) if state.exists else None
     for r in rows:
@@ -124,8 +127,9 @@ def _sessionize_group(
 
 def stateful_sessionize(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Order-dependent sessionization over a *streaming* (ts, user_id,
-    event_type, value) frame. One shuffle (groupBy user_id); state is one
-    open session per active user."""
+    event_id, event_type, value) frame — event_id is required as the
+    deterministic tie-break for same-timestamp events. One shuffle
+    (groupBy user_id); state is one open session per active user."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
