@@ -372,6 +372,48 @@ FROM cand WHERE cos >= {threshold}
 # ---- IVF (inverted-file) ANN ----------------------------------------------
 
 
+def _kmeans_centroids(
+    emb: DataFrame, n_cells: int, sample_rows: int = 4096, iters: int = 5, seed: int = 17
+) -> np.ndarray:
+    """Spherical k-means on a deterministic corpus sample (driver-side).
+
+    Scale posture: the sample is a bounded `limit` over a hash-ordered scan
+    (deterministic, no full sort), Lloyd iterations run on the driver over
+    ≤ sample_rows × dim floats — independent of corpus size. At 100 TB the
+    same code holds: sampling cost is one scan, training cost is constant.
+    Empty cells are re-seeded from the lowest-assignment-count points so
+    every inverted list stays non-degenerate.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in emb.select("embedding")
+            .orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+            .limit(sample_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+            else:  # re-seed dead cell with the point farthest from its centroid
+                far = (sims.max(axis=1)).argmin()
+                cents[c] = sample[far]
+    return cents
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -385,9 +427,10 @@ def ivf_topk(
     cosine re-rank inside probed cells.
 
     The classic FAISS-style scale structure on Spark primitives:
-    - centroids: deterministic (the first ``n_cells`` vectors by vec_id —
-      a k-means refinement is a drop-in replacement; collected once,
-      shipped as literal arrays, so assignment is a single scan with zero
+    - centroids: spherical k-means over a deterministic bounded sample
+      (``_kmeans_centroids`` — driver-side Lloyd, cost independent of
+      corpus size; collected once, shipped to the assignment UDF as a
+      broadcast-closure matrix, so assignment is a single scan with zero
       shuffle);
     - cell assignment: argmax of cosine against every centroid via
       higher-order functions (JVM-side, codegen'd);
@@ -403,14 +446,7 @@ def ivf_topk(
     driver records a rows-only check.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.filter(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    cmat = np.array([vec for _, vec in sorted(cents)], dtype=np.float64)
-    cmat_normed = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat_normed = _kmeans_centroids(emb, n_cells)
 
     @F.pandas_udf("array<double>")
     def cell_cos_udf(emb_s: pd.Series) -> pd.Series:
