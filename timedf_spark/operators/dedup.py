@@ -6,9 +6,11 @@ Four tiers, each the idiomatic Spark expression of a published technique:
                           digest, arbitrarily wide scale-out. (The digest,
                           not the text, is the shuffle key: 16 bytes/row.)
 2. ngram_jaccard_pairs  — exact word-shingle Jaccard via inverted-index
-                          self-join: explode shingles → join on shingle →
-                          per-pair intersection counts. Quadratic in docs
-                          per shingle; correct baseline + oracle for the
+                          self-join: explode shingles → pre-hash each to a
+                          60-bit md5-prefix int (8-byte, engine-identical
+                          join keys) → join on the hash → per-pair
+                          intersection counts. Quadratic in docs per
+                          shingle; correct baseline + oracle for the
                           approximate tiers.
 3. minhash_lsh_pairs    — MinHash signatures + LSH banding (Broder '97 /
                           MMDS ch.3): per-doc signature is a small agg;
@@ -68,6 +70,12 @@ FROM documents GROUP BY md5(text)
 _K = 4  # word-shingle width
 _JACCARD_THRESHOLD = 0.2
 
+# Shingle → 60-bit int from the md5 hex prefix: stays under 2^63 so the
+# conv() result is exact, and the SAME value is computable in DuckDB
+# (('0x'||substr(md5,1,15))::BIGINT) — 8-byte join keys with oracle parity.
+_HASH60_SPARK = "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+_HASH60_DUCK = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
 
 def ngram_jaccard_pairs(
     spark: SparkSession,
@@ -77,17 +85,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All near-dup pairs (a<b) with shingle-set Jaccard ≥ threshold.
 
-    Plan shape: explode distinct shingles (flatMap, no shuffle) → self
-    equi-join on shingle (one shuffle each side) → count common per pair
-    (one shuffle on the pair) → join per-doc set sizes (broadcast — the
-    per-doc size table is |docs| rows). The join key is the shingle string;
-    at 100 TB you'd pre-hash it to 8 bytes (xxhash64) to shrink the
-    shuffle — kept as md5-free plaintext here for oracle parity.
+    Plan shape: explode distinct shingles (flatMap, no shuffle) → pre-hash
+    each shingle to a 60-bit md5-prefix int (8-byte shuffle key, identical
+    in both engines, so the oracle still matches exactly) → self equi-join
+    on the hash (one shuffle each side) → count common per pair (one
+    shuffle on the pair) → join per-doc set sizes (broadcast — the per-doc
+    size table is |docs| rows). Shuffling 8-byte ints instead of k-word
+    strings is what keeps the exchange volume sane at 100 TB; a 60-bit
+    collision needs ~2^30 distinct shingles per joined pair to matter.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
-    )
+        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
+    ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
     sh = sh.cache()  # reused by both join sides + sizes (same as minhash)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -110,8 +120,11 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_sql(k: int = _K, threshold: float = _JACCARD_THRESHOLD) -> str:
     sh = shingle_expr_duckdb("text", k)
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
+WITH shs AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+),
+sh AS (
+  SELECT doc_id, {_HASH60_DUCK} AS sh FROM shs
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -173,17 +186,18 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("sh")
-    )
+        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
+    ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
     sh = sh.cache()  # reused: signatures + sizes + verification
     # All n_hashes minhashes as independent aggregates of ONE groupBy —
     # single shuffle, no seed×row blowup, no collect_list. The hash family
-    # is ONE md5 per shingle (engine-shared base value) + universal-hash
-    # mixing h_s = (a_s·h + b_s) mod p per signature slot — 64-bit integer
-    # arithmetic that is exact and identical in any engine, ~16× fewer md5
-    # evaluations than hashing per seed. Map-side combine reduces each
-    # partition to one row per doc before the exchange.
-    base = "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"
+    # is ONE md5 per shingle, pre-hashed to a 60-bit int at explode time
+    # (so the cache, every join, and every shuffle carry 8-byte keys, not
+    # k-word strings) + universal-hash mixing h_s = (a_s·h + b_s) mod p per
+    # signature slot, where h is the top 28 bits (div 2^32) of the 60-bit
+    # value — products stay < 2^59: exact int64 in any engine. Map-side
+    # combine reduces each partition to one row per doc before the exchange.
+    base = "(sh div 4294967296)"
     minh = sh.groupBy("doc_id").agg(
         *[
             F.expr(f"min(({a} * {base} + {b}) % {_MERSENNE_P})").alias(f"mh{s}")
@@ -249,7 +263,7 @@ def minhash_lsh_sql(
 ) -> str:
     rows_per_band = n_hashes // bands
     sh = shingle_expr_duckdb("text", k)
-    base = "(('0x' || substr(md5(sh), 1, 7))::BIGINT)"
+    base = "(sh // 4294967296)"
     minh_cols = ", ".join(
         f"min(({a} * {base} + {b}) % {_MERSENNE_P}) AS mh{s}"
         for s, (a, b) in enumerate(_hash_params(n_hashes))
@@ -261,8 +275,11 @@ def minhash_lsh_sql(
         for b in range(bands)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS sh FROM documents
+WITH shs AS (
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+),
+sh AS (
+  SELECT doc_id, {_HASH60_DUCK} AS sh FROM shs
 ),
 minh AS (
   SELECT doc_id, {minh_cols} FROM sh GROUP BY doc_id
