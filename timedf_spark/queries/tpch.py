@@ -288,6 +288,86 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT {_TOPN_UNSHIPPED}
 """
 
+# --- agg-join-back with correlated-average filter (TPC-H Q17 shape) -------
+#
+# "Lines whose quantity is below half the part's average quantity" — the
+# canonical decorrelated form: the per-part average is computed once as an
+# ordinary aggregate and equi-joined back, never evaluated per outer row.
+# Scale shape: lineitem shuffles on l_partkey once for the average; the
+# join-back hits the same partitioning so AQE reuses the exchange; part is
+# a broadcast dimension. The threshold average uses the deterministic
+# quantized sum so the strict `<` comparison cannot flip between engines.
+
+_AVG_QTY = davg("l_quantity")
+
+
+def small_parcel_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr(_AVG_QTY).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.expr(dsum("l_extendedprice")).alias("small_revenue"),
+        )
+    )
+
+
+SMALL_PARCEL_ORACLE = f"""
+WITH pa AS (
+  SELECT l_partkey AS pk, {_AVG_QTY} AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, count(*) AS n_small, {dsum('l_extendedprice')} AS small_revenue
+FROM lineitem l
+JOIN pa ON pa.pk = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+GROUP BY p_brand
+"""
+
+# --- left-outer join + two-level aggregation (TPC-H Q13 shape) ------------
+#
+# Distribution of customers by order count, zero-order customers included.
+# Spark side uses the partial-agg-pushdown form: orders collapse to one row
+# per custkey BEFORE the join (the shuffle carries |customers| rows, not
+# |orders|), then a left join preserves order-less customers. The oracle is
+# the plain LEFT JOIN + count(o_orderkey) form — same result by definition
+# of count-of-nonnull.
+
+
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORDER_HISTOGRAM_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+"""
+
 SUITE = {
     "pricing_summary": QuerySpec(
         "pricing_summary", pricing_summary, PRICING_SUMMARY_ORACLE,
@@ -328,5 +408,13 @@ SUITE = {
     "event_type_pivot": QuerySpec(
         "event_type_pivot", event_type_pivot, EVENT_PIVOT_ORACLE,
         "long→wide pivot (D14)",
+    ),
+    "small_parcel_revenue": QuerySpec(
+        "small_parcel_revenue", small_parcel_revenue, SMALL_PARCEL_ORACLE,
+        "decorrelated agg-join-back with average-threshold filter (TPC-H Q17 shape)",
+    ),
+    "order_count_histogram": QuerySpec(
+        "order_count_histogram", order_count_histogram, ORDER_HISTOGRAM_ORACLE,
+        "left-outer join + two-level aggregation (TPC-H Q13 shape)",
     ),
 }
