@@ -152,3 +152,40 @@ def test_cosine_dedup_pairs_exact_over_blocks(spark, sf_dir):
             math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
         )
         assert abs(cos - r["cos_q"]) < 1e-4
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation fixpoint == classic union-find on a seeded
+    random graph (cycles, chains, singletons all present)."""
+    import random
+
+    from timedf_spark.operators.cluster import connected_components
+
+    rng = random.Random(99)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    # reference: union-find with path compression
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical component id = min vertex in component
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {(v, comp_min[find(v)]) for v in range(n)}
+
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["vertex"], r["component"])
+        for r in connected_components(vdf, edf).collect()
+    }
+    assert got == expected

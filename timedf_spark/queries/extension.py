@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedf_spark.functions.deterministic import davg
-from timedf_spark.operators import dedup, sessionize, similarity
+from timedf_spark.operators import cluster, dedup, sessionize, similarity
 from timedf_spark.operators.text import (
     fingerprint_sql,
     lang_guess_sql,
@@ -69,6 +69,27 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(spark, sf_dir)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → canonical clusters: connected components over the exact
+    Jaccard near-dup graph (iterative min-label propagation; the cluster id
+    is the component's minimum doc_id). Singleton docs keep themselves."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster.connected_components(docs, edges).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = (
+    "SELECT vertex AS doc_id, component AS cluster_id FROM ("
+    + cluster.connected_components_sql(
+        "SELECT doc_id AS v FROM documents",
+        "SELECT doc_a AS src, doc_b AS dst FROM (" + dedup.ngram_jaccard_sql() + ")",
+    )
+    + ")"
+)
 
 
 # ---- similarity search ----------------------------------------------------
@@ -236,6 +257,10 @@ SUITE = {
     "dedup_simhash": QuerySpec(
         "dedup_simhash", _simhash, dedup.simhash_sql(),
         "64-bit SimHash signatures + hamming bands",
+    ),
+    "dedup_clusters": QuerySpec(
+        "dedup_clusters", _dedup_clusters, DEDUP_CLUSTERS_ORACLE,
+        "near-dup pairs → canonical clusters (iterative connected components)",
     ),
     "ann_brute_topk": QuerySpec(
         "ann_brute_topk", _ann_brute, similarity.brute_force_topk_sql(),
