@@ -241,3 +241,31 @@ def test_resize_images_plumbing(media):
         assert (r["width"], r["height"]) == (8, 4)
     with pytest.raises(NotImplementedError):
         multimodal.resize_stub(b"xx", 8, 4, strict=True)
+
+
+def test_streaming_exact_dedup_drops_replayed_rows(spark, sf_dir):
+    """Replay events.parquet TWICE into the stream source (every row arrives
+    two times); watermark-bounded streaming dedup must emit exactly the
+    batch-distinct row set, once each."""
+    from timedf_spark.streaming.dedup import exact_dedup_stream
+
+    events = load_table(spark, sf_dir, "events")
+    key_cols = ("user_id", "event_type", "value", "ts")
+    expected = events.dropDuplicates(list(key_cols)).count()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        events.write.parquet(src)
+        events.write.mode("append").parquet(src)  # second copy = duplicates
+        assert spark.read.parquet(src).count() == 2 * events.count()
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        deduped = exact_dedup_stream(stream, key_cols=key_cols)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select count(*) as n from dedup_stream_test").first()["n"]
+        assert got == expected
