@@ -39,6 +39,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_sql",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_df",
     "ngram_jaccard_sql",
     "minhash_lsh_pairs",
     "minhash_lsh_sql",
@@ -94,7 +95,17 @@ def ngram_jaccard_pairs(
     strings is what keeps the exchange volume sane at 100 TB; a 60-bit
     collision needs ~2^30 distinct shingles per joined pair to matter.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_df(
+        load_table(spark, sf_dir, "documents"), k=k, threshold=threshold
+    )
+
+
+def ngram_jaccard_pairs_df(
+    docs: DataFrame, k: int = _K, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """Core of ngram_jaccard_pairs over any (doc_id, text) frame — used
+    directly by composite pipelines (e.g. curate_corpus) that dedup a
+    filtered subset rather than the raw table."""
     sh = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
     ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
@@ -117,11 +128,14 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
-def ngram_jaccard_sql(k: int = _K, threshold: float = _JACCARD_THRESHOLD) -> str:
+def ngram_jaccard_sql(
+    k: int = _K, threshold: float = _JACCARD_THRESHOLD, src: str = "documents"
+) -> str:
+    """DuckDB oracle; ``src`` may be any table/CTE name with (doc_id, text)."""
     sh = shingle_expr_duckdb("text", k)
     return f"""
 WITH shs AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM {src}
 ),
 sh AS (
   SELECT doc_id, {_HASH60_DUCK} AS sh FROM shs

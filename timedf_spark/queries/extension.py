@@ -92,6 +92,79 @@ DEDUP_CLUSTERS_ORACLE = (
 )
 
 
+# ---- corpus curation: the end-to-end pipeline -----------------------------
+
+_CURATE_QUALITY_MIN = 0.5
+
+
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite op a training-data pipeline actually runs, end to end:
+
+        quality-score → filter → exact dedup (md5 keeper) →
+        near-dup clusters (Jaccard pairs → connected components) →
+        keep one representative per cluster
+
+    Output: surviving doc_id with its token count and quality score.
+
+    Scale shape: scoring+filter is one codegen'd scan (shrinks everything
+    downstream — the cheapest stage runs first); exact dedup shuffles
+    16-byte digests; the near-dup tiers then see only quality-passing,
+    exact-unique survivors. Each stage is the already-audited operator —
+    composition adds no new shuffle beyond the keeper joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs).select("doc_id", "text", "n_tokens", "quality_score")
+    q = scored.filter(F.col("quality_score") >= _CURATE_QUALITY_MIN)
+    keep_exact = (
+        q.groupBy(F.expr("md5(text)").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    qx = q.join(keep_exact, "doc_id").cache()
+    pairs = dedup.ngram_jaccard_pairs_df(qx.select("doc_id", "text")).select("doc_a", "doc_b")
+    comp = cluster.connected_components(qx.select("doc_id"), pairs)
+    keepers = comp.filter(F.col("vertex") == F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    return qx.join(keepers, "doc_id").select("doc_id", "n_tokens", "quality_score")
+
+
+def _curate_corpus_oracle() -> str:
+    from timedf_spark.operators import text as _text
+
+    toks = "string_split(text, ' ')"
+    stats = (
+        "SELECT doc_id, text, "
+        f"cast(len({toks}) as bigint) AS n_tokens, "
+        f"cast(len(list_distinct({toks})) as bigint) AS n_uniq_tokens, "
+        f"cast(len(list_filter({toks}, w -> w in ({_text._sql_list(_text.STOPWORDS)}))) as bigint) AS n_stop "
+        "FROM documents"
+    )
+    pairs_sql = dedup.ngram_jaccard_sql(src="qx")
+    return f"""
+WITH RECURSIVE
+stats AS ({stats}),
+scored AS (SELECT doc_id, text, n_tokens, {_text._QUALITY} AS quality_score FROM stats),
+q AS (SELECT * FROM scored WHERE quality_score >= 5e-1),
+ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+qx AS (SELECT q.* FROM q JOIN ex ON ex.doc_id = q.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(v, lbl) AS (
+  SELECT doc_id, doc_id FROM qx
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
+),
+comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY v)
+SELECT qx.doc_id, qx.n_tokens, qx.quality_score
+FROM qx JOIN comp ON comp.doc_id = qx.doc_id AND comp.cluster_id = qx.doc_id
+"""
+
+
 # ---- similarity search ----------------------------------------------------
 
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +334,10 @@ SUITE = {
     "dedup_clusters": QuerySpec(
         "dedup_clusters", _dedup_clusters, DEDUP_CLUSTERS_ORACLE,
         "near-dup pairs → canonical clusters (iterative connected components)",
+    ),
+    "curate_corpus": QuerySpec(
+        "curate_corpus", _curate_corpus, _curate_corpus_oracle(),
+        "end-to-end curation: quality filter → exact dedup → near-dup clusters → keepers",
     ),
     "ann_brute_topk": QuerySpec(
         "ann_brute_topk", _ann_brute, similarity.brute_force_topk_sql(),
