@@ -44,3 +44,19 @@ def test_approx_cardinalities_within_tolerance(spark, sf_dir):
     for col in ["n_status", "n_priority", "n_custkey"]:
         a, e = approx[col], exact[col]
         assert abs(a - e) <= max(1, 0.05 * e), (col, a, e)
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    """approx_percentile at accuracy=10000 must land within 2% relative of
+    the exact per-group percentiles (sketches are engine-specific, so no
+    equality oracle — same precedent as approx_cardinalities)."""
+    from timedf_spark.queries import all_queries
+
+    qs = all_queries()
+    exact = {r["l_returnflag"]: r for r in qs["quantile_profile"].fn(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in qs["approx_quantile_profile"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for p in ["p25", "p50", "p75", "p95"]:
+            assert abs(a[p] - e[p]) <= max(1.0, 0.02 * abs(e[p])), (flag, p, a[p], e[p])

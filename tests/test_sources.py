@@ -130,3 +130,39 @@ def test_one_hot_parity(spark, sf_dir):
     ).first()
     assert row[0] == 0
     assert row[1] == orders.count()
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """documents → JSONL (gzip) → read_jsonl with explicit schema ==
+    original rows; corrupt lines surface per-row, not as job failure."""
+    import gzip
+    import json as json_mod
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from timedf_spark.sources import load_table
+    from timedf_spark.sources.readers import read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rows = [r.asDict() for r in docs.collect()]
+    path = os.path.join(str(tmp_path), "docs.jsonl.gz")
+    with gzip.open(path, "wt") as f:
+        for r in rows:
+            f.write(json_mod.dumps(r) + "\n")
+        f.write("{this is not json\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema).cache()
+    good = back.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+    assert good.count() == len(rows)
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 1
+    orig = {(r["doc_id"], r["lang"], r["text"]) for r in rows}
+    got = {(r["doc_id"], r["lang"], r["text"]) for r in good.collect()}
+    assert got == orig

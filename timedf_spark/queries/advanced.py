@@ -164,6 +164,27 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of quantile_profile: approx_percentile's sketch
+    (GK-style, error ≤ 1/accuracy rank fraction) is single-pass and
+    MERGEABLE — partial sketches combine map-side, so the shuffle carries
+    one sketch per group per partition, never the values. Sketch output is
+    engine-specific by construction → rows-only driver check + tolerance
+    test against the exact profile (same precedent as
+    approx_cardinalities)."""
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"approx_percentile(l_quantity, {v}, 10000)").alias(n)
+                for n, v in qs.items()
+            ]
+        )
+    )
+
+
 # ---- group-last / argmax (D8) ---------------------------------------------
 
 
@@ -286,6 +307,10 @@ SUITE = {
     "repeat_customers": QuerySpec("repeat_customers", repeat_customers, REPEAT_ORACLE, "INTERSECT (G4)"),
     "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
     "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),
+    "approx_quantile_profile": QuerySpec(
+        "approx_quantile_profile", approx_quantile_profile, None,  # sketch-dependent
+        "mergeable-sketch percentiles (D7 at scale)",
+    ),
     "quantile_profile": QuerySpec(
         "quantile_profile", quantile_profile, QUANTILE_ORACLE, "exact multi-quantile profile (D7)"
     ),
