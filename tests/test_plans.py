@@ -126,3 +126,36 @@ def test_no_query_reads_all_columns(spark, name):
     for seg in plan.split("ReadSchema:")[1:]:
         schema_line = seg.splitlines()[0]
         assert "comment" not in schema_line, (name, schema_line)
+
+
+def test_q17_shape_aggregates_before_join_back(spark):
+    """small_parcel_revenue must decorrelate: the per-part average is ONE
+    aggregation whose (small) result joins back — part is broadcast, and
+    no cartesian/nested-loop appears anywhere."""
+    plan = _executed_plan(spark, "small_parcel_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan  # part dimension
+
+
+def test_q13_shape_preaggregates_below_left_join(spark):
+    """order_count_histogram's orders-side aggregation must happen BEFORE
+    the left join (partial-agg pushdown: the join input is one row per
+    customer, not one per order). In plan terms: the HashAggregate on
+    o_custkey appears under the join, so the exchange on orders carries
+    aggregated rows."""
+    plan = _formatted(spark, "order_count_histogram")
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    join_line = next(i for i, l in enumerate(tree.splitlines()) if "LeftOuter" in l)
+    below_join = tree.splitlines()[join_line + 1 :]
+    assert any("HashAggregate" in l for l in below_join), (
+        "orders pre-agg missing below the join:\n" + tree
+    )
+
+
+def test_connected_components_round_is_linear(spark):
+    """One propagation round of dedup_clusters must stay equi-join +
+    hash-agg — no cartesian/nested-loop blowup on the edge list."""
+    plan = _executed_plan(spark, "dedup_clusters")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
