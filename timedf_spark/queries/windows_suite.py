@@ -116,6 +116,61 @@ FROM seq
 """
 
 
+# ---- time-series resample with gap filling --------------------------------
+#
+# Downsample the events stream to an hourly grid per event_type, emitting
+# ZERO rows for silent hours — the op every monitoring/feature pipeline
+# needs and plain GROUP BY cannot produce (it has no row to group). The
+# dense grid comes from sequence()+explode on each series' [min,max] span:
+# grid generation is a per-series projection (no shuffle, |series| ×
+# span/step rows), and the fill is a left join back to the hourly
+# aggregate on (series, bucket) — hash-partitioned, linear. value_sum uses
+# the deterministic quantized sum; fill literals are 0 / 0e0 doubles,
+# identical in both engines.
+
+from timedf_spark.functions.deterministic import dsum as _dsum
+
+_VAL_SUM = _dsum("value")
+
+
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_events"), F.expr(_VAL_SUM).alias("value_sum")
+    )
+    spans = agg.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    return grid.join(agg, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+    )
+
+
+RESAMPLE_ORACLE = f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n_events, {_VAL_SUM} AS value_sum
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM agg GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans
+)
+SELECT g.event_type, g.h AS hour_ts,
+       cast(coalesce(a.n_events, 0) as bigint) AS n_events,
+       coalesce(a.value_sum, 0e0) AS value_sum
+FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
+"""
+
 SUITE = {
     "rolling_revenue": QuerySpec(
         "rolling_revenue", rolling_revenue, ROLLING_ORACLE, "7-day rolling revenue via RANGE frame (E)"
@@ -125,5 +180,9 @@ SUITE = {
     ),
     "order_gaps": QuerySpec(
         "order_gaps", order_gaps, LAG_ORACLE, "lag-based day gaps between orders (E)"
+    ),
+    "resample_hourly": QuerySpec(
+        "resample_hourly", resample_hourly, RESAMPLE_ORACLE,
+        "hourly downsample with zero-filled gaps (dense grid via sequence+explode)",
     ),
 }
