@@ -92,6 +92,95 @@ DEDUP_CLUSTERS_ORACLE = (
 )
 
 
+# ---- deterministic corpus mixing ------------------------------------------
+
+# Per-language keep rates (percent). Reproducible corpus mixing must not
+# use engine RNG: the keep/drop decision is a pure function of the row
+# (md5 of the doc id), so ANY engine — and any re-run, at any parallelism —
+# selects the identical subset. This is how production corpus mixes stay
+# stable across pipeline versions. Rebalances the language mix:
+# downsample dominant English, keep mid-resource, trim zh harder.
+_MIX_RATES = {"en": 60, "de": 90, "es": 90, "fr": 90, "zh": 40}
+
+_MIX_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+_MIX_HASH_DUCK = "(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT)"
+_MIX_CASE = "case " + " ".join(f"when lang = '{l}' then {r}" for l, r in _MIX_RATES.items()) + " else 100 end"
+
+
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold sampling: keep doc iff h(doc_id) mod 100 < rate(lang).
+    One codegen'd scan, no shuffle, no RNG — the sample is a deterministic
+    property of the data, reproducible at any scale/parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", F.expr(f"{_MIX_HASH} % 100"))
+        .filter(F.expr(f"bucket < {_MIX_CASE}"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+CORPUS_MIX_ORACLE = f"""
+SELECT doc_id, lang, source, {_MIX_HASH_DUCK} % 100 AS bucket
+FROM documents
+WHERE {_MIX_HASH_DUCK} % 100 < ({_MIX_CASE})
+"""
+
+# ---- token-budget packing -------------------------------------------------
+
+_TOKEN_BUDGET = 5000  # per language
+
+
+def _token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents per language until a token
+    budget fills: window cumulative sum over (quality desc, doc_id) order,
+    keep rows whose running total stays within budget. One shuffle on the
+    partition key; the cumsum is exact integer arithmetic, and the ordering
+    key (quality_score) is the same IEEE double in both engines, so the
+    selected set is engine-exact."""
+    from pyspark.sql.window import Window
+
+    scored = with_text_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens", "quality_score")
+    )
+
+
+def _token_budget_oracle() -> str:
+    from timedf_spark.operators import text as _text
+
+    toks = "string_split(text, ' ')"
+    stats = (
+        "SELECT doc_id, lang, "
+        f"cast(len({toks}) as bigint) AS n_tokens, "
+        f"cast(len(list_distinct({toks})) as bigint) AS n_uniq_tokens, "
+        f"cast(len(list_filter({toks}, w -> w in ({_text._sql_list(_text.STOPWORDS)}))) as bigint) AS n_stop "
+        "FROM documents"
+    )
+    return f"""
+WITH stats AS ({stats}),
+scored AS (SELECT doc_id, lang, n_tokens, {_text._QUALITY} AS quality_score FROM stats),
+packed AS (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, cum_tokens, quality_score
+FROM packed WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
 # ---- corpus curation: the end-to-end pipeline -----------------------------
 
 _CURATE_QUALITY_MIN = 0.5
@@ -338,6 +427,14 @@ SUITE = {
     "curate_corpus": QuerySpec(
         "curate_corpus", _curate_corpus, _curate_corpus_oracle(),
         "end-to-end curation: quality filter → exact dedup → near-dup clusters → keepers",
+    ),
+    "corpus_mix": QuerySpec(
+        "corpus_mix", _corpus_mix, CORPUS_MIX_ORACLE,
+        "deterministic hash-threshold corpus mixing by language rate",
+    ),
+    "token_budget_pack": QuerySpec(
+        "token_budget_pack", _token_budget_pack, _token_budget_oracle(),
+        "best-quality docs per language until a token budget (window cumsum)",
     ),
     "ann_brute_topk": QuerySpec(
         "ann_brute_topk", _ann_brute, similarity.brute_force_topk_sql(),
