@@ -115,3 +115,38 @@ def test_taxi_ml_pipeline_end_to_end(spark, sf_dir):
     pred = ml.predict_ridge(test, ["price_k", "o_day"], theta)
     rmse = pred.select(F.sqrt(F.avg((F.col("prediction") - F.col("target")) ** 2))).first()[0]
     assert math.isfinite(rmse) and rmse < 0.01
+
+
+def test_logistic_irls_matches_numpy_newton(spark):
+    """Distributed IRLS must converge to the same coefficients as a
+    driver-side numpy Newton solver on identical data (and both near the
+    true generating weights)."""
+    rng = np.random.default_rng(21)
+    n = 4000
+    x1, x2 = rng.normal(size=n), rng.normal(size=n)
+    eta = 1.2 * x1 - 2.0 * x2 + 0.5
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+    sdf = spark.createDataFrame(pd.DataFrame({"x1": x1, "x2": x2, "y": y}))
+    theta = ml.fit_logistic(sdf, ["x1", "x2"], "y", l2=1e-6)
+
+    # numpy reference: same IRLS, same l2
+    X = np.column_stack([x1, x2, np.ones(n)])
+    b = np.zeros(3)
+    for _ in range(50):
+        p = 1.0 / (1.0 + np.exp(-X @ b))
+        w = np.maximum(p * (1 - p), 1e-10)
+        z = X @ b + (y - p) / w
+        A = X.T @ (X * w[:, None]) + 1e-6 * np.eye(3)
+        b_new = np.linalg.solve(A, X.T @ (w * z))
+        if np.max(np.abs(b_new - b)) < 1e-10:
+            b = b_new
+            break
+        b = b_new
+
+    assert theta == pytest.approx(list(b), abs=1e-6)
+    assert theta[0] == pytest.approx(1.2, abs=0.15)
+    assert theta[1] == pytest.approx(-2.0, abs=0.15)
+    # predictions calibrated: mean prob ~ base rate
+    pred = ml.predict_logistic(sdf, ["x1", "x2"], theta)
+    mean_p = pred.agg(F.avg("probability")).first()[0]
+    assert mean_p == pytest.approx(float(y.mean()), abs=0.01)

@@ -30,6 +30,8 @@ __all__ = [
     "weighted_multiclass_logloss",
     "fit_ridge",
     "predict_ridge",
+    "fit_logistic",
+    "predict_logistic",
     "fit_xgboost",
 ]
 
@@ -173,6 +175,81 @@ def predict_ridge(df: DataFrame, feature_cols: Sequence[str], theta: Sequence[fl
     for c, t in zip(feature_cols, theta[:-1]):
         expr = expr + F.col(c) * F.lit(float(t))
     return df.withColumn("prediction", expr)
+
+
+def fit_logistic(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 1e-6,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> list[float]:
+    """Distributed logistic regression by IRLS (iteratively reweighted
+    least squares / Newton's method).
+
+    Each iteration is ONE scan: the weighted moments Xᵀ W X and Xᵀ(W z)
+    (z = Xθ + (y − p)/w the working response) are d(d+1)/2 + d aggregate
+    sums with map-side combine — the same communication shape as
+    fit_ridge, repeated until the Newton step converges (typically < 10
+    rounds; each round ships O(d²) doubles to the driver, independent of
+    row count). The driver solves the (d+1)×(d+1) system per round. This
+    is the textbook distributed GLM layout (e.g. Spark MLlib's own
+    ``LogisticRegression`` aggregates per-partition gradients the same
+    way); no data ever concentrates on one node.
+    """
+    import numpy as np
+
+    cols = list(feature_cols) + ["__one"]
+    d = len(cols)
+    theta = np.zeros(d)
+    dfx = df.withColumn("__one", F.lit(1.0)).select(
+        *[F.col(c).cast("double") for c in cols], F.col(label_col).cast("double").alias("__y")
+    )
+    dfx = dfx.cache()
+    try:
+        for _ in range(max_iter):
+            eta = F.lit(float(theta[-1]))
+            for c, t in zip(cols[:-1], theta[:-1]):
+                eta = eta + F.col(c) * F.lit(float(t))
+            # p = sigmoid(eta); w = p(1-p) clipped away from 0 for stability
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            w = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-10))
+            z = eta + (F.col("__y") - p) / w
+            work = dfx.withColumn("__w", w).withColumn("__z", z)
+            aggs: list[Column] = []
+            for i, a in enumerate(cols):
+                for b in cols[i:]:
+                    aggs.append(
+                        F.sum(F.col("__w") * F.col(a) * F.col(b)).alias(f"xx_{a}__{b}")
+                    )
+                aggs.append(F.sum(F.col("__w") * F.col(a) * F.col("__z")).alias(f"xy_{a}"))
+            row = work.agg(*aggs).first()
+            xtx = np.zeros((d, d))
+            xty = np.zeros(d)
+            for i, a in enumerate(cols):
+                for j in range(i, d):
+                    v = row[f"xx_{a}__{cols[j]}"]
+                    xtx[i, j] = xtx[j, i] = v
+                xty[i] = row[f"xy_{a}"]
+            xtx += l2 * np.eye(d)
+            new_theta = np.linalg.solve(xtx, xty)
+            step = float(np.max(np.abs(new_theta - theta)))
+            theta = new_theta
+            if step < tol:
+                break
+    finally:
+        dfx.unpersist()
+    return [float(t) for t in theta]  # weights..., intercept
+
+
+def predict_logistic(
+    df: DataFrame, feature_cols: Sequence[str], theta: Sequence[float]
+) -> DataFrame:
+    eta = F.lit(float(theta[-1]))
+    for c, t in zip(feature_cols, theta[:-1]):
+        eta = eta + F.col(c) * F.lit(float(t))
+    return df.withColumn("probability", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
 
 
 def fit_xgboost(df: DataFrame, feature_cols: Sequence[str], target_col: str, **params):
