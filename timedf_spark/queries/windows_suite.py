@@ -171,6 +171,62 @@ SELECT g.event_type, g.h AS hour_ts,
 FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.h = g.h
 """
 
+# ---- funnel analysis ------------------------------------------------------
+#
+# How far does each user get through view → click → purchase (in time
+# order)? Classic product-analytics shape: per-user FIRST occurrence of
+# each stage via conditional min aggregation — one shuffle on user_id, no
+# self-joins (the naive formulation joins events to events per stage and
+# explodes at scale). A user counts for stage k iff first(view) <
+# first(click) < ... through stage k. Deterministic: timestamps compare
+# exactly; ties across stages break toward the earlier stage (strict <).
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL
+        ]
+    )
+    # stage reached = longest strictly-ordered prefix of first-occurrences
+    conds = []
+    prev = []
+    for s in _FUNNEL:
+        chain = " AND ".join(
+            f"t_{a} < t_{b}" for a, b in zip([*prev, s][:-1], [*prev, s][1:])
+        )
+        notnull = " AND ".join(f"t_{x} IS NOT NULL" for x in [*prev, s])
+        cond = f"({notnull})" + (f" AND ({chain})" if chain else "")
+        conds.append(cond)
+        prev.append(s)
+    sel = [
+        F.expr(f"count_if({c})").cast("long").alias(f"n_{s}")
+        for s, c in zip(_FUNNEL, conds)
+    ]
+    return firsts.agg(*sel)
+
+
+FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  cast(count(*) FILTER ((t_view IS NOT NULL)) as bigint) AS n_view,
+  cast(count(*) FILTER ((t_view IS NOT NULL AND t_click IS NOT NULL)
+       AND (t_view < t_click)) as bigint) AS n_click,
+  cast(count(*) FILTER ((t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL)
+       AND (t_view < t_click AND t_click < t_purchase)) as bigint) AS n_purchase
+FROM firsts
+"""
+
 SUITE = {
     "rolling_revenue": QuerySpec(
         "rolling_revenue", rolling_revenue, ROLLING_ORACLE, "7-day rolling revenue via RANGE frame (E)"
@@ -184,5 +240,9 @@ SUITE = {
     "resample_hourly": QuerySpec(
         "resample_hourly", resample_hourly, RESAMPLE_ORACLE,
         "hourly downsample with zero-filled gaps (dense grid via sequence+explode)",
+    ),
+    "funnel_counts": QuerySpec(
+        "funnel_counts", funnel_counts, FUNNEL_ORACLE,
+        "view→click→purchase funnel via conditional first-occurrence aggregation",
     ),
 }
