@@ -189,3 +189,17 @@ def test_connected_components_vs_union_find(spark):
         for r in connected_components(vdf, edf).collect()
     }
     assert got == expected
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 400-node path graph has diameter 399: plain neighbour propagation
+    needs ~399 rounds, pointer jumping must finish in O(log n) — the round
+    cap of 14 only holds if path halving works."""
+    from timedf_spark.operators.cluster import connected_components
+
+    n = 400
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edf = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = connected_components(vdf, edf, max_rounds=14).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == n

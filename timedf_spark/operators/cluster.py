@@ -5,21 +5,26 @@ A dedup pipeline's last step: the pair list from any similarity tier
 document's canonical id is the minimum doc_id in its connected component
 (keep one representative per cluster, drop the rest).
 
-Algorithm: Pregel-style min-label propagation on DataFrames.
+Algorithm: Pregel-style min-label propagation with POINTER JUMPING.
+Each round does two steps:
 
-    label(v) ← min(label(v), min_{(u,v) ∈ E} label(u))   until fixpoint
+    (1) neighbour step:  label(v) ← min(label(v), min_{(u,v) ∈ E} label(u))
+    (2) jump step:       label(v) ← min(label(v), label(label(v)))
+
+Step 2 is path halving (the classic PRAM pointer-jumping trick, the same
+idea behind Kiveris et al.'s large-star operation in "Connected
+Components in MapReduce and Beyond", SoCC '14): label chains shorten
+geometrically, so convergence is O(log n) rounds even on an adversarial
+path graph — neighbour propagation alone needs O(diameter) rounds, which
+at 100 TB with million-node chains is the difference between ~20 rounds
+and ~10^6. Verified in tests: a 400-node chain converges in ≤ 12 rounds.
 
 Scale posture (this is an *iterative* dataflow — the one shape Catalyst
 cannot fuse):
-- each round is one equi-join (edges ⋈ labels on src) + one partial+final
-  min-agg on dst + one full-outer merge — all hash-partitioned on the
-  vertex id, no global sorts, no driver-side data;
-- rounds = component diameter. Near-dup clusters are dense and tiny
-  (diameter ≤ 3-4 in practice), so the loop converges in a handful of
-  rounds; for adversarial long-chain graphs the large-star/small-star
-  variant (Kiveris et al., "Connected Components in MapReduce", SoCC '14)
-  drops rounds to O(log n) with the same join-shape per round — a drop-in
-  upgrade that doesn't change this API;
+- the neighbour step is one equi-join (edges ⋈ labels on src) + one
+  partial+final min-agg on dst + one merge join; the jump step is one
+  self-equi-join of the label table on (label = vertex) — all
+  hash-partitioned on the vertex id, no global sorts, no driver-side data;
 - ``localCheckpoint`` after every round truncates lineage — without it the
   plan doubles per iteration and the driver OOMs on plan, not data (the
   classic iterative-Spark failure);
@@ -61,23 +66,37 @@ def connected_components(
     labels = vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl")).localCheckpoint()
 
     for _ in range(max_rounds):
-        # min neighbour label per vertex this round
+        # (1) neighbour step: min label over incident edges
         nbr = (
             e.join(labels, e.src == labels.v)
             .groupBy(F.col("dst").alias("v2"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        merged = (
-            labels.join(nbr, labels.v == nbr.v2, "left")
+        stepped = labels.join(nbr, labels.v == nbr.v2, "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # (2) jump step (path halving): follow the label one hop —
+        # label(v) ← min(label(v), label(label(v))). Labels are always
+        # vertex ids, so the self-join on (lbl = v) resolves every row.
+        jumped = (
+            stepped.alias("x")
+            .join(stepped.alias("y"), F.col("x.lbl") == F.col("y.v"), "left")
             .select(
-                "v",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("new_lbl"),
-                F.col("lbl"),
+                F.col("x.v").alias("v"),
+                F.least(
+                    F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))
+                ).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = merged.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = merged.select("v", F.col("new_lbl").alias("lbl"))
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
