@@ -227,6 +227,37 @@ SELECT
 FROM firsts
 """
 
+# ---- JSON extraction (H11: semi-structured props column) ------------------
+#
+# Every row carries a JSON props string; extract the numeric field k and
+# aggregate per event type. Extraction is get_json_object — JVM-side,
+# inside whole-stage codegen, one scan (never a Python json.loads UDF).
+# k is integral, so sums are exact cross-engine without quantization.
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       count(k) AS n_with_k, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+FROM (
+  SELECT event_type, cast(json_extract(props, '$.k') as bigint) AS k FROM events
+)
+GROUP BY event_type
+"""
+
 SUITE = {
     "rolling_revenue": QuerySpec(
         "rolling_revenue", rolling_revenue, ROLLING_ORACLE, "7-day rolling revenue via RANGE frame (E)"
@@ -244,5 +275,9 @@ SUITE = {
     "funnel_counts": QuerySpec(
         "funnel_counts", funnel_counts, FUNNEL_ORACLE,
         "view→click→purchase funnel via conditional first-occurrence aggregation",
+    ),
+    "json_props_stats": QuerySpec(
+        "json_props_stats", json_props_stats, JSON_PROPS_ORACLE,
+        "JSON field extraction from the props column + per-type aggregation",
     ),
 }
