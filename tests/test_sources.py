@@ -166,3 +166,39 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     orig = {(r["doc_id"], r["lang"], r["text"]) for r in rows}
     got = {(r["doc_id"], r["lang"], r["text"]) for r in good.collect()}
     assert got == orig
+
+
+def test_safe_targz_extracts_and_blocks_traversal(tmp_path):
+    """Normal members extract; '../'-escaping members and outward links are
+    rejected before touching the filesystem (ref guard: ny_taxi_ml tar
+    extraction)."""
+    import tarfile
+
+    import pytest as _pytest
+
+    from timedf_spark.sources.archive import filter_keys, safe_extract_targz
+
+    good = tmp_path / "good.tar.gz"
+    with tarfile.open(good, "w:gz") as t:
+        p = tmp_path / "data.csv"
+        p.write_text("a,b\n1,2\n")
+        t.add(p, arcname="data.csv")
+        t.add(p, arcname="sub/dir/data2.csv")
+    out = tmp_path / "out"
+    names = safe_extract_targz(str(good), str(out))
+    assert sorted(names) == ["data.csv", "sub/dir/data2.csv"]
+    assert (out / "sub" / "dir" / "data2.csv").read_text().startswith("a,b")
+
+    evil = tmp_path / "evil.tar.gz"
+    with tarfile.open(evil, "w:gz") as t:
+        p = tmp_path / "x.txt"
+        p.write_text("boom")
+        t.add(p, arcname="../escape.txt")
+    with _pytest.raises(ValueError, match="unsafe"):
+        safe_extract_targz(str(evil), str(tmp_path / "out2"))
+    assert not (tmp_path / "escape.txt").exists()
+
+    # regex key filter (S3 sync's selection logic, offline)
+    keys = ["d/2014.csv.gz", "d/2015.csv.gz", "d/readme.md"]
+    assert filter_keys(keys, r"\.csv\.gz$") == ["d/2014.csv.gz", "d/2015.csv.gz"]
+    assert filter_keys(keys, None) == keys
