@@ -202,3 +202,70 @@ def test_safe_targz_extracts_and_blocks_traversal(tmp_path):
     keys = ["d/2014.csv.gz", "d/2015.csv.gz", "d/readme.md"]
     assert filter_keys(keys, r"\.csv\.gz$") == ["d/2014.csv.gz", "d/2015.csv.gz"]
     assert filter_keys(keys, None) == keys
+
+
+def test_safe_targz_blocks_hardlink_root_relative_escape(tmp_path):
+    """Hardlink targets resolve against the EXTRACTION ROOT in CPython
+    tarfile, not the member's directory: a member 'sub/a' with linkname
+    '../x' links to dest/../x (outside), even though member-dir resolution
+    would say dest/x (inside). The guard must use tarfile's base."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from timedf_spark.sources.archive import safe_extract_targz
+
+    outside = tmp_path / "x"
+    outside.write_text("victim")
+    dest = tmp_path / "dest"
+
+    evil = tmp_path / "hardlink.tar.gz"
+    with tarfile.open(evil, "w:gz") as t:
+        payload = b"inner"
+        fi = tarfile.TarInfo("sub/inner.txt")
+        fi.size = len(payload)
+        t.addfile(fi, io.BytesIO(payload))
+        ln = tarfile.TarInfo("sub/a")
+        ln.type = tarfile.LNKTYPE
+        ln.linkname = "../x"  # dest/../x per tarfile; dest/x per member-dir
+        t.addfile(ln)
+    with _pytest.raises(ValueError, match="unsafe link"):
+        safe_extract_targz(str(evil), str(dest))
+    assert outside.read_text() == "victim"
+
+    # a root-relative hardlink to a previously extracted member stays legal
+    ok = tmp_path / "hardlink_ok.tar.gz"
+    with tarfile.open(ok, "w:gz") as t:
+        payload = b"inner"
+        fi = tarfile.TarInfo("sub/inner.txt")
+        fi.size = len(payload)
+        t.addfile(fi, io.BytesIO(payload))
+        ln = tarfile.TarInfo("sub/b")
+        ln.type = tarfile.LNKTYPE
+        ln.linkname = "sub/inner.txt"
+        t.addfile(ln)
+    dest2 = tmp_path / "dest2"
+    names = safe_extract_targz(str(ok), str(dest2))
+    assert "sub/b" in names
+    assert (dest2 / "sub" / "b").read_text() == "inner"
+
+
+def test_asof_join_null_right_attribute_not_skipped(spark):
+    """A matching right row with a NULL carry attribute must yield NULL —
+    not a stale value from an older right row (DuckDB ASOF semantics)."""
+    import datetime as dt
+
+    sl = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 30), 100)], "k int, t timestamp, lid int"
+    )
+    sr = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10), 5.0, "old"),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 20), None, "new"),
+        ],
+        "k int, t timestamp, rv double, tag string",
+    )
+    row = asof_join(sl, sr, key="k", ts="t", carry_cols=["rv", "tag"]).first()
+    assert row["rv"] is None  # from the matching 00:00:20 row, not 5.0
+    assert row["tag"] == "new"  # all carries come from the SAME right row

@@ -34,13 +34,21 @@ def asof_join(
     right.ts <= left.ts on the same key. Left rows keep NULL carries when no
     right row precedes them (left-outer semantics)."""
     lcols = [c for c in left.columns]
+    # Carry ONE struct of all carry_cols, not each column independently:
+    # last(col, ignorenulls) per column would skip over a matching right
+    # row whose attribute is NULL (carrying a stale value, and potentially
+    # mixing attributes from different right rows) — diverging from DuckDB
+    # ASOF JOIN, which always takes every attribute from the single
+    # greatest-ts-<= right row, NULLs included.
     tagged_r = right.select(
-        key, ts, F.lit(0).alias("__src"), *[F.col(c) for c in carry_cols],
+        key, ts, F.lit(0).alias("__src"),
+        F.struct(*[F.col(c) for c in carry_cols]).alias("__carry"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, ts)],
     )
+    carry_struct_t = tagged_r.schema["__carry"].dataType
     tagged_l = left.select(
         key, ts, F.lit(1).alias("__src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry_cols],
+        F.lit(None).cast(carry_struct_t).alias("__carry"),
         *[F.col(c) for c in lcols if c not in (key, ts)],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -50,13 +58,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__carry_{c}") for c in carry_cols],
+        "*", F.last("__carry", ignorenulls=True).over(w).alias("__carried")
     )
     out = carried.filter(F.col("__src") == 1).select(
         key,
         ts,
         *[F.col(c) for c in lcols if c not in (key, ts)],
-        *[F.col(f"__carry_{c}").alias(c) for c in carry_cols],
+        *[F.col(f"__carried.{c}").alias(c) for c in carry_cols],
     )
     return out

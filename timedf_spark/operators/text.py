@@ -209,7 +209,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             "ws_tokens": F.expr(f"cast(size(split({text_col}, ' ')) as bigint)"),
             "tokens_per_100_chars": F.expr(
                 f"cast(regexp_count({text_col}, '{BPE_TOKEN_PATTERN}') as bigint)"
-                f" * 100e0 / length({text_col})"
+                # nullif: Spark (non-ANSI) yields NULL on /0 but DuckDB yields
+                # inf — guard both sides so empty docs agree cross-engine.
+                f" * 100e0 / nullif(length({text_col}), 0)"
             ),
         }
     )
@@ -221,6 +223,6 @@ def token_counts_sql(table: str = "documents", text_col: str = "text") -> str:
 SELECT doc_id,
        {n_bpe} AS bpe_tokens,
        cast(len(string_split({text_col}, ' ')) as bigint) AS ws_tokens,
-       {n_bpe} * 100e0 / length({text_col}) AS tokens_per_100_chars
+       {n_bpe} * 100e0 / nullif(length({text_col}), 0) AS tokens_per_100_chars
 FROM {table}
 """

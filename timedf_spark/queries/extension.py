@@ -170,10 +170,10 @@ WITH stats AS ({stats}),
 scored AS (SELECT doc_id, lang, n_tokens, {_text._QUALITY} AS quality_score FROM stats),
 packed AS (
   SELECT doc_id, lang, n_tokens, quality_score,
-         sum(n_tokens) OVER (
+         cast(sum(n_tokens) OVER (
            PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_tokens
+         ) as bigint) AS cum_tokens
   FROM scored
 )
 SELECT doc_id, lang, n_tokens, cum_tokens, quality_score

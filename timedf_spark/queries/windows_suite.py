@@ -251,7 +251,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_ORACLE = """
 SELECT event_type,
-       count(k) AS n_with_k, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+       count(k) AS n_with_k, cast(sum(k) as bigint) AS k_sum, min(k) AS k_min, max(k) AS k_max
 FROM (
   SELECT event_type, cast(json_extract(props, '$.k') as bigint) AS k FROM events
 )

@@ -29,9 +29,13 @@ def safe_extract_targz(archive_path: str, dest_dir: str) -> list[str]:
             if not (target == dest or target.startswith(dest + os.sep)):
                 raise ValueError(f"unsafe archive member path: {member.name!r}")
             if member.issym() or member.islnk():
-                link_target = os.path.realpath(
-                    os.path.join(os.path.dirname(target), member.linkname)
-                )
+                # Symlink targets are relative to the member's directory, but
+                # CPython tarfile resolves HARDLINK targets against the
+                # extraction root (os.path.join(path, linkname)) — validate
+                # against the same base it will use, or a member like
+                # 'sub/a' -> '../x' slips past a member-dir-based check.
+                link_base = dest if member.islnk() else os.path.dirname(target)
+                link_target = os.path.realpath(os.path.join(link_base, member.linkname))
                 if not link_target.startswith(dest + os.sep):
                     raise ValueError(f"unsafe link member: {member.name!r}")
             tar.extract(member, dest)
