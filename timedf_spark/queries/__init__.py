@@ -25,6 +25,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from timedf_spark.queries import (
         advanced,
+        curation_suite,
         extension,
         ml_etl,
         plasticc,
@@ -34,7 +35,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, advanced, windows_suite, extension):
+    for mod in (taxi, ml_etl, plasticc, tpch, advanced, windows_suite, extension, curation_suite):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec

@@ -1,0 +1,67 @@
+"""Curation suite: the round-2 LLM-pipeline operators as driver queries
+(chunking, repetition quality rules, PII redaction, contamination probe).
+
+Each query pairs a Spark builder from operators/curation.py with its DuckDB
+oracle twin; column names are aliased identically on both sides per the
+driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from timedf_spark.operators import curation
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.chunk_documents(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.repetition_stats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    return curation.redact_pii(ev, "props").select(
+        "event_id", "n_email", "n_num", "redacted"
+    )
+
+
+def _contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.contamination_probe(spark, docs)
+
+
+SUITE = {
+    "doc_chunks": QuerySpec(
+        "doc_chunks",
+        _doc_chunks,
+        curation.doc_chunks_sql(),
+        "overlapping token-window chunking (explode, zero shuffle)",
+    ),
+    "repetition_stats": QuerySpec(
+        "repetition_stats",
+        _repetition_stats,
+        curation.repetition_stats_sql(),
+        "Gopher-style repetition metrics: dup-word frac + top-bigram frac",
+    ),
+    "pii_redact": QuerySpec(
+        "pii_redact",
+        _pii_redact,
+        curation.pii_redact_sql("events", "props", "event_id"),
+        "regex PII redaction (<EMAIL>/<NUM>) with audit counts, one projection",
+    ),
+    "contamination_probe": QuerySpec(
+        "contamination_probe",
+        _contamination_probe,
+        curation.contamination_probe_sql(),
+        "n-gram benchmark-contamination probe (broadcast probe set)",
+    ),
+}
