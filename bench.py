@@ -35,6 +35,21 @@ def main() -> None:
     spark = get_spark(app_name="timedf_spark_bench")
     specs = all_queries()
 
+    # Scan baseline: read+materialize every table once, no operator work —
+    # separates fixed scan/JVM cost from per-operator cost in the report.
+    from timedf_spark.sources import load_table
+    from timedf_spark.sources.readers import TESTDATA_TABLES
+
+    try:
+        for t in TESTDATA_TABLES:  # warm-up
+            trigger(load_table(spark, sf_dir, t))
+        t0 = time.perf_counter()
+        for t in TESTDATA_TABLES:
+            trigger(load_table(spark, sf_dir, t))
+        scan_baseline = round(time.perf_counter() - t0, 4)
+    except Exception:  # noqa: BLE001
+        scan_baseline = -1.0
+
     per_query: dict[str, float] = {}
     for name, spec in specs.items():
         try:
@@ -47,6 +62,13 @@ def main() -> None:
             per_query[name] = round(statistics.median(times), 4)
         except Exception:  # noqa: BLE001
             per_query[name] = -1.0
+        # operators that .cache() intermediates leave blocks behind each
+        # iteration; drop them so later queries aren't measured under the
+        # accumulated memory pressure of earlier ones
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
 
     total = round(sum(t for t in per_query.values() if t > 0), 4)
     print(
@@ -57,6 +79,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "scan_baseline_sec": scan_baseline,
             }
         )
     )

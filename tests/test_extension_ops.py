@@ -203,3 +203,41 @@ def test_connected_components_chain_converges_logarithmically(spark):
     got = connected_components(vdf, edf, max_rounds=14).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == n
+
+
+def test_connected_components_star_same_fixpoint(spark):
+    """Large-star/small-star (the skew-robust alternative) must reach the
+    identical (vertex, component) fixpoint as pointer jumping on a graph
+    mixing a hot hub (power-law degree), a chain, cycles, and singletons."""
+    import random
+
+    from timedf_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    edges = [(0, rng.randrange(1, 40)) for _ in range(60)]  # hub at 0
+    edges += [(i, i + 1) for i in range(50, 70)]  # chain
+    edges += [(80, 81), (81, 82), (82, 80)]  # cycle
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r["vertex"], r["component"]) for r in connected_components(vdf, edf).collect()}
+    b = {(r["vertex"], r["component"]) for r in connected_components_star(vdf, edf).collect()}
+    assert a == b
+
+
+def test_connected_components_star_chain_converges(spark):
+    """Star rounds must also beat O(diameter) on a path graph."""
+    from timedf_spark.operators.cluster import connected_components_star
+
+    n = 200
+    vdf = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components_star(vdf, edf, max_rounds=12).collect()
+    assert len(got) == n
+    assert all(r["component"] == 0 for r in got)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedf_spark.operators.text import shingle_expr_duckdb, shingle_expr_spark
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 __all__ = [
     "exact_dedup",
@@ -334,7 +334,7 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming-distance-≤3 candidate lookup (pigeonhole). Pure HOF pipeline:
     explode tokens → per-doc fold — one shuffle on doc_id.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w")
     )

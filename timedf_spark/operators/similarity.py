@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from timedf_spark.functions.vectors import cosine_similarity
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 __all__ = [
     "brute_force_topk",
@@ -45,7 +45,7 @@ def brute_force_topk(
     spark: SparkSession, sf_dir: str, n_queries: int = _N_QUERIES, k: int = _TOP_K
 ) -> DataFrame:
     """Exact top-k neighbours for the first n_queries vectors (by vec_id)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -272,7 +272,7 @@ def cosine_dedup_pairs(
     threshold the nearest candidate sits ~3e-3 from the boundary so
     last-ulp float divergence cannot flip membership.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     dim = len(emb.select("embedding").first()[0])
     tables = _dedup_planes(dim, bits, n_tables)
     # Arrow-vectorized bucketing (matmul) — numerically this differs from

@@ -12,30 +12,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from timedf_spark.operators import curation
 from timedf_spark.queries import QuerySpec
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 
 def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     )
 
 
 def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.repetition_stats(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     )
 
 
 def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    ev = fan_out(load_table(spark, sf_dir, "events")).select("event_id", "props")
     return curation.redact_pii(ev, "props").select(
         "event_id", "n_email", "n_num", "redacted"
     )
 
 
 def _contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return curation.contamination_probe(spark, docs)
 
 

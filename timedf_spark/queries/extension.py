@@ -24,13 +24,13 @@ from timedf_spark.operators.text import (
     with_token_counts,
 )
 from timedf_spark.queries import QuerySpec
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 
 # ---- text analysis --------------------------------------------------------
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_text_stats(load_table(spark, sf_dir, "documents"))
+    df = with_text_stats(fan_out(load_table(spark, sf_dir, "documents")))
     return df.select(
         "doc_id", "lang", "source", "n_chars",
         "n_tokens", "n_uniq_tokens", "n_chars_obs", "n_punct", "n_stop",
@@ -39,17 +39,17 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_lang_guess(load_table(spark, sf_dir, "documents"))
+    df = with_lang_guess(fan_out(load_table(spark, sf_dir, "documents")))
     return df.select("doc_id", "lang", "lang_guess")
 
 
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_fingerprint(load_table(spark, sf_dir, "documents"))
+    df = with_fingerprint(fan_out(load_table(spark, sf_dir, "documents")))
     return df.select("doc_id", "fingerprint")
 
 
 def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = with_token_counts(load_table(spark, sf_dir, "documents"))
+    df = with_token_counts(fan_out(load_table(spark, sf_dir, "documents")))
     return df.select("doc_id", "bpe_tokens", "ws_tokens", "tokens_per_100_chars")
 
 
@@ -139,7 +139,7 @@ def _token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected set is engine-exact."""
     from pyspark.sql.window import Window
 
-    scored = with_text_stats(load_table(spark, sf_dir, "documents")).select(
+    scored = with_text_stats(fan_out(load_table(spark, sf_dir, "documents"))).select(
         "doc_id", "lang", "n_tokens", "quality_score"
     )
     w = (
@@ -347,7 +347,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    media = attach_fake_payloads(load_table(spark, sf_dir, "documents"))
+    media = attach_fake_payloads(fan_out(load_table(spark, sf_dir, "documents")))
     return extract_image_features(media)
 
 

