@@ -31,11 +31,12 @@ def all_queries() -> dict[str, QuerySpec]:
         plasticc,
         taxi,
         tpch,
+        tpch_deep,
         windows_suite,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, advanced, windows_suite, extension, curation_suite):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, advanced, windows_suite, extension, curation_suite):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
