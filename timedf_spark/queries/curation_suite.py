@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timedf_spark.operators import curation
+from timedf_spark.operators import bloom, curation
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import fan_out, load_table
 
@@ -39,6 +39,41 @@ def _contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.contamination_probe(spark, docs)
 
 
+# Incremental ingest: docs with doc_id % 10 = 7 arrive as the "new batch",
+# the rest are the standing corpus. The Bloom route (operators/bloom.py)
+# keeps the corpus shuffle-free; the result is EXACT, so the oracle is the
+# plain NOT-EXISTS anti-join the operator is equivalent to.
+_INGEST_PRED = "doc_id % 10 = 7"
+
+
+def _incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(_INGEST_PRED).select("doc_id", "text", "lang", "source")
+    corpus = docs.filter(f"NOT ({_INGEST_PRED})").select("text")
+    return bloom.incremental_dedup(new_batch, corpus).select(
+        "doc_id", "content_hash", "lang", "source"
+    )
+
+
+INCREMENTAL_INGEST_ORACLE = f"""
+WITH newb AS (
+  SELECT doc_id, md5(text) AS content_hash, lang, source
+  FROM documents WHERE {_INGEST_PRED}
+),
+keepers AS (
+  SELECT content_hash, min(doc_id) AS doc_id FROM newb GROUP BY content_hash
+)
+SELECT n.doc_id, n.content_hash, n.lang, n.source
+FROM newb n
+JOIN keepers k ON n.content_hash = k.content_hash AND n.doc_id = k.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents c
+  WHERE NOT ({_INGEST_PRED.replace('doc_id', 'c.doc_id')})
+    AND md5(c.text) = n.content_hash
+)
+"""
+
+
 SUITE = {
     "doc_chunks": QuerySpec(
         "doc_chunks",
@@ -63,5 +98,11 @@ SUITE = {
         _contamination_probe,
         curation.contamination_probe_sql(),
         "n-gram benchmark-contamination probe (broadcast probe set)",
+    ),
+    "incremental_ingest": QuerySpec(
+        "incremental_ingest",
+        _incremental_ingest,
+        INCREMENTAL_INGEST_ORACLE,
+        "Bloom-prefiltered exact incremental dedup vs standing corpus (zero corpus shuffle)",
     ),
 }
