@@ -243,6 +243,72 @@ def fit_logistic(
     return [float(t) for t in theta]  # weights..., intercept
 
 
+def fit_logistic_blocks(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 1e-6,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> list[float]:
+    """IRLS logistic regression over cached numpy feature blocks.
+
+    Same mathematics as :func:`fit_logistic` (one Xᵀ W X / Xᵀ W z reduction
+    per Newton round, driver solve), different execution: the feature
+    matrix is materialized ONCE into per-partition numpy blocks (a
+    deliberate RDD escape hatch — the guidance's "per-partition imperative
+    logic" case), and every subsequent round is a broadcast-θ ``map`` +
+    binary-tree ``treeReduce`` of two small ndarrays. Catalyst planning and
+    whole-stage codegen happen zero times inside the loop — with
+    ``fit_logistic`` each round re-optimizes and re-compiles a plan whose θ
+    literals changed (~0.7 s/round of pure driver overhead regardless of
+    data size). Per-round communication is O(d² · partitions) ndarray
+    bytes, compute is one BLAS matmul per block; at 100 TB the blocks stay
+    distributed and the round time is the matmul, not the planner.
+    """
+    import numpy as np
+
+    cols = list(feature_cols)
+    d = len(cols) + 1
+    sel = df.select(
+        *[F.col(c).cast("double") for c in cols], F.col(label_col).cast("double").alias("__y")
+    )
+
+    def to_block(rows):
+        mat = np.asarray([list(r) for r in rows], dtype=float)
+        if mat.size:
+            x = np.hstack([mat[:, :-1], np.ones((mat.shape[0], 1))])
+            yield x, mat[:, -1]
+
+    blocks = sel.rdd.mapPartitions(to_block).cache()
+    sc = df.sparkSession.sparkContext
+    theta = np.zeros(d)
+    try:
+        for _ in range(max_iter):
+            bc = sc.broadcast(theta)
+
+            def partial(block, _d=d):
+                x, y = block
+                eta = x @ bc.value
+                p = 1.0 / (1.0 + np.exp(-eta))
+                w = np.maximum(p * (1.0 - p), 1e-10)
+                z = eta + (y - p) / w
+                xw = x * w[:, None]
+                return np.concatenate([(x.T @ xw).ravel(), x.T @ (w * z)])
+
+            flat = blocks.map(partial).treeReduce(lambda a, b: a + b)
+            bc.destroy()
+            xtx = flat[: d * d].reshape(d, d) + l2 * np.eye(d)
+            new_theta = np.linalg.solve(xtx, flat[d * d :])
+            step = float(np.max(np.abs(new_theta - theta)))
+            theta = new_theta
+            if step < tol:
+                break
+    finally:
+        blocks.unpersist()
+    return [float(t) for t in theta]
+
+
 def predict_logistic(
     df: DataFrame, feature_cols: Sequence[str], theta: Sequence[float]
 ) -> DataFrame:

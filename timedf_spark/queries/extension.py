@@ -334,6 +334,28 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize.sessionize(spark, sf_dir)
 
 
+# ---- trained quality classifier -------------------------------------------
+
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear quality classifier on a doc_id split, score ALL docs.
+
+    Iterative IRLS training (one scan per Newton round, O(d²) driver
+    traffic) → no single oracle SQL; correctness is pinned by
+    tests/test_quality_model.py (held-out accuracy, numpy scorer parity).
+    """
+    from timedf_spark.operators import quality_model as qm
+
+    # no fan_out: IRLS is iteration-dominated, and per-round scheduling
+    # overhead on widened tiny partitions outweighs the projection win
+    # (same measured call as CC rounds / curate_corpus, COVERAGE.md)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    featured = qm.classifier_features(docs)
+    theta = qm.train_quality_classifier(featured.filter("doc_id % 5 < 4"))
+    return qm.score_documents(featured, theta).select(
+        "doc_id", "lang", "quality_prob", "prob_bucket"
+    )
+
+
 # ---- multimodal feature extraction ----------------------------------------
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,5 +497,9 @@ SUITE = {
     "multimodal_features": QuerySpec(
         "multimodal_features", _multimodal_features, None,  # Python float math
         "binary-payload feature extraction via Arrow mapInPandas",
+    ),
+    "quality_classifier": QuerySpec(
+        "quality_classifier", _quality_classifier, None,  # iterative IRLS training
+        "train CCNet-style linear quality model (IRLS), score corpus in codegen",
     ),
 }

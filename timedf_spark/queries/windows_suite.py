@@ -258,6 +258,83 @@ FROM (
 GROUP BY event_type
 """
 
+# ---- rank-family windows: ntile / percent_rank -----------------------------
+#
+# Customer balance quartiles WITHIN nation: the window partitions on
+# c_nationkey, so every partition's sort is local to its nation — the
+# distributed-safe shape for rank windows (a global ntile would serialize
+# the corpus through one task; partitioned ntile scales with the key
+# cardinality). The order key includes the unique c_custkey so ranks are
+# total-order deterministic across engines.
+
+def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.withColumns(
+        {
+            "bal_quartile": F.ntile(4).over(w).cast("long"),
+            "bal_pct_rank": F.percent_rank().over(w),
+        }
+    )
+    return (
+        ranked.groupBy("c_nationkey", "bal_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.expr(_dsum("c_acctbal")).alias("quartile_balance"),
+            F.max("bal_pct_rank").alias("max_pct_rank"),
+        )
+        .orderBy("c_nationkey", "bal_quartile")
+    )
+
+
+QUARTILES_ORACLE = f"""
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         cast(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) as bigint) AS bal_quartile,
+         percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_pct_rank
+  FROM customer
+)
+SELECT c_nationkey, bal_quartile, count(*) AS n_cust,
+       {_dsum('c_acctbal')} AS quartile_balance,
+       max(bal_pct_rank) AS max_pct_rank
+FROM ranked
+GROUP BY c_nationkey, bal_quartile
+ORDER BY c_nationkey, bal_quartile
+"""
+
+# ---- fixed-width histogram -------------------------------------------------
+#
+# Order-price histogram with 5000-wide bins: pure projection + groupBy —
+# the scale-safe alternative to rank-based bucketing (no sort anywhere;
+# the bin id is arithmetic, the count is a partial+final aggregate).
+
+_BIN = "50e2"
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        orders.groupBy(
+            F.expr(f"cast(floor(o_totalprice / {_BIN}) as bigint)").alias("price_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_dsum("o_totalprice")).alias("bin_total"),
+        )
+        .orderBy("price_bin")
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT cast(floor(o_totalprice / {_BIN}) as bigint) AS price_bin,
+       count(*) AS n_orders, {_dsum('o_totalprice')} AS bin_total
+FROM orders
+GROUP BY price_bin
+ORDER BY price_bin
+"""
+
 SUITE = {
     "rolling_revenue": QuerySpec(
         "rolling_revenue", rolling_revenue, ROLLING_ORACLE, "7-day rolling revenue via RANGE frame (E)"
@@ -279,5 +356,13 @@ SUITE = {
     "json_props_stats": QuerySpec(
         "json_props_stats", json_props_stats, JSON_PROPS_ORACLE,
         "JSON field extraction from the props column + per-type aggregation",
+    ),
+    "balance_quartiles": QuerySpec(
+        "balance_quartiles", balance_quartiles, QUARTILES_ORACLE,
+        "ntile(4) + percent_rank per nation (partitioned rank windows)",
+    ),
+    "order_price_histogram": QuerySpec(
+        "order_price_histogram", order_price_histogram, HISTOGRAM_ORACLE,
+        "fixed-width price histogram (arithmetic binning, no sort)",
     ),
 }
