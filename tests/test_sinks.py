@@ -1,0 +1,65 @@
+"""Partitioned parquet sink (sources/sinks.py) — the engine's durable
+result sink (reference persists results to SQL, report/benchmark_db.py;
+a Spark engine's bulk sink is prunable directory-partitioned parquet).
+
+Three properties matter at 100 TB:
+1. small-files: repartition-before-write co-locates each partition value
+   into one shuffle partition → ~one file per directory, not one file per
+   (write-task × partition-value).
+2. pruning: a predicate on the partition column is a PartitionFilter
+   (directory-level, zero data read elsewhere).
+3. fidelity: values and the partition column survive the round trip.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from timedf_spark.sources.readers import load_table
+from timedf_spark.sources.sinks import read_partitioned, write_partitioned
+
+
+def test_sink_one_file_per_partition_dir(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    dirs = [d for d in glob.glob(os.path.join(path, "lang=*")) if os.path.isdir(d)]
+    assert dirs, "no partition directories written"
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        # naive write: one file per (task, value) — 32 tasks would leave
+        # up to 32 files here; repartition(lang) leaves exactly one.
+        assert len(files) == 1, (d, len(files))
+
+
+def test_sink_round_trip_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_rt")
+    write_partitioned(docs, path, ["lang"])
+
+    back = read_partitioned(spark, path)
+    assert back.count() == docs.count()
+    # partition column survives with its values (parquet dir-encoding)
+    langs = {r["lang"] for r in back.select("lang").distinct().collect()}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+
+    one_lang = sorted(langs)[0]
+    filtered = back.filter(F.col("lang") == one_lang)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet") :]
+    pf = scan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf, pf
+    assert filtered.count() == docs.filter(F.col("lang") == one_lang).count()
+
+
+def test_sink_max_records_per_file_splits_hot_partition(spark, tmp_path):
+    df = spark.range(10_000).withColumn("part", F.lit("hot"))
+    path = str(tmp_path / "hot")
+    write_partitioned(df, path, ["part"], max_records_per_file=2_500)
+    files = glob.glob(os.path.join(path, "part=hot", "*.parquet"))
+    assert len(files) == 4, files

@@ -241,6 +241,61 @@ WHERE part_value > (SELECT {dsum('part_value')} FROM per_part) * {_FRACTION}
 ORDER BY part_value DESC, l_partkey ASC
 """
 
+# --- TPC-H Q7 shape: nation-pair trade volume ------------------------------
+#
+# Revenue flowing between (supplier nation → customer nation) pairs, both
+# directions, excluding domestic trade. The operator shape Q7 stresses is
+# the SELF-ALIASED dimension: nation joins twice under different roles.
+# Plan posture: lineitem⋈orders is the one fact-fact shuffle (keyed on
+# l_orderkey); supplier, customer and both nation roles are broadcast
+# dimensions layered onto it — five joins, one exchange of fact rows. At
+# TPC-H 100 TB customer outgrows the broadcast threshold and AQE falls
+# back to a co-partitioned sort-merge for that edge alone; the logical
+# plan needs no change.
+
+_Q7_FILTER = "l_shipdate >= timestamp '1995-01-01 00:00:00' and l_shipdate < timestamp '1997-01-01 00:00:00'"
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(_Q7_FILTER).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_supp = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n_cust = F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_supp, supp.s_nationkey == F.col("sn_key"))
+        .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+        .filter("supp_nation != cust_nation")
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.expr(_REV).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+NATION_PAIR_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       {_REV} AS volume, count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE {_Q7_FILTER} AND ns.n_name != nc.n_name
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation
+"""
+
 SUITE = {
     "top_supplier_revenue": QuerySpec(
         "top_supplier_revenue", top_supplier_revenue, TOP_SUPPLIER_ORACLE,
@@ -261,5 +316,9 @@ SUITE = {
     "important_parts": QuerySpec(
         "important_parts", important_parts, IMPORTANT_PARTS_ORACLE,
         "global-fraction HAVING via 1-row total broadcast (TPC-H Q11 shape)",
+    ),
+    "nation_pair_volume": QuerySpec(
+        "nation_pair_volume", nation_pair_volume, NATION_PAIR_ORACLE,
+        "self-aliased dimension + fact-fact join, nation-pair rollup (TPC-H Q7 shape)",
     ),
 }

@@ -1,0 +1,56 @@
+"""Partitioned parquet sink + pruned read-back.
+
+The reference persists results to a SQL database (timedf/report/report.py,
+A9/A10 in SURVEY.md §2); a Spark-native engine's durable sink is
+directory-partitioned parquet — the layout every downstream scan can prune.
+
+Scale design:
+- ``repartition(partition_cols)`` BEFORE the write: without it, every one
+  of N write tasks emits a file into every one of P partition directories
+  (N×P small files — the classic small-files explosion); with it, rows for
+  a partition value co-locate so each directory gets ~one file per shuffle
+  partition that actually holds its key. AQE coalescing shrinks the tail.
+- ``maxRecordsPerFile`` caps single-file size for hot partition values
+  (skewed partition columns produce few-but-huge files otherwise), keeping
+  downstream scan splits balanced without a second job.
+- read-back relies on partition PRUNING, not filtering: a predicate on the
+  partition column eliminates directories at planning time — the pruned
+  data is never listed, opened, or read. tests/test_sinks.py asserts the
+  pruned plan reads strictly fewer files and that the partition column
+  survives the round-trip with its values intact.
+
+Partition-column choice at 100 TB: low-cardinality, coarse (lang, date,
+source shard) — one directory per value; a high-cardinality partition key
+degenerates into one-file-per-row (use bucketing, sources/bucketing.py,
+for join-key layouts instead).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_partitioned", "read_partitioned"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write ``df`` as parquet partitioned by ``partition_cols``."""
+    (
+        df.repartition(*partition_cols)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned sink back; partition-column predicates prune."""
+    return spark.read.parquet(path)
