@@ -64,9 +64,20 @@ def main() -> None:
             per_query[name] = -1.0
         # operators that .cache() intermediates leave blocks behind each
         # iteration; drop them so later queries aren't measured under the
-        # accumulated memory pressure of earlier ones
+        # accumulated memory pressure of earlier ones. localCheckpoint()ed
+        # RDDs (iterative operators: connected components, IRLS) are
+        # persistent RDDs *outside* the SQL cache — release them too, or
+        # their blocks pile up across the suite and the tail queries get
+        # measured under tens of GB of dead blocks + the GC churn they
+        # cause (observed: 3-6x inflation on late-suite queries).
         try:
             spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            for rdd_id in list(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()):
+                try:
+                    jsc.unpersistRDD(int(str(rdd_id)), False)
+                except Exception:  # noqa: BLE001
+                    pass
         except Exception:  # noqa: BLE001
             pass
 

@@ -1,0 +1,112 @@
+"""Character-bigram language-model scoring — statistical quality signal
+for LLM-corpus curation.
+
+The classic corpus-quality gate (CCNet, Gopher, RefinedWeb) scores each
+document under a language model trained on a trusted corpus and drops the
+tail. This operator implements the *pipeline shape* of that gate with a
+char-bigram model trained on the corpus itself (self-scoring finds
+statistical outliers: boilerplate, encoding garbage, non-prose):
+
+    pass 1 (train): explode each text into character bigrams (JVM-side
+        ``sequence`` + ``transform`` + ``explode`` — no Python), count
+        bigrams, derive prefix totals from the counted table (NOT from a
+        second corpus scan — the model table is vocabulary-sized).
+    pass 2 (score): conditional probability p(c2|c1) = n(c1c2)/n(c1·)
+        joined onto each document's bigrams (model table is tiny →
+        broadcast; the corpus never shuffles for the join), then one
+        per-doc quantized average.
+
+Determinism (value-hash-gate proof): all counts are exact integers; each
+probability is ONE IEEE division of those integers (exactly rounded in
+every engine); the per-doc mean is the quantized-decimal average from
+functions/deterministic.py. No logarithms — ln() is not required to be
+correctly rounded by IEEE 754 and differs between libm implementations,
+so the score is the mean conditional *probability* (monotone in the same
+direction for filtering; ranking quality equals the log variant for
+gate-style use).
+
+At 100 TB: pass 1 is a scan + partial+final count on ≤|alphabet|² keys
+(map-side combine collapses almost everything before the shuffle); pass 2
+is a scan + broadcast join + one aggregate keyed by doc_id. Nothing in
+the plan grows faster than the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.deterministic import davg
+
+__all__ = ["charlm_doc_scores", "charlm_scores_sql"]
+
+# bigram-probability average quantized at 1e-8: p ≤ 1 so per-doc totals
+# stay far below 2^53 for any realistic document length
+_SCALE = 8
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bg) — one row per character bigram, JVM-side explode."""
+    return (
+        df.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 1),"
+                    f" i -> substring({text_col}, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+
+
+def charlm_doc_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, charlm_score): mean conditional char-bigram
+    probability of each document under the corpus-trained model.
+    Documents shorter than 2 chars are excluded (no bigrams to score)."""
+    bg = _bigrams(docs, id_col, text_col)
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
+    pref = model.groupBy(F.substring("bg", 1, 1).alias("c")).agg(
+        F.sum("n").alias("np")
+    )
+    probs = F.broadcast(
+        model.join(pref, F.substring(model.bg, 1, 1) == pref.c).select(
+            "bg",
+            F.expr("cast(n as double) / cast(np as double)").alias("p"),
+        )
+    )
+    return (
+        bg.join(probs, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(davg("p", scale=_SCALE)).alias("charlm_score"),
+        )
+    )
+
+
+def charlm_scores_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin: identical counts, identical single-division
+    probabilities, identical quantized mean."""
+    return f"""
+WITH bg AS (
+  SELECT {id_col}, substr({text_col}, cast(i as integer), 2) AS bg
+  FROM (
+    SELECT {id_col}, {text_col},
+           unnest(generate_series(1, length({text_col}) - 1)) AS i
+    FROM {table} WHERE length({text_col}) >= 2
+  )
+),
+model AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg),
+pref AS (SELECT substr(bg, 1, 1) AS c, sum(n) AS np FROM model GROUP BY substr(bg, 1, 1)),
+probs AS (
+  SELECT m.bg, cast(m.n as double) / cast(p.np as double) AS p
+  FROM model m JOIN pref p ON substr(m.bg, 1, 1) = p.c
+)
+SELECT b.{id_col}, count(*) AS n_bigrams, {davg('p', scale=_SCALE)} AS charlm_score
+FROM bg b JOIN probs ON b.bg = probs.bg
+GROUP BY b.{id_col}
+"""

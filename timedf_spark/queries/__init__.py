@@ -30,13 +30,15 @@ def all_queries() -> dict[str, QuerySpec]:
         ml_etl,
         plasticc,
         taxi,
+        timeseries,
         tpch,
         tpch_deep,
+        tpch_round2,
         windows_suite,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, advanced, windows_suite, extension, curation_suite):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec

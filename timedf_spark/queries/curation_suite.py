@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timedf_spark.operators import bloom, curation
+from timedf_spark.operators import bloom, curation, lm
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import fan_out, load_table
 
@@ -74,7 +74,18 @@ WHERE NOT EXISTS (
 """
 
 
+def _charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return lm.charlm_doc_scores(docs)
+
+
 SUITE = {
+    "charlm_score": QuerySpec(
+        "charlm_score",
+        _charlm_score,
+        lm.charlm_scores_sql(),
+        "char-bigram LM quality score: train on corpus, broadcast model, score per doc",
+    ),
     "doc_chunks": QuerySpec(
         "doc_chunks",
         _doc_chunks,

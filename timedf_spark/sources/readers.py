@@ -111,8 +111,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would corrupt ns-magnitude int64s past 2^53).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet µs timestamps without a UTC flag arrive as
+            # TIMESTAMP_NTZ; event-time operators (withWatermark) require
+            # TIMESTAMP. Session tz is UTC, so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
