@@ -46,6 +46,31 @@ __all__ = ["connected_components", "connected_components_star"]
 _MAX_ROUNDS = 50  # diameter bound; raise for adversarial chain graphs
 
 
+def _persistent_ids(sc) -> set[int]:
+    return {int(str(i)) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _checkpoint(df: DataFrame):
+    """localCheckpoint + the set of persistent-RDD ids it created, so the
+    caller can release them once the next round is materialized. Without
+    this, every round's checkpoint blocks stay in the block manager for
+    the life of the session — on a long-running cluster job the iterative
+    operator slowly eats executor storage memory it no longer needs."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint()  # eager: materialized here
+    return out, _persistent_ids(sc) - before
+
+
+def _release(df: DataFrame, ids: set[int]) -> None:
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+    for i in ids:
+        try:
+            jsc.unpersistRDD(i, False)
+        except Exception:  # noqa: BLE001 — already freed / racing cleanup
+            pass
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
 ) -> DataFrame:
@@ -62,8 +87,10 @@ def connected_components(
     e = edges.select(F.col(scol).alias("src"), F.col(dcol).alias("dst")).union(
         edges.select(F.col(dcol).alias("src"), F.col(scol).alias("dst"))
     )
-    e = e.localCheckpoint()  # materialize once; reused every round
-    labels = vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl")).localCheckpoint()
+    e, e_ids = _checkpoint(e)  # materialize once; reused every round
+    labels, label_ids = _checkpoint(
+        vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl"))
+    )
 
     for _ in range(max_rounds):
         # (1) neighbour step: min label over incident edges
@@ -79,7 +106,7 @@ def connected_components(
         # (2) jump step (path halving): follow the label one hop —
         # label(v) ← min(label(v), label(label(v))). Labels are always
         # vertex ids, so the self-join on (lbl = v) resolves every row.
-        jumped = (
+        jumped, jumped_ids = _checkpoint(
             stepped.alias("x")
             .join(stepped.alias("y"), F.col("x.lbl") == F.col("y.v"), "left")
             .select(
@@ -88,7 +115,6 @@ def connected_components(
                     F.col("x.lbl"), F.coalesce(F.col("y.lbl"), F.col("x.lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")
@@ -96,9 +122,13 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels = jumped
+        # this round's labels are materialized and compared — the previous
+        # round's checkpoint blocks are dead; free them now
+        _release(labels, label_ids)
+        labels, label_ids = jumped, jumped_ids
         if changed == 0:
             break
+    _release(e, e_ids)
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
 
 
@@ -136,15 +166,14 @@ def connected_components_star(
     vcol = vertices.columns[0]
     scol, dcol = edges.columns[0], edges.columns[1]
     # canonical working set: both orientations, self-loops dropped
-    e = (
+    e, e_ids = _checkpoint(
         edges.select(F.col(scol).alias("u"), F.col(dcol).alias("w"))
         .union(edges.select(F.col(dcol).alias("u"), F.col(scol).alias("w")))
         .filter(F.col("u") != F.col("w"))
         .distinct()
-        .localCheckpoint()
     )
 
-    def star_round(e: DataFrame, large: bool) -> DataFrame:
+    def star_round(e: DataFrame, large: bool):
         mins = e.groupBy("u").agg(F.min("w").alias("m"))
         # m(u) also considers u itself (a node can be its own minimum)
         mins = mins.select("u", F.least("u", "m").alias("m"))
@@ -159,17 +188,18 @@ def connected_components_star(
         )
         # re-symmetrize: star steps emit directed rewires; the next round's
         # min-neighbour must see both endpoints or star-chains stall
-        return (
-            out.union(out.select(F.col("w").alias("u"), F.col("u").alias("w")))
-            .distinct()
-            .localCheckpoint()
+        return _checkpoint(
+            out.union(out.select(F.col("w").alias("u"), F.col("u").alias("w"))).distinct()
         )
 
     for _ in range(max_rounds):
-        e2 = star_round(star_round(e, large=True), large=False)
+        mid, mid_ids = star_round(e, large=True)
+        e2, e2_ids = star_round(mid, large=False)
+        _release(mid, mid_ids)  # consumed by the small-star checkpoint
         # fixpoint: the undirected edge multiset stopped changing
         delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        e = e2
+        _release(e, e_ids)
+        e, e_ids = e2, e2_ids
         if delta == 0:
             break
 

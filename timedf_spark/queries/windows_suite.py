@@ -30,7 +30,7 @@ def _windowed_qsum(col: str, frame: str) -> str:
     """Order-independent windowed SUM(double) (shared construction with
     deterministic.dsum, OVER a frame instead of GROUP BY)."""
     return (
-        f"cast(sum(cast(floor(({col}) * 10000.0 + 0.5) as decimal(38,0))) "
+        f"cast(sum(cast(floor(({col}) * 10000.0 + 0.5) as bigint)) "
         f"OVER ({frame}) as double) / 10000.0"
     )
 
@@ -48,7 +48,7 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_idx")
         .agg(
             F.expr(
-                "cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as decimal(38,0))) as double) / 10000.0"
+                "cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as bigint)) as double) / 10000.0"
             ).alias("day_revenue")
         )
     )
@@ -64,7 +64,7 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_ORACLE = f"""
 WITH daily AS (
   SELECT cast(date_diff('day', DATE '{_EPOCH}', o_orderdate) as bigint) AS day_idx,
-         cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as decimal(38,0))) as double) / 10000.0 AS day_revenue
+         cast(sum(cast(floor(o_totalprice * 10000.0 + 0.5) as bigint)) as double) / 10000.0 AS day_revenue
   FROM orders GROUP BY 1
 )
 SELECT day_idx, day_revenue,
