@@ -269,3 +269,37 @@ def test_streaming_exact_dedup_drops_replayed_rows(spark, sf_dir):
         q.awaitTermination(120)
         got = spark.sql("select count(*) as n from dedup_stream_test").first()["n"]
         assert got == expected
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Streaming events ⋈ static dimension must equal the same join run in
+    batch — including NULL-extension for users missing from the dimension
+    (dimension deliberately smaller than the user-id range)."""
+    from timedf_spark.streaming import joins as streaming_joins
+
+    events = load_table(spark, sf_dir, "events")
+    dim = streaming_joins.user_dim(spark, n_users=10)  # force some misses
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            streaming_joins.enrichment_join(stream, dim)
+            .writeStream.format("memory")
+            .queryName("enrich_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select * from enrich_test order by event_id"
+        ).collect()
+        batch = (
+            streaming_joins.enrichment_join(events, dim)
+            .orderBy("event_id")
+            .collect()
+        )
+        assert got == batch
+        # NULL extension really exercised: some users beyond the dim range
+        assert any(r["segment"] is None for r in got)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timedf_spark.functions.deterministic import dsum
+from timedf_spark.functions.deterministic import davg, dsum
 from timedf_spark.operators.asof import asof_join
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import load_table
@@ -297,8 +297,133 @@ GROUP BY e.error_id
 """
 
 
+# --- rank-based winsorized mean (robust statistics, two-pass) --------------
+#
+# Winsorization clamps a metric to its per-group [p05, p95] before
+# averaging — the standard robust-mean used in metric pipelines where a
+# handful of corrupt rows would otherwise drag the mean. The bounds are
+# defined by RANK (the value at position ceil(q*n) of the sorted group),
+# not by interpolated percentile: interpolation arithmetic is
+# formula-dependent across engines for non-representable fractions, while
+# "the k-th smallest value" is a pure multiset position — engine-exact for
+# any value distribution. ceil(0.05*n) itself is one IEEE multiply of an
+# integer + ceil: identical everywhere.
+#
+# Plan: one window sort per group (rank + count), bounds extracted by two
+# equality filters (tiny one-row-per-group frames, broadcast back), clamp
+# + quantized mean. At 100 TB the window sort is the cost — same shape as
+# any per-group ranking; for sketch-tolerant uses swap bounds for
+# approx_percentile and keep the clamp/mean stages unchanged.
+
+_WINS_LO_Q = "0.05"
+_WINS_HI_Q = "0.95"
+
+
+def winsorized_price_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    )
+    lo = ranked.filter(
+        F.expr(f"rn = greatest(1e0, ceil({_WINS_LO_Q} * n))")
+    ).select(F.col("l_returnflag").alias("g_lo"), F.col("l_extendedprice").alias("lo"))
+    hi = ranked.filter(F.expr(f"rn = ceil({_WINS_HI_Q} * n)")).select(
+        F.col("l_returnflag").alias("g_hi"), F.col("l_extendedprice").alias("hi")
+    )
+    bounded = (
+        li.join(F.broadcast(lo), li.l_returnflag == lo.g_lo)
+        .join(F.broadcast(hi), li.l_returnflag == hi.g_hi)
+        .select(
+            "l_returnflag",
+            F.expr("greatest(least(l_extendedprice, hi), lo)").alias("clamped"),
+            "lo",
+            "hi",
+        )
+    )
+    return bounded.groupBy("l_returnflag").agg(
+        F.expr(davg("clamped")).alias("winsorized_mean"),
+        F.first("lo").alias("p05_bound"),
+        F.first("hi").alias("p95_bound"),
+    )
+
+
+WINSORIZED_ORACLE = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+lo AS (SELECT l_returnflag AS g_lo, l_extendedprice AS lo FROM ranked
+       WHERE rn = greatest(1e0, ceil({_WINS_LO_Q} * n))),
+hi AS (SELECT l_returnflag AS g_hi, l_extendedprice AS hi FROM ranked
+       WHERE rn = ceil({_WINS_HI_Q} * n))
+SELECT l.l_returnflag,
+       {davg("greatest(least(l_extendedprice, hi), lo)")} AS winsorized_mean,
+       first(lo) AS p05_bound,
+       first(hi) AS p95_bound
+FROM lineitem l
+JOIN lo ON l.l_returnflag = g_lo
+JOIN hi ON l.l_returnflag = g_hi
+GROUP BY l.l_returnflag
+"""
+
+# --- hot-key skew report (cluster-planning introspection) ------------------
+#
+# The first question before running a big join at 100 TB: how skewed is
+# the key? This op reports the heaviest keys with their share of the
+# table — the direct input to the broadcast / salt / AQE-skew-join
+# decision (operators/skew.py). Counts are exact integers; the share is
+# one IEEE division — engine-exact.
+
+_SKEW_TOP_K = 20
+
+
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.broadcast(counts.agg(F.sum("n_rows").cast("long").alias("total")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (
+        counts.crossJoin(total)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SKEW_TOP_K)
+        .select(
+            "rank",
+            "user_id",
+            "n_rows",
+            F.expr("cast(n_rows as double) / cast(total as double)").alias("share"),
+        )
+    )
+
+
+KEY_SKEW_ORACLE = f"""
+WITH counts AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+tot AS (SELECT cast(sum(n_rows) as bigint) AS total FROM counts),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank,
+         user_id, n_rows, cast(n_rows as double) / cast(total as double) AS share
+  FROM counts, tot
+)
+SELECT rank, user_id, n_rows, share FROM ranked WHERE rank <= {_SKEW_TOP_K}
+"""
+
+
 SUITE = {
     "rollup_revenue": QuerySpec("rollup_revenue", rollup_revenue, ROLLUP_ORACLE, "ROLLUP hierarchy totals (D16)"),
+    "winsorized_price_mean": QuerySpec(
+        "winsorized_price_mean", winsorized_price_mean, WINSORIZED_ORACLE,
+        "rank-based winsorized mean (robust statistics; engine-exact bounds)",
+    ),
+    "key_skew_stats": QuerySpec(
+        "key_skew_stats", key_skew_stats, KEY_SKEW_ORACLE,
+        "hot-key skew report: top-20 keys with exact share of table",
+    ),
     "cube_revenue": QuerySpec("cube_revenue", cube_revenue, CUBE_ORACLE, "CUBE grouping sets (D16)"),
     "linreg_by_flag": QuerySpec(
         "linreg_by_flag", linreg_by_flag, _OLS_BODY,

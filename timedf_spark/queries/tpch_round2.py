@@ -207,7 +207,88 @@ ORDER BY p_partkey, s_suppkey
 """
 
 
+# --- Q20 shape: correlated scalar threshold inside a semi-join chain -------
+#
+# TPC-H Q20 finds suppliers whose stocked quantity of a part exceeds half
+# of what they shipped of it in a year (correlated scalar subquery inside
+# IN inside IN). The schema has no partsupp (TESTDATA.md), so the adapted
+# predicate compares the same (supplier, part) pair at two granularities:
+# 1997 shipments vs all-time shipments — same decorrelated plan shape:
+# two aggregates over the same key, an equality join between them (both
+# sides pre-reduced → aggregate⋈aggregate, never fact⋈fact), then a
+# semi-join up to the supplier dimension.
+
+_Q20_YEAR = (
+    "l_shipdate >= timestamp '1997-01-01 00:00:00' "
+    "and l_shipdate < timestamp '1998-01-01 00:00:00'"
+)
+_Q20_QTY = dsum("l_quantity")
+
+
+def concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with some part for which 1997 shipments exceed half of
+    their all-time shipments of that part (Q20's decorrelated shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    year_qty = (
+        li.filter(_Q20_YEAR)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(_Q20_QTY).alias("qty_1997"))
+    )
+    total_qty = (
+        li.groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(F.expr(_Q20_QTY).alias("qty_all"), F.count(F.lit(1)).alias("n_ship"))
+        # concentration is only meaningful for repeatedly-shipped pairs —
+        # single-shipment pairs pass the ratio trivially
+        .filter(F.col("n_ship") >= 3)
+    )
+    hot = (
+        year_qty.join(
+            total_qty,
+            (year_qty.l_suppkey == total_qty.sk) & (year_qty.l_partkey == total_qty.pk),
+        )
+        .filter(F.col("qty_1997") > F.col("qty_all") * F.lit(0.5))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+CONCENTRATED_ORACLE = f"""
+WITH year_qty AS (
+  SELECT l_suppkey, l_partkey, {_Q20_QTY} AS qty_1997
+  FROM lineitem WHERE {_Q20_YEAR}
+  GROUP BY l_suppkey, l_partkey
+),
+total_qty AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk, {_Q20_QTY} AS qty_all
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+  HAVING count(*) >= 3
+),
+hot AS (
+  SELECT DISTINCT l_suppkey FROM year_qty
+  JOIN total_qty ON l_suppkey = sk AND l_partkey = pk
+  WHERE qty_1997 > qty_all * 0.5
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+ORDER BY s_suppkey
+"""
+
+
 SUITE = {
+    "concentrated_suppliers": QuerySpec(
+        "concentrated_suppliers",
+        concentrated_suppliers,
+        CONCENTRATED_ORACLE,
+        "TPC-H Q20: correlated scalar threshold decorrelated into aggregate⋈aggregate + semi-join",
+    ),
     "priority_line_counts": QuerySpec(
         "priority_line_counts",
         priority_line_counts,

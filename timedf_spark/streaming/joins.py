@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attribution_join", "attribution_join_batch"]
+__all__ = ["attribution_join", "attribution_join_batch", "enrichment_join", "user_dim"]
 
 WATERMARK = "10 minutes"
 ATTRIBUTION_WINDOW_MIN = 30
@@ -73,3 +73,41 @@ def attribution_join_batch(events: DataFrame) -> DataFrame:
     """Batch twin: identical condition on static frames."""
     clicks, purchases = _sides(events)
     return clicks.join(purchases, _condition(), "inner").select(*_OUT_COLS)
+
+
+# --- stream-static enrichment join ----------------------------------------
+#
+# The other canonical streaming join: an unbounded fact stream enriched
+# against a bounded dimension table. No watermark is required — the static
+# side is not stateful; Spark re-plans it per micro-batch and (dimension-
+# sized) broadcasts it, so the stream side never shuffles for the join.
+# At 100 TB/day stream rates this is THE join shape to prefer whenever the
+# dimension fits the broadcast threshold; the stream-stream interval join
+# above is the fallback when both sides are unbounded.
+
+_USER_SEGMENTS = 8
+
+
+def user_dim(spark, n_users: int = 10_000) -> DataFrame:
+    """Deterministic synthetic user dimension (user_id, segment, tier) —
+    stands in for any slowly-changing dimension loaded from a table."""
+    return spark.range(n_users).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % _USER_SEGMENTS).cast("int").alias("segment"),
+        F.when(F.col("id") % 100 < 5, "premium").otherwise("standard").alias("tier"),
+    )
+
+
+def enrichment_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Streaming events ⋈ static user dimension (left join keeps events
+    whose user is missing from the dimension — NULL-extended, matching
+    the batch twin). Works identically on a batch ``events`` frame."""
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "segment",
+        "tier",
+    )
