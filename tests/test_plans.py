@@ -78,13 +78,15 @@ def test_pure_filter_has_no_shuffle(spark):
 
 
 def test_plasticc_multi_agg_single_aggregation_pass(spark):
-    """The 13-aggregate groupBy must stay ONE aggregation (pairs of
-    partial/final HashAggregate around one exchange), not one pass per
-    aggregate."""
+    """The 13-aggregate groupBy incl. two-pass skew must execute in ONE
+    key shuffle: pass 1 (mean/range) is a window over PARTITION BY key and
+    the final groupBy reuses the window's exchange. Allowed exchanges:
+    the window's hash exchange + fan_out's bounded round-robin. No join
+    anywhere — the naive two-pass form joins the means back."""
     plan = _executed_plan(spark, "plasticc_multi_agg")
-    # two-pass skew needs mean+range first: allow the join of the two
-    # passes, but each pass must itself be a single partial/final pair
-    assert plan.count("Exchange") <= 4, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_sessionize_single_partition_shuffle(spark):
@@ -159,3 +161,43 @@ def test_connected_components_round_is_linear(spark):
     plan = _executed_plan(spark, "dedup_clusters")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q2_argmin_join_back_broadcasts_aggregates(spark):
+    """min_cost_supplier: the per-part minima and the supplier dimension
+    join as broadcasts onto the (part, supplier) aggregate — the fact
+    table shuffles only for its own aggregation, never for a join."""
+    plan = _executed_plan(spark, "min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q14_scalar_aggregation_is_partial_final(spark):
+    """promo_revenue_share collapses to one row: the plan must be a
+    partial+final agg over the broadcast part join — a SortMergeJoin or a
+    global sort here would shuffle the fact for no reason."""
+    plan = _executed_plan(spark, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_interpolation_windows_share_one_sort(spark):
+    """interpolate_hourly evaluates both unbounded-frame window passes
+    (past carry + future carry) over the same (event_type, h) ordering —
+    Spark must not re-sort or re-shuffle between them."""
+    plan = _executed_plan(spark, "interpolate_hourly")
+    # the grid join needs its exchanges; the two window frames over the
+    # grid must add at most ONE more (their shared partitioning)
+    assert plan.count("Window") >= 2, plan
+    grid_and_windows = plan.split("Window")[0]
+    assert grid_and_windows.count("Sort") <= 2, plan
+
+
+def test_charlm_corpus_never_shuffles_for_model_join(spark):
+    """charlm_score joins the vocabulary-sized model onto the exploded
+    corpus bigrams as a broadcast — a shuffle of the bigram stream would
+    move the whole corpus over the network."""
+    plan = _executed_plan(spark, "charlm_score")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
