@@ -118,6 +118,49 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert row["rv_exp"] == pytest.approx(row["rv_got"]), row
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_pandas(spark, direction):
+    """forward / nearest directions vs pandas merge_asof on the same
+    randomized problem (backward is covered above)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 200), unit="s"),
+            "lid": np.arange(200),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 80), unit="s"),
+            "rv": rng.normal(size=80),
+        }
+    )
+    right = right.drop_duplicates(subset=["k", "t"]).sort_values("t").reset_index(drop=True)
+
+    expected = pd.merge_asof(
+        left, right, on="t", by="k", allow_exact_matches=True, direction=direction
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="k",
+        ts="t",
+        carry_cols=["rv"],
+        direction=direction,
+    ).toPandas()
+    merged = expected.merge(got, on="lid", suffixes=("_exp", "_got"))
+    assert len(merged) == len(expected)
+    for _, row in merged.iterrows():
+        if pd.isna(row["rv_exp"]):
+            assert pd.isna(row["rv_got"]), row
+        else:
+            assert row["rv_exp"] == pytest.approx(row["rv_got"]), row
+
+
 def test_one_hot_parity(spark, sf_dir):
     from timedf_spark import ml
 

@@ -297,6 +297,53 @@ GROUP BY e.error_id
 """
 
 
+# --- forward as-of join (merge_asof direction='forward') -------------------
+#
+# The mirror of asof_click_purchase: for every click, the user's NEXT
+# error at-or-after it — the time-to-failure shape. Same union-window
+# implementation (operators/asof.py, direction='forward'), same single
+# key shuffle. The oracle is the decorrelated min-over-range twin.
+
+
+def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = (
+        events.filter("event_type = 'error'")
+        .groupBy("user_id", "ts")  # unique (key, ts) — ASOF tie rule
+        .agg(F.expr("min_by(value, event_id)").alias("err_value"))
+        .withColumn("err_ts", F.col("ts"))
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", ts="ts",
+        carry_cols=["err_ts", "err_value"], direction="forward",
+    )
+    return out.select(
+        "click_id", "user_id", F.col("ts").alias("click_ts"), "err_ts", "err_value"
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH errors_d AS (
+  SELECT user_id, ts, arg_min(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+nxt AS (
+  SELECT c.user_id, c.ts, c.click_id, min(e.ts) AS err_ts
+  FROM clicks c LEFT JOIN errors_d e
+    ON e.user_id = c.user_id AND e.ts >= c.ts
+  GROUP BY c.user_id, c.ts, c.click_id
+)
+SELECT n.click_id, n.user_id, n.ts AS click_ts, n.err_ts, e.err_value
+FROM nxt n LEFT JOIN errors_d e ON e.user_id = n.user_id AND e.ts = n.err_ts
+"""
+
+
 # --- rank-based winsorized mean (robust statistics, two-pass) --------------
 #
 # Winsorization clamps a metric to its per-group [p05, p95] before
@@ -416,6 +463,10 @@ SELECT rank, user_id, n_rows, share FROM ranked WHERE rank <= {_SKEW_TOP_K}
 
 SUITE = {
     "rollup_revenue": QuerySpec("rollup_revenue", rollup_revenue, ROLLUP_ORACLE, "ROLLUP hierarchy totals (D16)"),
+    "asof_next_error": QuerySpec(
+        "asof_next_error", asof_next_error, ASOF_FORWARD_ORACLE,
+        "forward as-of join: next error per click (merge_asof direction=forward)",
+    ),
     "winsorized_price_mean": QuerySpec(
         "winsorized_price_mean", winsorized_price_mean, WINSORIZED_ORACLE,
         "rank-based winsorized mean (robust statistics; engine-exact bounds)",
