@@ -67,7 +67,12 @@ def charlm_doc_scores(
     """(doc_id, n_bigrams, charlm_score): mean conditional char-bigram
     probability of each document under the corpus-trained model.
     Documents shorter than 2 chars are excluded (no bigrams to score)."""
-    bg = _bigrams(docs, id_col, text_col)
+    # the exploded bigram frame feeds BOTH the model aggregation and the
+    # scoring join — persist it (memory-and-disk) so the explode runs once
+    # per execution instead of twice. At cluster scale this is the
+    # standard cache-vs-recompute call for a reused expensive projection;
+    # spill-to-disk keeps it safe when the exploded frame exceeds memory.
+    bg = _bigrams(docs, id_col, text_col).cache()
     model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n"))
     pref = model.groupBy(F.substring("bg", 1, 1).alias("c")).agg(
         F.sum("n").alias("np")
