@@ -306,6 +306,49 @@ FROM emb GROUP BY label
 """
 
 
+# ---- per-label embedding centroids (vector aggregation) -------------------
+#
+# The classifier-data-quality primitive: the mean vector per label. The
+# vector aggregate is expressed as posexplode → per-(label, dimension)
+# quantized mean — one shuffle keyed by (label, dim), partial aggregation
+# collapses the exploded rows map-side, so the shuffle carries
+# labels × dims rows, not vectors × dims. Output is LONG format (one row
+# per label per dimension): scalar doubles hash identically across
+# engines, where an array column's serialization would not. Reassembling
+# the array (array_agg ordered by dim) is one more map-side step when a
+# consumer needs it.
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        emb.select("label", (F.col("pos") + 1).alias("dim_idx"),
+                   F.col("v").cast("double").alias("v"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(davg("v", scale=8)).alias("centroid_val"),
+        )
+    )
+
+
+LABEL_CENTROIDS_ORACLE = f"""
+WITH exploded AS (
+  SELECT label, cast(i as bigint) AS dim_idx, cast(embedding[i] as double) AS v
+  FROM (
+    SELECT label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+)
+SELECT label, dim_idx, count(*) AS n_vectors,
+       {davg('v', scale=8)} AS centroid_val
+FROM exploded GROUP BY label, dim_idx
+"""
+
+
 # ---- stratified split (K1, exact/systematic) ------------------------------
 #
 # sklearn's stratified split (ref: benchmark_utils.py:118-155) takes exact
@@ -481,6 +524,10 @@ SUITE = {
     "embedding_stats": QuerySpec(
         "embedding_stats", _embedding_stats, EMB_STATS_ORACLE,
         "array-column aggregation per label",
+    ),
+    "label_centroids": QuerySpec(
+        "label_centroids", _label_centroids, LABEL_CENTROIDS_ORACLE,
+        "per-label centroid vectors via posexplode + per-dimension quantized mean",
     ),
     "stratified_split": QuerySpec(
         "stratified_split", _stratified_split, _SPLIT_SQL_BODY,
