@@ -32,7 +32,24 @@ ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark(app_name="timedf_spark_bench")
+    # Aggressive periodic ContextCleaner GC: in one long session running
+    # 80+ queries, shuffle files and broadcast blocks are only reclaimed
+    # when a JVM GC collects their references — with a 24g heap that can
+    # take the whole suite, so later queries run on a fragmented heap next
+    # to gigabytes of dead shuffle state (observed as 2-5x run-to-run
+    # variance on the tail). A 30s cleaner cadence bounds the drift.
+    # ...and a larger JIT code cache: 85 queries x several codegen stages
+    # exceed the JVM's default 240 MB reserved code cache, and when it
+    # fills the compiler shuts off — whichever query is running then
+    # executes interpreted for several iterations (observed as a
+    # migrating 5-8s spike on exactly one query per bench run).
+    spark = get_spark(
+        app_name="timedf_spark_bench",
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "30s",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        },
+    )
     specs = all_queries()
 
     # Scan baseline: read+materialize every table once, no operator work —
