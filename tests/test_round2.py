@@ -136,3 +136,29 @@ def test_promo_share_bounded(spark, sf_dir):
     row = promo_revenue_share(spark, sf_dir).collect()[0]
     assert 0.0 <= row["promo_share_pct"] <= 100.0
     assert row["total_revenue"] > 0
+
+
+def test_merge_changes_semantics(spark):
+    from timedf_spark.operators.merge import merge_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, val double",
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 21.0, "U"), (3, None, None, "D"), (4, "d", 40.0, "I")],
+        "k long, name string, val double, op string",
+    )
+    got = {r["k"]: (r["name"], r["val"]) for r in merge_changes(snap, changes, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 4: ("d", 40.0)}
+
+
+def test_merge_changes_strict_rejects_ambiguous_batch(spark):
+    from timedf_spark.operators.merge import merge_changes
+
+    snap = spark.createDataFrame([(1, 1.0)], "k long, val double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, "U"), (1, 3.0, "U")], "k long, val double, op string"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_changes(snap, changes, "k", strict=True)

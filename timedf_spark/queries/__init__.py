@@ -27,6 +27,7 @@ def all_queries() -> dict[str, QuerySpec]:
         advanced,
         curation_suite,
         extension,
+        lakehouse,
         ml_etl,
         plasticc,
         taxi,
@@ -38,7 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
