@@ -162,3 +162,39 @@ def test_merge_changes_strict_rejects_ambiguous_batch(spark):
     )
     with pytest.raises(ValueError, match="ambiguous"):
         merge_changes(snap, changes, "k", strict=True)
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    import datetime as dt
+
+    import timedf_spark.queries.timeseries as ts_mod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=h), eid, st)
+        for eid, (h, st) in enumerate(
+            [(0, "a"), (1, "a"), (2, "b"), (3, "a"), (4, "a"), (5, "a")]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    orig = ts_mod.load_table
+    try:
+        ts_mod.load_table = lambda _s, _d, _n: ev
+        got = sorted(
+            ts_mod.scd2_history(spark, "unused").collect(),
+            key=lambda r: r["valid_from"],
+        )
+    finally:
+        ts_mod.load_table = orig
+    # runs: a(2 rows), b(1), a(3) — consecutive duplicates collapsed, but
+    # the re-appearance of 'a' is a NEW interval
+    assert [(r["state"], r["n_events"], r["is_current"]) for r in got] == [
+        ("a", 2, False),
+        ("b", 1, False),
+        ("a", 3, True),
+    ]
+    assert got[0]["valid_to"] == got[1]["valid_from"]
+    assert got[1]["valid_to"] == got[2]["valid_from"]
+    assert got[2]["valid_to"] is None

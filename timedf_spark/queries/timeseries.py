@@ -172,7 +172,91 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- SCD2 history build (gaps-and-islands) ---------------------------------
+#
+# Build a type-2 slowly-changing-dimension history from an event log:
+# treat each user's event_type as an attribute whose changes over time
+# must become validity intervals [valid_from, valid_to). Two classic
+# sub-shapes compose:
+#   islands — collapse runs of consecutive identical values with the
+#     lag-compare + running-sum trick (a change flag per row, summed to an
+#     island id) — NO self-join per run;
+#   intervals — valid_to = lead(valid_from) over the user, NULL for the
+#     open current row.
+# All three window functions share the (user_id, ts) sort — one shuffle,
+# one sort. Engine-exact: timestamps, strings, and integer island ids
+# only. At 100 TB this is the standard CDC-to-dimension compaction; the
+# window state is O(1) per partition stream.
+
+_TIE = "event_id"  # total order within equal timestamps
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", _TIE)
+    changed = F.when(
+        F.lag("state").over(order).isNull()
+        | (F.lag("state").over(order) != F.col("state")),
+        1,
+    ).otherwise(0)
+    islands = ev.withColumn("chg", changed).withColumn(
+        "island",
+        F.sum("chg").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.first("state").alias("state"),  # constant within the island
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    seq = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return spans.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(seq).alias("valid_to"),
+        "n_events",
+        (F.lead("valid_from").over(seq).isNull()).alias("is_current"),
+    )
+
+
+SCD2_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, {_TIE})
+),
+islands AS (
+  SELECT user_id, ts, state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, {_TIE}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, island, first(state) AS state, min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER s AS valid_to,
+       n_events,
+       lead(valid_from) OVER s IS NULL AS is_current
+FROM spans
+WINDOW s AS (PARTITION BY user_id ORDER BY valid_from, island)
+"""
+
+
 SUITE = {
+    "scd2_history": QuerySpec(
+        "scd2_history",
+        scd2_history,
+        SCD2_ORACLE,
+        "SCD2 history from an event log: gaps-and-islands collapse + lead() validity intervals",
+    ),
     "interpolate_hourly": QuerySpec(
         "interpolate_hourly",
         interpolate_hourly,
