@@ -99,14 +99,33 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in per_query.values() if t > 0), 4)
+    detail = {
+        "metric": "sum_of_median_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "scan_baseline_sec": scan_baseline,
+    }
+    # The driver captures only the TAIL of stdout; the full detail line for
+    # 85+ queries is ~3 KB and was truncated mid-stream in round 2
+    # (BENCH_r02 parsed: null). Print the detail first for humans/logs,
+    # persist it to BENCH_local.json, and END with a compact (<120 byte)
+    # line that always fits inside any tail window.
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "sum_of_median_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
+                "n_queries": len(per_query),
                 "scan_baseline_sec": scan_baseline,
             }
         )
