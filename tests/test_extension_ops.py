@@ -241,3 +241,26 @@ def test_connected_components_star_chain_converges(spark):
     got = connected_components_star(vdf, edf, max_rounds=12).collect()
     assert len(got) == n
     assert all(r["component"] == 0 for r in got)
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark, sf_dir):
+    """max_doc_freq drops shingles shared by > f docs before pairing.
+    Differential check against the DuckDB oracle with the same cutoff, plus
+    the structural property: guarded pairs are computed over filtered
+    shingle sets, so no pair's n_common may exceed the unguarded one."""
+    from tests.oracle_compare import compare, duckdb_connection
+
+    docs = load_table(spark, sf_dir, "documents")
+    guarded = dedup.ngram_jaccard_pairs_df(docs, max_doc_freq=2)
+    con = duckdb_connection(sf_dir)
+    issues = compare(guarded, con, dedup.ngram_jaccard_sql(max_doc_freq=2))
+    assert issues == [], issues
+
+    base = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in dedup.ngram_jaccard_pairs_df(docs).collect()
+    }
+    for r in guarded.collect():
+        key = (r["doc_a"], r["doc_b"])
+        if key in base:
+            assert r["n_common"] <= base[key]

@@ -201,3 +201,40 @@ def test_charlm_corpus_never_shuffles_for_model_join(spark):
     plan = _executed_plan(spark, "charlm_score")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_curate_corpus_near_dup_is_lsh_banded(spark):
+    """curate_corpus's near-dup stage must be the LSH tier: candidate
+    generation via equi-join on (band, band_key). The round-2 composition
+    used the exact inverted-index self-join — quadratic per hot shingle —
+    which is banned from this pipeline at scale. The downstream
+    connected-components checkpoint hides the pair subplan from the
+    end-to-end executed plan, so the audit targets the named stage
+    (curate_near_dup_pairs) plus a source-level composition check."""
+    import inspect
+
+    from timedf_spark.queries import extension
+    from timedf_spark.sources import load_table
+
+    # (1) composition: the pipeline calls the LSH stage, not the exact tier
+    body = inspect.getsource(extension._curate_corpus)
+    assert "curate_near_dup_pairs" in body
+    assert "ngram_jaccard_pairs_df" not in body  # the exact quadratic tier
+
+    # (2) plan shape of that stage: banded equi-join, no cartesian, and the
+    # only sh=sh join is the candidate-bounded verification join
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = extension.curate_near_dup_pairs(docs)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "band_key" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\], \[([^\]]*)\]", plan):
+        left_keys = m.group(2)
+        assert not (
+            left_keys.startswith("sh#") and "," not in left_keys
+        ), f"unbounded shingle self-join in curate pair stage: {m.group(0)}"

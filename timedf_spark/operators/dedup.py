@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs_df",
     "ngram_jaccard_sql",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_df",
     "minhash_lsh_sql",
     "simhash64",
 ]
@@ -101,14 +102,39 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_df(
-    docs: DataFrame, k: int = _K, threshold: float = _JACCARD_THRESHOLD
+    docs: DataFrame,
+    k: int = _K,
+    threshold: float = _JACCARD_THRESHOLD,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Core of ngram_jaccard_pairs over any (doc_id, text) frame — used
-    directly by composite pipelines (e.g. curate_corpus) that dedup a
-    filtered subset rather than the raw table."""
+    directly by composite pipelines that dedup a filtered subset rather
+    than the raw table.
+
+    ``max_doc_freq``: optional hot-shingle guard — drop shingles appearing
+    in more than this many documents BEFORE pairing (common-shingle removal,
+    as in Broder-style near-dup pipelines). This bounds the inverted-index
+    self-join's per-shingle blowup at O(f²) instead of O(docs²), which is
+    what keeps the exact tier usable beyond toy scale: stopword shingles
+    shared by millions of docs would otherwise dominate the join. SEMANTICS
+    CHANGE: Jaccard is then computed over the *filtered* shingle sets (both
+    n_common and the set sizes exclude hot shingles), so scores for pairs
+    whose overlap was mostly-common shingles drop — deliberately: such
+    overlap is boilerplate, not near-duplication.
+    """
     sh = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
     ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
+    if max_doc_freq is not None:
+        # Heavy hitters are few by definition (df > f) → broadcast anti-join;
+        # costs one extra agg over sh but removes the quadratic hot buckets.
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sh = sh.cache()  # reused by both join sides + sizes (same as minhash)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -129,17 +155,31 @@ def ngram_jaccard_pairs_df(
 
 
 def ngram_jaccard_sql(
-    k: int = _K, threshold: float = _JACCARD_THRESHOLD, src: str = "documents"
+    k: int = _K,
+    threshold: float = _JACCARD_THRESHOLD,
+    src: str = "documents",
+    max_doc_freq: int | None = None,
 ) -> str:
-    """DuckDB oracle; ``src`` may be any table/CTE name with (doc_id, text)."""
+    """DuckDB oracle; ``src`` may be any table/CTE name with (doc_id, text).
+    ``max_doc_freq`` mirrors the hot-shingle guard in ngram_jaccard_pairs_df."""
     sh = shingle_expr_duckdb("text", k)
+    guard = (
+        f"""
+sh AS (
+  SELECT doc_id, sh FROM sh_all
+  WHERE sh NOT IN (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > {max_doc_freq})
+),"""
+        if max_doc_freq is not None
+        else """
+sh AS (SELECT doc_id, sh FROM sh_all),"""
+    )
     return f"""
 WITH shs AS (
   SELECT doc_id, unnest(list_distinct({sh})) AS s FROM {src}
 ),
-sh AS (
+sh_all AS (
   SELECT doc_id, {_HASH60_DUCK} AS sh FROM shs
-),
+),{guard}
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -197,8 +237,25 @@ def minhash_lsh_pairs(
     100 TB: no pairwise comparisons outside hash buckets).
     Verification: exact Jaccard on the candidates only.
     """
+    return minhash_lsh_pairs_df(
+        load_table(spark, sf_dir, "documents"),
+        k=k,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def minhash_lsh_pairs_df(
+    docs: DataFrame,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Core of minhash_lsh_pairs over any (doc_id, text) frame — the
+    scale-safe near-dup tier composite pipelines (curate_corpus) run."""
     rows_per_band = n_hashes // bands
-    docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
     ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
@@ -273,8 +330,13 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_sql(
-    k: int = _K, n_hashes: int = _N_HASHES, bands: int = _BANDS, threshold: float = _JACCARD_THRESHOLD
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+    src: str = "documents",
 ) -> str:
+    """DuckDB oracle; ``src`` may be any table/CTE name with (doc_id, text)."""
     rows_per_band = n_hashes // bands
     sh = shingle_expr_duckdb("text", k)
     base = "(sh // 4294967296)"
@@ -290,7 +352,7 @@ def minhash_lsh_sql(
     )
     return f"""
 WITH shs AS (
-  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+  SELECT doc_id, unnest(list_distinct({sh})) AS s FROM {src}
 ),
 sh AS (
   SELECT doc_id, {_HASH60_DUCK} AS sh FROM shs

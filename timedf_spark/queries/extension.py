@@ -186,20 +186,34 @@ FROM packed WHERE cum_tokens <= {_TOKEN_BUDGET}
 _CURATE_QUALITY_MIN = 0.5
 
 
+def curate_near_dup_pairs(qx: DataFrame) -> DataFrame:
+    """The near-dup stage curate_corpus composes: the MinHash-LSH tier.
+    Exposed as a named stage so the plan test can audit the candidate join
+    shape directly (the connected-components checkpoint downstream hides
+    this subplan from the end-to-end executed plan)."""
+    return dedup.minhash_lsh_pairs_df(qx.select("doc_id", "text")).select("doc_a", "doc_b")
+
+
 def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite op a training-data pipeline actually runs, end to end:
 
         quality-score → filter → exact dedup (md5 keeper) →
-        near-dup clusters (Jaccard pairs → connected components) →
+        near-dup clusters (MinHash-LSH pairs → connected components) →
         keep one representative per cluster
 
     Output: surviving doc_id with its token count and quality score.
 
     Scale shape: scoring+filter is one codegen'd scan (shrinks everything
     downstream — the cheapest stage runs first); exact dedup shuffles
-    16-byte digests; the near-dup tiers then see only quality-passing,
-    exact-unique survivors. Each stage is the already-audited operator —
-    composition adds no new shuffle beyond the keeper joins.
+    16-byte digests; the near-dup stage is the LSH tier — candidate
+    generation is an equi-join on (band, band_key), NEVER a shingle-bucket
+    self-join, so a hot stopword shingle shared by millions of docs costs
+    one aggregate row, not O(docs²) pairs. (Round 2 composed the exact
+    Jaccard tier here; that inverted-index self-join is quadratic per hot
+    shingle — a 100 TB scale-killer. The exact tier remains available as
+    ngram_jaccard_pairs, the documented oracle baseline.) The oracle below
+    runs the SAME md5-family MinHash banding in DuckDB, so candidates —
+    and therefore clusters — match exactly, not just approximately.
     """
     docs = load_table(spark, sf_dir, "documents")
     scored = with_text_stats(docs).select("doc_id", "text", "n_tokens", "quality_score")
@@ -210,7 +224,7 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     qx = q.join(keep_exact, "doc_id").cache()
-    pairs = dedup.ngram_jaccard_pairs_df(qx.select("doc_id", "text")).select("doc_a", "doc_b")
+    pairs = curate_near_dup_pairs(qx)
     comp = cluster.connected_components(qx.select("doc_id"), pairs)
     keepers = comp.filter(F.col("vertex") == F.col("component")).select(
         F.col("vertex").alias("doc_id")
@@ -229,7 +243,7 @@ def _curate_corpus_oracle() -> str:
         f"cast(len(list_filter({toks}, w -> w in ({_text._sql_list(_text.STOPWORDS)}))) as bigint) AS n_stop "
         "FROM documents"
     )
-    pairs_sql = dedup.ngram_jaccard_sql(src="qx")
+    pairs_sql = dedup.minhash_lsh_sql(src="qx")
     return f"""
 WITH RECURSIVE
 stats AS ({stats}),
