@@ -150,3 +150,46 @@ def test_logistic_irls_matches_numpy_newton(spark):
     pred = ml.predict_logistic(sdf, ["x1", "x2"], theta)
     mean_p = pred.agg(F.avg("probability")).first()[0]
     assert mean_p == pytest.approx(float(y.mean()), abs=0.01)
+
+
+def test_gbt_beats_ridge_on_nonlinear_target(spark):
+    """fit_gbt must be real tree boosting: on a piecewise target
+    (|x - 5|) a linear model is structurally unable to fit (symmetry makes
+    the best line flat), while depth-limited boosted trees approximate it
+    closely. Pins that the K4 stage is genuinely non-linear learning."""
+    df = spark.range(2000).select(
+        (F.col("id") % 100 / 10.0).alias("x"),
+        F.abs(F.col("id") % 100 / 10.0 - 5.0).alias("y"),
+    )
+    model = ml.fit_gbt(df, ["x"], "y", max_iter=20, max_depth=4)
+    pred = ml.predict_assembled(model, df, ["x"])
+    gbt_rmse = pred.select(F.sqrt(F.avg((F.col("prediction") - F.col("y")) ** 2))).first()[0]
+    theta = ml.fit_ridge(df, ["x"], "y")
+    ridge_rmse = (
+        ml.predict_ridge(df, ["x"], theta)
+        .select(F.sqrt(F.avg((F.col("prediction") - F.col("y")) ** 2)))
+        .first()[0]
+    )
+    assert gbt_rmse < 0.3 * ridge_rmse, (gbt_rmse, ridge_rmse)
+
+
+def test_taxi_gbt_workload_end_to_end(spark, sf_dir):
+    """K4 pipeline (ny_taxi_ml.py:222-258 shape): features → split → GBT
+    train → predict; RMSE is finite and the summary schema is stable."""
+    from timedf_spark.queries.ml_train import gbt_taxi_train
+
+    row = gbt_taxi_train(spark, sf_dir).first()
+    assert row["n_test"] > 0
+    assert math.isfinite(row["rmse"])
+    assert row["n_trees"] == 10
+
+
+def test_plasticc_forest_beats_uniform_logloss(spark, sf_dir):
+    """K5 pipeline (plasticc_pandas_modin.py:163-228 shape): multi-class
+    forest + weighted logloss. Learnable quartile label → the loss must be
+    well below the uniform-prior baseline ln(4)."""
+    from timedf_spark.queries.ml_train import plasticc_forest_train
+
+    row = plasticc_forest_train(spark, sf_dir).first()
+    assert row["n_classes"] == 4
+    assert row["logloss"] < 0.7 * math.log(4), row["logloss"]

@@ -115,15 +115,17 @@ def _ml_stages() -> list[tuple[str, StageFn]]:
         return train
 
     def train(spark, sf_dir, state):
-        import pyspark.sql.functions as F
-
-        df = state["train"].withColumn("target", F.col("price_k") * 2.0 + F.col("o_day") * 0.1)
-        theta = ml.fit_ridge(df, ["price_k", "o_day", "dist"], "target")
-        state["theta"] = theta
+        # K4 completion: distributed GBT regression (ny_taxi_ml.py:222-258
+        # ends in xgb.train; stock Spark ML supplies the boosted trees here)
+        state["model"] = ml.fit_gbt(
+            state["train"], ["price_k", "o_day", "price_grid"], "dist", max_iter=10
+        )
         return None
 
     def predict(spark, sf_dir, state):
-        return ml.predict_ridge(state["test"], ["price_k", "o_day", "dist"], state["theta"])
+        return ml.predict_assembled(
+            state["model"], state["test"], ["price_k", "o_day", "price_grid"]
+        )
 
     return [
         ("filter_df", filter_df),
@@ -136,11 +138,17 @@ def _ml_stages() -> list[tuple[str, StageFn]]:
 
 def _plasticc_stages() -> list[tuple[str, StageFn]]:
     from timedf_spark.queries import plasticc
+    from timedf_spark.queries.ml_train import plasticc_forest_train
 
     def etl(spark, sf_dir, state):
         return plasticc.etl_features_join(spark, sf_dir)
 
-    return [("t_etl", etl)]
+    def train(spark, sf_dir, state):
+        # K5 completion: multi-class forest + weighted logloss (the
+        # reference's t_ml stage, plasticc_pandas_modin.py:163-228)
+        return plasticc_forest_train(spark, sf_dir)
+
+    return [("t_etl", etl), ("t_ml", train)]
 
 
 register(Workload("ny_taxi", _taxi_stages(), "4 OLAP aggregation queries (D1-D4)"))

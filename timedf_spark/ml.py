@@ -5,10 +5,13 @@ weights, XGBoost train/predict, and a custom weighted multi-class log-loss
 (plasticc_pandas_modin.py:92-228, benchmark_utils.py:118-155). Here:
 
 - splits/encoding/metric are distributed DataFrame ops (no sklearn);
-- the trainer is a closed-form distributed ridge regression — the normal
-  equations reduce to ONE aggregation over feature products (a single scan
-  + tiny driver solve), which scales to any row count and keeps this repo
-  dependency-free;
+- linear trainers: closed-form distributed ridge (one aggregation pass)
+  and IRLS logistic — dependency-free, exactly testable against numpy;
+- tree trainers: ``fit_gbt`` (pyspark.ml GBTRegressor) completes the
+  taxi_ml regression stage and ``fit_multiclass_forest``
+  (RandomForestClassifier, native softprob) the plasticc multi-class
+  stage — stock Spark ML, fully distributed, evaluated with the same
+  weighted log-loss the reference plugs into XGBoost;
 - ``xgboost.spark`` integration is feature-gated: ``fit_xgboost`` uses the
   distributed SparkXGBRegressor/Classifier when the library exists and
   raises a clear error here (not installed in this container).
@@ -32,6 +35,10 @@ __all__ = [
     "predict_ridge",
     "fit_logistic",
     "predict_logistic",
+    "fit_gbt",
+    "predict_assembled",
+    "fit_multiclass_forest",
+    "predict_multiclass_forest",
     "fit_xgboost",
 ]
 
@@ -316,6 +323,92 @@ def predict_logistic(
     for c, t in zip(feature_cols, theta[:-1]):
         eta = eta + F.col(c) * F.lit(float(t))
     return df.withColumn("probability", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
+
+
+def _assemble(df: DataFrame, feature_cols: Sequence[str]) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features", handleInvalid="skip"
+    ).transform(df)
+
+
+def fit_gbt(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str,
+    max_iter: int = 20,
+    max_depth: int = 5,
+    step_size: float = 0.1,
+    seed: int = 42,
+):
+    """Gradient-boosted-tree regression via stock Spark ML — the in-sandbox
+    completion of the reference's XGBoost train stage (K4,
+    ny_taxi_ml.py:222-258: reg:squarederror, hist, 100 rounds). Same
+    algorithmic family (boosted depth-limited trees, distributed histogram
+    split search); trained by ``pyspark.ml.regression.GBTRegressor`` so the
+    whole stage — feature assembly, tree induction, prediction — runs on
+    the cluster. ``fit_xgboost`` remains the drop-in when the xgboost
+    library is present.
+
+    Returns the fitted GBTRegressionModel; score with
+    :func:`predict_assembled`.
+    """
+    from pyspark.ml.regression import GBTRegressor
+
+    est = GBTRegressor(
+        featuresCol="features",
+        labelCol=target_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=step_size,
+        seed=seed,
+    )
+    return est.fit(_assemble(df, feature_cols))
+
+
+def predict_assembled(model, df: DataFrame, feature_cols: Sequence[str]) -> DataFrame:
+    """Score any pyspark.ml model trained on an assembled ``features``
+    vector; adds its prediction columns to ``df``."""
+    return model.transform(_assemble(df, feature_cols))
+
+
+def fit_multiclass_forest(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label_idx",
+    num_trees: int = 40,
+    max_depth: int = 8,
+    seed: int = 42,
+):
+    """Multi-class tree-ensemble classifier — the in-sandbox completion of
+    plasticc's XGBoost stage (K5, plasticc_pandas_modin.py:163-228:
+    multi:softprob over 14 classes). Spark's GBTClassifier is binary-only,
+    so the multi-class ensemble is ``RandomForestClassifier`` (distributed
+    histogram trees, native multi-class softprob output) — evaluated with
+    the same :func:`weighted_multiclass_logloss` the reference plugs into
+    XGBoost as feval.
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+
+    est = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    return est.fit(_assemble(df, feature_cols))
+
+
+def predict_multiclass_forest(model, df: DataFrame, feature_cols: Sequence[str]) -> DataFrame:
+    """Score a multi-class forest; emits ``probs`` as array<double> (the
+    shape weighted_multiclass_logloss consumes) plus the argmax
+    ``prediction``."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(_assemble(df, feature_cols))
+    return scored.withColumn("probs", vector_to_array(F.col("probability")))
 
 
 def fit_xgboost(df: DataFrame, feature_cols: Sequence[str], target_col: str, **params):

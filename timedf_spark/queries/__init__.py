@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extension,
         lakehouse,
         ml_etl,
+        ml_train,
         plasticc,
         taxi,
         timeseries,
@@ -65,7 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec

@@ -1,0 +1,107 @@
+"""Train-stage queries (SURVEY.md §2 K4/K5): the reference workloads' ML
+endings, run end-to-end on the cluster.
+
+The reference's ny_taxi_ml and plasticc pipelines terminate in XGBoost
+train/predict (ny_taxi_ml.py:222-258; plasticc_pandas_modin.py:163-228).
+xgboost isn't installed in this container, so the distributed trainers are
+stock Spark ML (ml.fit_gbt / ml.fit_multiclass_forest — same
+boosted/ensemble-tree family, same evaluation metric). Iterative float
+training has no exact SQL twin, so these are rows-only driver checks; the
+pytest suite pins the learnable-signal behavior (GBT beats ridge on a
+nonlinear target; forest log-loss beats the uniform-prior baseline).
+
+Each query returns a ONE-ROW summary frame (counts + metrics) rather than
+raw per-row predictions: the driver's rows-only check needs a stable row
+count, and tree-ensemble scores are float-path-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark import ml
+from timedf_spark.queries import QuerySpec
+from timedf_spark.queries.ml_etl import ml_features
+from timedf_spark.queries.plasticc import etl_features_join
+
+# taxi_ml regression: predict the euclidean `dist` feature from the other
+# engineered columns — nonlinear in price_k, so trees have real signal to
+# find (and measurably beat the linear baseline; pinned in tests).
+_TAXI_FEATURES = ("price_k", "o_day", "price_grid")
+_TAXI_TARGET = "dist"
+
+
+def gbt_taxi_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 end-to-end: features → split → GBT train → predict → RMSE."""
+    feats = ml_features(spark, sf_dir).cache()
+    train, test = ml.random_split(feats, 0.2, seed=1, id_col="o_orderkey")
+    model = ml.fit_gbt(train, _TAXI_FEATURES, _TAXI_TARGET, max_iter=10)
+    pred = ml.predict_assembled(model, test, _TAXI_FEATURES)
+    out = pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sqrt(F.avg((F.col("prediction") - F.col(_TAXI_TARGET)) ** 2)).alias("rmse"),
+    ).withColumn("n_trees", F.lit(model.getNumTrees).cast("int"))
+    feats.unpersist()
+    return out
+
+
+# plasticc multi-class: the learnable label is the quartile class of
+# price_mean, predicted from the OTHER aggregate features (min/max/spread
+# correlate with the mean without determining it) — same mechanics as
+# plasticc's 14-way softprob, and the metric lands measurably below the
+# uniform-prior baseline ln(4), which is what the test pins. (p_brand is
+# random in the testdata — a brand label would only measure noise.)
+_PLASTICC_FEATURES = (
+    "price_min",
+    "price_max",
+    "price_diff",
+    "price_dif2",
+    "ship_span_days",
+)
+
+
+def plasticc_forest_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 end-to-end: ETL features → label encode → stratified-ish split →
+    forest train → softprob predict → weighted multi-class log-loss."""
+    base = etl_features_join(spark, sf_dir).filter(F.col("price_mean").isNotNull())
+    # Value-bucket label from approx quartiles (distributed sketch, 3
+    # doubles to the driver) — NOT ntile over a global window, which would
+    # be a single-partition sort at scale.
+    q1, q2, q3 = base.approxQuantile("price_mean", [0.25, 0.5, 0.75], 0.01)
+    feats = base.withColumn(
+        "label_idx",
+        F.when(F.col("price_mean") <= q1, 0.0)
+        .when(F.col("price_mean") <= q2, 1.0)
+        .when(F.col("price_mean") <= q3, 2.0)
+        .otherwise(3.0),
+    ).cache()
+    train, test = ml.random_split(feats, 0.25, seed=7, id_col="p_partkey")
+    model = ml.fit_multiclass_forest(train, _PLASTICC_FEATURES, "label_idx", num_trees=30)
+    scored = ml.predict_multiclass_forest(model, test, _PLASTICC_FEATURES)
+    # class weights mirror plasticc's {64:2, 15:2} shape: upweight 2 classes
+    loss = ml.weighted_multiclass_logloss(
+        scored, label_col="label_idx", probs_col="probs", weights={0: 2.0, 3: 2.0}
+    )
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.countDistinct("label_idx").alias("n_classes"),
+    ).withColumn("logloss", F.lit(float(loss)))
+    feats.unpersist()
+    return out
+
+
+SUITE = {
+    "gbt_taxi_train": QuerySpec(
+        "gbt_taxi_train",
+        gbt_taxi_train,
+        None,  # iterative tree training: rows-only driver check
+        "GBT regression train+predict (K4, ny_taxi_ml.py:222-258)",
+    ),
+    "plasticc_forest_train": QuerySpec(
+        "plasticc_forest_train",
+        plasticc_forest_train,
+        None,  # iterative tree training: rows-only driver check
+        "multi-class forest train + weighted logloss (K5, plasticc_pandas_modin.py:163-228)",
+    ),
+}
