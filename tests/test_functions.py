@@ -85,3 +85,26 @@ def test_floor_div_keeps_float_dtype(spark):
     assert dict(out.dtypes)["r"] == "double"
     got = [r["r"] for r in out.collect()]
     assert got == pytest.approx(expected)
+
+
+def test_assert_sum_bound_guard(spark):
+    """The quantized-sum exactness contract (<2^53 scaled total) must fail
+    loudly when violated (ADVICE r2): Spark's non-ANSI bigint sum would
+    otherwise wrap silently where DuckDB widens to HUGEINT."""
+    import pytest
+
+    from timedf_spark.functions.deterministic import assert_sum_bound
+
+    small = spark.range(100).select((F.col("id") * 1.0).alias("v"))
+    assert_sum_bound(small, "v", scale=4)  # comfortably inside: no raise
+
+    big = spark.range(100).select((F.lit(1e48)).alias("v"))
+    with pytest.raises(OverflowError, match="2\\^53"):
+        assert_sum_bound(big, "v", scale=4)
+
+    # grouped bound: per-group totals are what the aggregate actually sums
+    grouped = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"), F.lit(1e12).alias("v")
+    )
+    with pytest.raises(OverflowError):
+        assert_sum_bound(grouped, "v", scale=4, group_cols=["g"])

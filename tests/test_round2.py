@@ -198,3 +198,22 @@ def test_scd2_collapses_consecutive_duplicates(spark):
     assert got[0]["valid_to"] == got[1]["valid_from"]
     assert got[1]["valid_to"] == got[2]["valid_from"]
     assert got[2]["valid_to"] is None
+
+
+def test_charlm_release_unpersists_cache(spark):
+    """release=True must leave no cached bigram blocks behind — the
+    long-lived-session contract (ADVICE r2). Only the localCheckpoint of
+    the (one-row-per-doc) result may remain in block storage; the exploded
+    bigram SQL cache (identifiable by its explode plan name) must be gone."""
+    from timedf_spark.operators.lm import charlm_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "abba"), (3, "baba")], ["doc_id", "text"]
+    )
+    spark.catalog.clearCache()
+    out = charlm_doc_scores(docs, release=True)
+    assert out.count() == 3
+    cached_names = [
+        str(r.name()) for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert not any("explode" in n for n in cached_names), cached_names

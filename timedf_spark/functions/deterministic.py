@@ -40,6 +40,19 @@ codegen (integer sums instead of double sums).
 Quantization: scale=4 keeps 1e-4 absolute per-row precision — exact for
 the testdata's 2-decimal money values and far below any float noise for
 derived products. Totals up to ~9e11 stay exactly convertible.
+
+LOUD-FAILURE CONTRACT (the <2^53 bound is not self-enforcing): Spark's
+non-ANSI ``sum(BIGINT)`` wraps silently past 2^63 while DuckDB widens to
+HUGEINT — a caller violating the bound (e.g. an oversized ``scale`` on big
+data) would get silently divergent results, not an error. Two guards:
+
+1. Sessions that run untrusted scales should set
+   ``spark.sql.ansi.enabled=true`` — Spark then raises
+   ARITHMETIC_OVERFLOW on the wrap instead of wrapping (the expression
+   text is unchanged; DuckDB needs no flag).
+2. When sizing a NEW aggregate, :func:`assert_sum_bound` measures the
+   actual scaled total bound for a column in one aggregation pass and
+   raises if rows x max|col| x 10^scale can exceed 2^53.
 """
 
 from __future__ import annotations
@@ -51,7 +64,38 @@ __all__ = [
     "dwavg",
     "dskew_pandas_centered",
     "SKEW_NEEDS_MEAN",
+    "assert_sum_bound",
 ]
+
+_EXACT_DOUBLE_BOUND = 1 << 53
+
+
+def assert_sum_bound(df, col: str, scale: int = 4, group_cols=None) -> None:
+    """Fail loudly if a quantized sum of ``col`` at ``scale`` could leave
+    the exact-integer envelope (see module docstring). Worst case is taken
+    as sum(abs(col)) — order- and sign-independent, so it bounds every
+    partial aggregation too. One cheap aggregation pass; call it from a
+    test (or once at pipeline-setup time) when sizing a new aggregate, not
+    per query execution. ``group_cols`` narrows the bound to the largest
+    group when the production aggregate is grouped."""
+    from pyspark.sql import functions as F
+
+    mult = float(10**scale)
+    src = df.select(F.abs(F.col(col)).alias("a"), *(group_cols or []))
+    if group_cols:
+        per = src.groupBy(*group_cols).agg(F.sum(F.col("a") * mult).alias("t"))
+        worst = per.agg(F.max("t")).first()[0]
+    else:
+        worst = src.agg(F.sum(F.col("a") * mult)).first()[0]
+    worst = float(worst or 0.0)
+    if worst >= _EXACT_DOUBLE_BOUND:
+        raise OverflowError(
+            f"quantized sum of {col!r} at scale={scale} can reach {worst:.3e} "
+            f">= 2^53 ({float(_EXACT_DOUBLE_BOUND):.3e}): results would not be "
+            "exactly convertible (and Spark's non-ANSI bigint sum wraps "
+            "silently past 2^63). Lower the scale or pre-aggregate; set "
+            "spark.sql.ansi.enabled=true to make the wrap itself fail loudly."
+        )
 
 
 def _qsum(col: str, mult: str) -> str:

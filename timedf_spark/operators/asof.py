@@ -92,8 +92,12 @@ def asof_join(
             F.last("__carry", ignorenulls=True).over(w_bwd).alias("__b"),
             F.first("__carry", ignorenulls=True).over(w_fwd).alias("__f"),
         )
-        bwd_dist = F.col(ts).cast("double") - F.col("__b.__rts").cast("double")
-        fwd_dist = F.col("__f.__rts").cast("double") - F.col(ts).cast("double")
+        # exact integer microsecond timeline — a double epoch would not
+        # represent microsecond timestamps exactly, so equal-distance
+        # tie-breaks at fine granularity could diverge from pandas'
+        # integer-nanosecond arithmetic
+        bwd_dist = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__b.__rts"))
+        fwd_dist = F.unix_micros(F.col("__f.__rts")) - F.unix_micros(F.col(ts))
         pick = (
             F.when(F.col("__b").isNull(), F.col("__f"))
             .when(F.col("__f").isNull(), F.col("__b"))

@@ -62,11 +62,20 @@ def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def charlm_doc_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", release: bool = False
 ) -> DataFrame:
     """(doc_id, n_bigrams, charlm_score): mean conditional char-bigram
     probability of each document under the corpus-trained model.
-    Documents shorter than 2 chars are excluded (no bigrams to score)."""
+    Documents shorter than 2 chars are excluded (no bigrams to score).
+
+    CACHE CONTRACT: the exploded bigram frame is cached and, because the
+    result is lazy, cannot be unpersisted before the caller materializes
+    it. With ``release=False`` (default) the cached blocks live until the
+    caller runs ``spark.catalog.clearCache()`` (bench.py does, between
+    queries) — a long-lived session scoring many distinct corpora should
+    pass ``release=True``, which eagerly materializes the (small,
+    one-row-per-doc) result via localCheckpoint and unpersists the bigram
+    cache before returning."""
     # the exploded bigram frame feeds BOTH the model aggregation and the
     # scoring join — persist it (memory-and-disk) so the explode runs once
     # per execution instead of twice. At cluster scale this is the
@@ -83,7 +92,7 @@ def charlm_doc_scores(
             F.expr("cast(n as double) / cast(np as double)").alias("p"),
         )
     )
-    return (
+    out = (
         bg.join(probs, "bg")
         .groupBy(id_col)
         .agg(
@@ -91,6 +100,10 @@ def charlm_doc_scores(
             F.expr(davg("p", scale=_SCALE)).alias("charlm_score"),
         )
     )
+    if release:
+        out = out.localCheckpoint(eager=True)
+        bg.unpersist()
+    return out
 
 
 def charlm_scores_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -118,7 +118,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # Parquet µs timestamps without a UTC flag arrive as
             # TIMESTAMP_NTZ; event-time operators (withWatermark) require
-            # TIMESTAMP. Session tz is UTC, so the cast is value-preserving.
+            # TIMESTAMP. The cast is value-preserving ONLY under a UTC
+            # session tz — any other tz would silently shift every event
+            # time and desynchronize from the DuckDB oracle, so fail fast
+            # on a misconfigured session instead of drifting.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    "events.ts is TIMESTAMP_NTZ: converting to TIMESTAMP "
+                    f"requires spark.sql.session.timeZone=UTC, got {tz!r} — "
+                    "build the session via timedf_spark.session.get_spark or "
+                    "set the conf before loading events"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -148,7 +159,14 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     reverted. Apply per call site with a measurement, not globally.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() >= target:
+    # Partition count from the planned physical scan — NOT df.rdd, which
+    # converts the whole plan to an RDD (forcing a second physical planning
+    # pass + Python<->JVM round trips) on every call.
+    try:
+        n_parts = df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
+    except Exception:  # noqa: BLE001 — unknown partitioning: fall back to RDD view
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts >= target:
         return df
     return df.repartition(target)
 
