@@ -71,3 +71,56 @@ def test_cli_smoke(sf_dir, tmp_path):
     assert all("total" in l for l in iters)
     assert any("max_memory_mb" in l for l in lines)
     assert any("median" in l for l in lines)
+
+
+def test_report_from_results_db(tmp_path):
+    """A11/L8: the report generator renders the reference's structure —
+    per-benchmark section, hidden constant-config rows, per-stage bars,
+    HostInfo — from a real results DB. xlsxwriter is absent in this
+    container, so the .xlsx request must fall back to the HTML rendering
+    of the same structure (the documented deviation)."""
+    from timedf_spark.benchmark import BenchmarkResult
+    from timedf_spark.report.xlsx_report import build_report, collect_report_data
+
+    db = BenchmarkDb(str(tmp_path / "res.sqlite"))
+    for backend, t1 in [("local", 1.5), ("local32", 0.5)]:
+        res = BenchmarkResult(
+            workload="ny_taxi",
+            sf_dir="/root/testdata/sf0.001",
+            iteration=0,
+            measurements={"Query1": t1, "Query2": 2 * t1, "total": 3 * t1},
+            params={"sf": "0.001", "threads": backend},  # sf constant, threads varies
+        )
+        db.report(res, run_id=f"run_{backend}", backend=backend, host_params={"os": "linux"})
+
+    data = collect_report_data(db, agg="median")
+    entry = data["benchmarks"]["ny_taxi"]
+    assert sorted(entry["backends"]) == ["local", "local32"]
+    assert "sf" in entry["hidden_param_rows"]  # constant across backends → hidden
+    assert "threads" in entry["visible_param_rows"]
+    assert entry["backends"]["local"]["Query1"] == 1.5
+
+    out = build_report(db, str(tmp_path / "report.xlsx"))
+    assert out.endswith(".html")  # xlsxwriter absent → structural HTML fallback
+    text = open(out).read()
+    assert "ny_taxi" in text and "Query1" in text and "HostInfo" in text
+    assert "details" in text  # hidden-config analogue
+    assert 'class="bar"' in text  # per-stage bar chart analogue
+    db.close()
+
+
+def test_report_cli(tmp_path):
+    from timedf_spark.benchmark import BenchmarkResult
+    from timedf_spark.report import xlsx_report
+
+    db = BenchmarkDb(str(tmp_path / "res.sqlite"))
+    res = BenchmarkResult(
+        workload="plasticc", sf_dir="x", iteration=0, measurements={"t_etl": 1.0}
+    )
+    db.report(res, run_id="r", host_params={})
+    db.close()
+    rc = xlsx_report.main(
+        ["-db_file", str(tmp_path / "res.sqlite"), "-report_path", str(tmp_path / "rep.html")]
+    )
+    assert rc == 0
+    assert (tmp_path / "rep.html").exists()

@@ -62,3 +62,37 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 17
+
+
+def test_timer_verbosity_levels(capsys):
+    """L1 parity with the reference's VERBOSITY_LEVELS
+    (timedf/timer.py:8,80-108): 1 → durations at exit; 2 → entry
+    announcements indented by depth; 3 → cProfile cumulative stats."""
+    import pytest
+
+    from timedf_spark.timer import Timer, TimerError
+
+    with pytest.raises(TimerError):
+        Timer(verbosity=7)
+
+    tm = Timer(verbosity=1)
+    with tm.timeit("total"):
+        with tm.timeit("inner"):
+            pass
+    out = capsys.readouterr().out
+    assert "total.inner:" in out and "total:" in out
+    assert "started" not in out
+
+    tm = Timer(verbosity=2)
+    with tm.timeit("total"):
+        with tm.timeit("inner"):
+            pass
+    out = capsys.readouterr().out
+    assert "total started" in out
+    assert "  total.inner started" in out  # depth-indented
+
+    tm = Timer(verbosity=3)
+    with tm.timeit("total"):
+        sum(range(1000))
+    out = capsys.readouterr().out
+    assert "cumulative" in out  # pstats table printed

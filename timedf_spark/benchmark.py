@@ -58,9 +58,13 @@ def register(w: Workload) -> Workload:
 
 
 def run_workload(
-    spark: SparkSession, workload: Workload, sf_dir: str, iteration: int = 0
+    spark: SparkSession,
+    workload: Workload,
+    sf_dir: str,
+    iteration: int = 0,
+    verbosity: int = 0,
 ) -> BenchmarkResult:
-    tm = Timer()
+    tm = Timer(verbosity=verbosity)
     state: dict = {}
     with tm.timeit("total"):
         for stage_name, fn in workload.stages:

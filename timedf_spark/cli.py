@@ -42,7 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     tracker = MemoryTracker()
     tracker.start()
     for it in range(args.iterations):
-        result = run_workload(spark, workload, args.data_file, iteration=it)
+        result = run_workload(
+            spark, workload, args.data_file, iteration=it, verbosity=args.verbosity
+        )
         if db:
             db.report(result, run_id=run_id, backend=args.backend, host_params=host_params())
         print(json.dumps({"iteration": it, **{k: round(v, 4) for k, v in result.measurements.items()}}))
