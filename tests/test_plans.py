@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from timedf_spark.queries import all_queries
 
@@ -238,3 +239,88 @@ def test_curate_corpus_near_dup_is_lsh_banded(spark):
         assert not (
             left_keys.startswith("sh#") and "," not in left_keys
         ), f"unbounded shingle self-join in curate pair stage: {m.group(0)}"
+
+
+# ---- measured shuffle bytes (round-3: claims measured, not just plan-shaped)
+
+
+def _shuffle_writes(spark, name: str) -> dict[int, int]:
+    """Per-stage shuffle WRITE bytes for one query execution, from the
+    app status store (the same numbers the UI's stage page shows). Scoped
+    via a job group so concurrent/prior jobs don't pollute the measurement;
+    skipped stages (reused exchanges) have no attempt and are excluded —
+    which is correct: they moved no new bytes."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.setJobGroup(f"audit_{name}", name)
+    try:
+        df = all_queries()[name].fn(spark, SF_SMALL)
+        df.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    store = sc._jsc.sc().statusStore()
+    stage_ids: set[int] = set()
+    for j in tracker.getJobIdsForGroup(f"audit_{name}"):
+        info = tracker.getJobInfo(j)
+        if info:
+            stage_ids.update(info.stageIds)
+    writes: dict[int, int] = {}
+    for sid in stage_ids:
+        try:
+            s = store.lastStageAttempt(sid)
+        except Exception:  # noqa: BLE001 — skipped stage
+            continue
+        b = s.shuffleWriteBytes()
+        if b > 0:
+            writes[sid] = b
+    return writes
+
+
+def test_taxi_q1_shuffles_only_aggregates(spark):
+    """groupBy(cab_type).count() must shuffle ONE stage of partial
+    aggregates (groups x partitions rows), never table data: a few hundred
+    bytes at sf0.001 vs ~MBs for the scanned column."""
+    writes = _shuffle_writes(spark, "taxi_q1")
+    assert len(writes) == 1, writes
+    assert sum(writes.values()) < 5_000, writes
+
+
+def test_ml_filter_moves_zero_shuffle_bytes(spark):
+    writes = _shuffle_writes(spark, "ml_filter")
+    assert writes == {}, writes
+
+
+def test_segment_revenue_shuffles_only_aggregates(spark):
+    """All dimension joins broadcast; the fact table is reduced map-side,
+    so the single exchange carries only (segment x partition) partials."""
+    writes = _shuffle_writes(spark, "segment_revenue")
+    assert len(writes) == 1, writes
+    assert sum(writes.values()) < 20_000, writes
+
+
+def test_dedup_exact_shuffles_digests_not_text(spark):
+    """exact_dedup's one exchange must carry 16-byte digests + ids — bytes
+    moved stay well under half the corpus text volume (at 100 TB this is
+    the difference between shuffling hashes and shuffling the corpus)."""
+    from timedf_spark.sources import load_table
+
+    corpus_bytes = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.sum(F.length("text")))
+        .first()[0]
+    )
+    writes = _shuffle_writes(spark, "dedup_exact")
+    assert len(writes) == 1, writes
+    assert sum(writes.values()) < corpus_bytes / 2, (writes, corpus_bytes)
+
+
+def test_plasticc_multi_agg_one_hash_exchange_measured(spark):
+    """The 13-agg two-pass (window mean + grouped moments) claims ONE hash
+    exchange — the plan must show exactly one hashpartitioning Exchange
+    (the other is fan_out's round-robin scan-parallelism guard, a no-op at
+    production scale), and at most two stages may write shuffle data."""
+    plan = _executed_plan(spark, "plasticc_multi_agg")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    writes = _shuffle_writes(spark, "plasticc_multi_agg")
+    assert len(writes) <= 2, writes
