@@ -62,11 +62,12 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch,
         tpch_deep,
         tpch_round2,
+        tpch_round3,
         windows_suite,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
