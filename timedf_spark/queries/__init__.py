@@ -51,6 +51,7 @@ _R02_DRIVER_CHECKED = frozenset({
 def all_queries() -> dict[str, QuerySpec]:
     from timedf_spark.queries import (
         advanced,
+        analytics_round3,
         curation_suite,
         extension,
         lakehouse,
@@ -67,7 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, analytics_round3, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
