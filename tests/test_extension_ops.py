@@ -264,3 +264,21 @@ def test_ngram_jaccard_hot_shingle_guard(spark, sf_dir):
         key = (r["doc_a"], r["doc_b"])
         if key in base:
             assert r["n_common"] <= base[key]
+
+
+def test_ivfpq_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF-PQ: ADC candidate scoring over 8-byte codes + exact re-rank must
+    reach the IVF recall floor — PQ only re-orders candidates within probed
+    cells, so with rerank window 4k recall stays close to plain IVF."""
+    from timedf_spark.operators import similarity
+
+    exact = {(r.q_id, r.vec_id) for r in similarity.brute_force_topk(spark, sf_dir).collect()}
+    rows = similarity.ivfpq_topk(spark, sf_dir).collect()
+    approx = {(r.q_id, r.vec_id) for r in rows}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    for q_id, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall@10 too low: {recall}"

@@ -35,6 +35,7 @@ __all__ = [
     "cosine_dedup_pairs",
     "cosine_dedup_sql",
     "ivf_topk",
+    "ivfpq_topk",
 ]
 
 _N_QUERIES = 10
@@ -492,6 +493,192 @@ def ivf_topk(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+# --- IVF-PQ: product-quantized second level --------------------------------
+
+_PQ_M = 8          # subspaces (dim 64 → 8 dims each)
+_PQ_CODES = 64     # codewords per subspace (6-bit codes)
+_PQ_RERANK = 4     # exact re-rank window = _PQ_RERANK * k ADC candidates
+
+
+def _pq_codebooks(
+    sample: np.ndarray, m: int = _PQ_M, n_codes: int = _PQ_CODES,
+    iters: int = 10, seed: int = 23,
+) -> np.ndarray:
+    """Per-subspace euclidean k-means codebooks, trained driver-side on the
+    same bounded deterministic sample as the coarse quantizer — cost is
+    O(sample × dim × codes × iters), independent of corpus size.
+    Returns (m, n_codes, dim // m)."""
+    dim = sample.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    ds = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, ds), dtype=np.float64)
+    for sub in range(m):
+        x = sample[:, sub * ds : (sub + 1) * ds]
+        k_eff = min(n_codes, len(x))
+        cents = x[rng.choice(len(x), size=k_eff, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if k_eff < n_codes:  # degenerate tiny sample: pad by repetition
+            cents = np.concatenate([cents, cents[: n_codes - k_eff]])
+        books[sub] = cents
+    return books
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = _N_QUERIES,
+    k: int = _TOP_K,
+    n_cells: int = 32,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse inverted lists (as ivf_topk) with a
+    product-quantized second level — candidates are scored by asymmetric
+    distance computation (ADC) over 8-byte codes, and only the best
+    ``_PQ_RERANK * k`` per query are re-ranked with exact cosine.
+
+    Why this is the 100 TB tier above plain IVF: the candidate join moves
+    (vec_id, cell, codes) — ~16 bytes/row instead of the 512-byte raw
+    vector — so probing deep (large nprobe) stops being IO-bound; full
+    vectors are touched only for the tiny re-rank set, fetched via a
+    broadcast join against the corpus scan. The ADC step groups candidates
+    by query and builds each query's (m × codes) lookup table ONCE, then
+    scores every candidate with m table lookups — the FAISS IVFADC shape
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) on Spark primitives.
+
+    Deterministic end-to-end: bounded hash-ordered training sample, seeded
+    k-means, first-index argmin/argmax ties, vec_id tie-breaks in every
+    rank. Approximate by construction → recall-vs-brute-force test, driver
+    rows-only check (no SQL oracle can express the trained quantizer).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cmat = _kmeans_centroids(emb, n_cells)  # (cells × dim), L2-normalized
+    # PQ codebooks over the same deterministic sample distribution
+    sample = np.array(
+        [
+            r[0]
+            for r in emb.select("embedding")
+            .orderBy(F.xxhash64(F.col("vec_id") + F.lit(17)))
+            .limit(4096)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    books = _pq_codebooks(sample)
+    m, n_codes, ds = books.shape
+
+    @F.pandas_udf("struct<cell: long, codes: array<int>>")
+    def encode_udf(emb_s: pd.Series) -> pd.DataFrame:
+        # one Arrow batch: normalize, coarse-assign (argmax cosine), then
+        # per-subspace argmin distance to the codebook — all matmuls
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mat = np.where(nrm > 0, mat / nrm, 0.0)
+        cells = (mat @ cmat.T).argmax(axis=1)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for sub in range(m):
+            x = mat[:, sub * ds : (sub + 1) * ds]
+            d2 = (
+                (x**2).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ books[sub].T)
+                + (books[sub] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    encoded = emb.select(
+        "vec_id", "embedding", encode_udf("embedding").alias("e")
+    ).select("vec_id", "embedding", "e.cell", "e.codes")
+
+    # query side: nprobe best cells (JVM-side HOF cosine against centroids
+    # would need the raw matrix; reuse the encode scan's normalized path)
+    @F.pandas_udf("array<double>")
+    def cell_cos_udf(emb_s: pd.Series) -> pd.Series:
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(nrm > 0, mat / nrm, 0.0) @ cmat.T
+        return pd.Series(sims.tolist())
+
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.posexplode(cell_cos_udf("embedding")).alias("cell_idx", "c_cos"),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("cell_idx"))
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_emb", F.col("cell_idx").cast("long").alias("cell"))
+    )
+
+    # candidate stream carries CODES, not vectors (the PQ memory win)
+    candidates = (
+        encoded.select("vec_id", "cell", "codes")
+        .join(F.broadcast(queries), "cell")
+        .select("q_id", "q_emb", "vec_id", "codes")
+    )
+
+    n_rerank = _PQ_RERANK * k
+
+    def adc_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per query: build the (m × codes) LUT once, score all candidates
+        # with m gathers — the ADC shape
+        q = np.array(pdf["q_emb"].iloc[0], dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        lut = np.stack(
+            [q[sub * ds : (sub + 1) * ds] @ books[sub].T for sub in range(m)]
+        )  # (m, n_codes)
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+        scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        out = pd.DataFrame(
+            {"q_id": pdf["q_id"], "vec_id": pdf["vec_id"], "adc": scores}
+        )
+        out = out.sort_values(
+            ["adc", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(n_rerank)
+        return out
+
+    adc = candidates.groupBy("q_id").applyInPandas(
+        adc_group, "q_id long, vec_id long, adc double"
+    )
+
+    # exact re-rank: fetch raw vectors for the tiny candidate set only
+    q_vecs = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pair_cos = _pair_cosine_udf()
+    rerank = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(adc), "vec_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .select("q_id", "vec_id", pair_cos("q_emb", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos")
     )

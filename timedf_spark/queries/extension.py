@@ -282,6 +282,10 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(spark, sf_dir)
 
 
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(spark, sf_dir)
+
+
 def _cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dedup_pairs(spark, sf_dir)
 
@@ -526,6 +530,10 @@ SUITE = {
     "ann_ivf_topk": QuerySpec(
         "ann_ivf_topk", _ann_ivf, None,  # approximate: validated by recall test
         "IVF coarse-quantized approximate top-k (nprobe cells)",
+    ),
+    "ann_ivfpq_topk": QuerySpec(
+        "ann_ivfpq_topk", _ann_ivfpq, None,  # approximate: validated by recall test
+        "IVF-PQ: product-quantized ADC candidates + exact re-rank",
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", _cosine_dedup, similarity.cosine_dedup_sql(),
