@@ -373,18 +373,9 @@ FROM cand WHERE cos >= {threshold}
 # ---- IVF (inverted-file) ANN ----------------------------------------------
 
 
-def _kmeans_centroids(
-    emb: DataFrame, n_cells: int, sample_rows: int = 4096, iters: int = 5, seed: int = 17
-) -> np.ndarray:
-    """Spherical k-means on a deterministic corpus sample (driver-side).
-
-    Scale posture: the sample is a bounded `limit` over a hash-ordered scan
-    (deterministic, no full sort), Lloyd iterations run on the driver over
-    ≤ sample_rows × dim floats — independent of corpus size. At 100 TB the
-    same code holds: sampling cost is one scan, training cost is constant.
-    Empty cells are re-seeded from the lowest-assignment-count points so
-    every inverted list stays non-degenerate.
-    """
+def _normed_sample(emb: DataFrame, sample_rows: int = 4096, seed: int = 17) -> np.ndarray:
+    """Bounded deterministic L2-normalized training sample: a `limit` over a
+    hash-ordered scan — no full sort, one pass, corpus-size-independent."""
     sample = np.array(
         [
             r[0]
@@ -396,7 +387,26 @@ def _kmeans_centroids(
         dtype=np.float64,
     )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    return sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+
+
+def _kmeans_centroids(
+    emb: DataFrame, n_cells: int, sample_rows: int = 4096, iters: int = 5, seed: int = 17,
+    sample: np.ndarray | None = None,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic corpus sample (driver-side).
+
+    Scale posture: the sample is a bounded `limit` over a hash-ordered scan
+    (deterministic, no full sort), Lloyd iterations run on the driver over
+    ≤ sample_rows × dim floats — independent of corpus size. At 100 TB the
+    same code holds: sampling cost is one scan, training cost is constant.
+    Empty cells are re-seeded from the lowest-assignment-count points so
+    every inverted list stays non-degenerate. Callers that also train a
+    second-level quantizer pass the collected ``sample`` in so the corpus
+    is sampled once, not per quantizer level.
+    """
+    if sample is None:
+        sample = _normed_sample(emb, sample_rows, seed)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -564,20 +574,9 @@ def ivfpq_topk(
     rows-only check (no SQL oracle can express the trained quantizer).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cmat = _kmeans_centroids(emb, n_cells)  # (cells × dim), L2-normalized
-    # PQ codebooks over the same deterministic sample distribution
-    sample = np.array(
-        [
-            r[0]
-            for r in emb.select("embedding")
-            .orderBy(F.xxhash64(F.col("vec_id") + F.lit(17)))
-            .limit(4096)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    sample = sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    # ONE bounded sample scan trains both quantizer levels
+    sample = _normed_sample(emb)
+    cmat = _kmeans_centroids(emb, n_cells, sample=sample)  # (cells × dim), L2-normalized
     books = _pq_codebooks(sample)
     m, n_codes, ds = books.shape
 

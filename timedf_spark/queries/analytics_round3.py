@@ -357,12 +357,15 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram vocabulary head: bigrams formed array-side (no
     token-stream self-join), one count aggregate, deterministic top-20."""
     docs = load_table(spark, sf_dir, "documents").select("text")
-    bigrams = docs.select(
+    # materialize the token array once — Catalyst does not CSE the split()
+    # across the size/transform/subscript sites (measured 3x on the naive
+    # inline form)
+    bigrams = docs.select(F.split("text", " ").alias("t")).select(
         F.explode(
             F.expr(
-                "case when size(split(text, ' ')) >= 2 then "
-                "transform(sequence(0, size(split(text, ' ')) - 2), "
-                "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1])) "
+                "case when size(t) >= 2 then "
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i + 1])) "
                 "else array() end"
             )
         ).alias("bigram")
