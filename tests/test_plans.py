@@ -324,3 +324,70 @@ def test_plasticc_multi_agg_one_hash_exchange_measured(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     writes = _shuffle_writes(spark, "plasticc_multi_agg")
     assert len(writes) <= 2, writes
+
+
+# ---- round-3 query plan audits
+
+
+def test_market_share_broadcasts_every_dimension(spark):
+    """Q8 joins lineitem to part, orders, customer(+nation+region) and
+    supplier(+nation): every dimension side must broadcast, leaving at most
+    the orders⋈lineitem fact join as a shuffle join — five chained
+    sort-merge joins is the 100 TB failure mode this guards against."""
+    plan = _executed_plan(spark, "market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_repetition_stats_no_hash_exchange(spark):
+    """Row-local rewrite: every metric (incl. top-bigram count via the
+    sorted-run fold) computes inside the scan — no hash exchange at any
+    scale. The only permitted exchange is fan_out's round-robin scan-
+    parallelism guard, which disappears at production split counts."""
+    plan = _executed_plan(spark, "repetition_stats")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_zscore_outliers_single_hash_exchange(spark):
+    """The window moments (PARTITION BY event_type) and the final groupBy
+    share ONE hashpartitioning exchange — the round-2 two-pass-in-one-
+    shuffle pattern applied to z-scores."""
+    plan = _executed_plan(spark, "zscore_outliers")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_supplier_part_counts_anti_join_broadcasts(spark):
+    """Q16's supplier exclusion must be a broadcast anti join (the flagged
+    set is tiny); shuffling the fact side against it would be wasted IO."""
+    # static plan: at sf0.001 the flagged-supplier set is EMPTY and AQE's
+    # empty-relation propagation (correctly) deletes the executed anti join
+    plan = _formatted(spark, "supplier_part_counts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_tfidf_vocab_join_broadcasts(spark):
+    """tf⋈df and tf⋈n_docs must broadcast (vocabulary ≪ token stream);
+    ranking must be a per-doc window, not a global sort."""
+    plan = _executed_plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_top_bigrams_is_take_ordered(spark):
+    """Global top-20 must land in TakeOrderedAndProject — a full sort of
+    the bigram aggregate would materialize the whole vocabulary ordered."""
+    plan = _executed_plan(spark, "top_bigrams")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_no_cartesian(spark):
+    """IVF-PQ candidate generation is an equi-join on cell id with the
+    probe set broadcast; any cartesian/nested-loop means the inverted
+    index was lost."""
+    plan = _executed_plan(spark, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
