@@ -223,11 +223,13 @@ def lsh_topk(
         .select("q_id", "q_emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
     pair_cos = _pair_cosine_udf()
+    # score BEFORE deduplicating: a pair found in 2 tables costs one extra
+    # vectorized cosine, but the dedup exchange then moves 3 scalars per
+    # row instead of two dim-wide arrays (~40x fewer shuffle bytes)
     candidates = (
         corpus.join(F.broadcast(queries), ["tbl", "bucket"])
-        .select("q_id", "q_emb", "vec_id", "embedding")
-        .dropDuplicates(["q_id", "vec_id"])
         .select("q_id", "vec_id", pair_cos("q_emb", "embedding").alias("cos"))
+        .dropDuplicates(["q_id", "vec_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -289,9 +291,11 @@ def cosine_dedup_pairs(
         "embedding",
         *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
     )
+    bucket_cols = [f"bucket{t}" for t in range(n_tables)]
     blocked = with_sig.select(
         "vec_id",
         "embedding",
+        *bucket_cols,  # full signature travels (n_tables longs — cheap)
         F.explode(
             F.array(
                 *[
@@ -300,8 +304,19 @@ def cosine_dedup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    ).select("vec_id", "embedding", *bucket_cols, "tb.tbl", "tb.bucket")
     a, b = blocked.alias("a"), blocked.alias("b")
+    # first-colliding-table emission: a pair blocked in several tables is
+    # emitted ONLY by the lowest such table (for every earlier table the
+    # buckets must differ) — each candidate pair exists exactly once, so
+    # there is no dropDuplicates exchange and each cosine is computed once.
+    # Carrying the full signature costs n_tables longs per row; the saved
+    # exchange would have carried two dim-wide arrays per duplicate pair.
+    first_table_guard = F.lit(True)
+    for t in range(n_tables):
+        first_table_guard = first_table_guard & (
+            (F.col("a.tbl") <= F.lit(t)) | (F.col(f"a.bucket{t}") != F.col(f"b.bucket{t}"))
+        )
     pairs = (
         a.join(
             b,
@@ -309,14 +324,12 @@ def cosine_dedup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(first_table_guard)
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
+            _pair_cosine_udf()(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", _pair_cosine_udf()("emb_a", "emb_b").alias("cos"))
     )
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a",
