@@ -75,10 +75,12 @@ def test_cli_smoke(sf_dir, tmp_path):
 
 def test_report_from_results_db(tmp_path):
     """A11/L8: the report generator renders the reference's structure —
-    per-benchmark section, hidden constant-config rows, per-stage bars,
-    HostInfo — from a real results DB. xlsxwriter is absent in this
-    container, so the .xlsx request must fall back to the HTML rendering
-    of the same structure (the documented deviation)."""
+    per-benchmark sheet, hidden constant-config rows, per-stage bar
+    charts, HostInfo — from a real results DB, as a REAL .xlsx via the
+    in-repo OOXML writer (xlsxwriter is absent in this container)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
     from timedf_spark.benchmark import BenchmarkResult
     from timedf_spark.report.xlsx_report import build_report, collect_report_data
 
@@ -101,11 +103,38 @@ def test_report_from_results_db(tmp_path):
     assert entry["backends"]["local"]["Query1"] == 1.5
 
     out = build_report(db, str(tmp_path / "report.xlsx"))
-    assert out.endswith(".html")  # xlsxwriter absent → structural HTML fallback
-    text = open(out).read()
+    assert out.endswith(".xlsx")
+    with zipfile.ZipFile(out) as z:
+        names = set(z.namelist())
+        # required package parts
+        for part in (
+            "[Content_Types].xml",
+            "_rels/.rels",
+            "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels",
+            "xl/styles.xml",
+            "xl/worksheets/sheet1.xml",
+        ):
+            assert part in names, part
+        # every part is well-formed XML
+        for n in names:
+            ET.fromstring(z.read(n))
+        # 3 stages → 3 chart parts wired through a drawing
+        charts = [n for n in names if n.startswith("xl/charts/chart")]
+        assert len(charts) == 3, charts
+        assert "xl/drawings/drawing1.xml" in names
+        sheet1 = z.read("xl/worksheets/sheet1.xml").decode()
+        assert 'hidden="1"' in sheet1  # constant config row hidden
+        assert "Query1" in sheet1 and "local32" in sheet1
+        chart1 = z.read(charts[0]).decode()
+        assert "barChart" in chart1 and "ny_taxi" in chart1  # series refs sheet
+        # HostInfo sheet exists and carries the host row
+        wb = z.read("xl/workbook.xml").decode()
+        assert "HostInfo" in wb
+    # HTML twin still renders on request
+    html_out = build_report(db, str(tmp_path / "report.html"))
+    text = open(html_out).read()
     assert "ny_taxi" in text and "Query1" in text and "HostInfo" in text
-    assert "details" in text  # hidden-config analogue
-    assert 'class="bar"' in text  # per-stage bar chart analogue
     db.close()
 
 

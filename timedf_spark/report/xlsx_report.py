@@ -9,13 +9,12 @@ Mirrors the reference's report generator
 - one horizontal bar chart per query/stage (report_xlsx.py:41-63);
 - a HostInfo sheet/section (report_xlsx.py:94-100).
 
-Engine: ``xlsxwriter`` when importable — the same library the reference
-uses. This container doesn't ship it, so the default output is an HTML
-file with the IDENTICAL logical structure (section per benchmark,
-<details>-collapsed config rows standing in for hidden rows, CSS bar
-charts standing in for xlsx chart objects). The deviation is
-presentation-only and documented here + in COVERAGE.md; the xlsx path is
-exercised by tests when the library exists.
+Engine: ``xlsxwriter`` when importable (the library the reference uses);
+otherwise the in-repo dependency-free OOXML writer
+(``report/minixlsx.py``) renders the SAME sheets/hidden rows/bar charts
+as a real .xlsx — so the xlsx deliverable exists in this container too.
+An ``.html`` output path renders the HTML twin of the same structure
+(<details>-collapsed config rows, CSS bars).
 
 Fresh implementation — no code shared with the reference (it drives
 pandas.io.formats.excel; this walks the sqlite warehouse directly).
@@ -29,7 +28,13 @@ from typing import Any
 
 from timedf_spark.report.db import BenchmarkDb
 
-__all__ = ["collect_report_data", "write_html_report", "write_xlsx_report", "build_report"]
+__all__ = [
+    "collect_report_data",
+    "write_html_report",
+    "write_xlsx_report",
+    "write_xlsx_report_builtin",
+    "build_report",
+]
 
 
 def collect_report_data(db: BenchmarkDb, agg: str = "median") -> dict[str, Any]:
@@ -137,6 +142,45 @@ def write_xlsx_report(data: dict[str, Any], out_path: str) -> None:
     book.close()
 
 
+def write_xlsx_report_builtin(data: dict[str, Any], out_path: str) -> None:
+    """Same sheet/hidden-row/chart layout rendered with the in-repo
+    dependency-free OOXML writer (report/minixlsx.py) — the in-container
+    default, closing the A11 gap without xlsxwriter."""
+    from timedf_spark.report import minixlsx
+
+    book = minixlsx.Workbook()
+    for bench, entry in data["benchmarks"].items():
+        sheet = book.add_sheet(bench)
+        backends = sorted(entry["backends"])
+        sheet.write_row(0, ["backend", *backends])
+        r = 1
+        for k in entry["hidden_param_rows"] + entry["visible_param_rows"]:
+            sheet.write_row(
+                r, [k, *[str(entry["params"][b].get(k, "None")) for b in backends]]
+            )
+            if k in entry["hidden_param_rows"]:
+                sheet.hide_row(r)
+            r += 1
+        chart_row = r
+        for i, stage in enumerate(entry["stages"]):
+            sheet.write_row(
+                r, [stage, *[entry["backends"][b].get(stage) for b in backends]]
+            )
+            sheet.add_bar_chart(
+                title=f"Query: {stage}",
+                name_ref=minixlsx.area_ref(sheet.name, r, 0, r, 0),
+                cat_ref=minixlsx.area_ref(sheet.name, 0, 1, 0, len(backends)),
+                val_ref=minixlsx.area_ref(sheet.name, r, 1, r, len(backends)),
+                anchor_row=chart_row + i * 16,
+                anchor_col=len(backends) + 2,
+            )
+            r += 1
+    host = book.add_sheet("HostInfo")
+    for r, (k, v) in enumerate(sorted(data["host_info"].items())):
+        host.write_row(r, [k, str(v)])
+    book.save(out_path)
+
+
 _CSS = """
 body { font-family: sans-serif; margin: 2em; }
 table { border-collapse: collapse; margin: 0.5em 0; }
@@ -190,15 +234,16 @@ def write_html_report(data: dict[str, Any], out_path: str) -> None:
 
 
 def build_report(db: BenchmarkDb, out_path: str, agg: str = "median") -> str:
-    """Render the report; picks xlsx when both the library and an .xlsx
-    suffix are present, else HTML. Returns the path written."""
+    """Render the report. An .xlsx suffix always produces real xlsx:
+    xlsxwriter when importable, else the in-repo OOXML writer. An .html
+    suffix renders the HTML twin. Returns the path written."""
     data = collect_report_data(db, agg=agg)
     if out_path.endswith(".xlsx"):
         try:
             write_xlsx_report(data, out_path)
-            return out_path
         except ImportError:
-            out_path = out_path[: -len(".xlsx")] + ".html"
+            write_xlsx_report_builtin(data, out_path)
+        return out_path
     write_html_report(data, out_path)
     return out_path
 
