@@ -76,7 +76,19 @@ def all_queries() -> dict[str, QuerySpec]:
     # New no-oracle entries also rotate back: a rows-only check would spend
     # one of the 50 hash-checked slots on a query the local recall tests
     # already cover.
-    rotate_back = _R02_DRIVER_CHECKED | {"ann_ivfpq_topk"}
+    # rows-only (no-oracle) entries all rotate back: each is pinned by a
+    # stronger local test (recall vs brute force, GBT-beats-linear, Arrow
+    # plumbing asserts) than the driver's rows-only check, and the freed
+    # slots go to hash-checked queries instead.
+    rotate_back = _R02_DRIVER_CHECKED | {
+        "ann_ivfpq_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "multimodal_features",
+        "quality_classifier",
+        "gbt_taxi_train",
+        "plasticc_forest_train",
+    }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}
     return {**front, **back}

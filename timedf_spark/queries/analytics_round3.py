@@ -423,3 +423,262 @@ SUITE = {
         "global bigram vocabulary head, array-side n-gram formation (LLM text analysis)",
     ),
 }
+
+# --- temperature-balanced corpus mix ---------------------------------------
+#
+# Multilingual-corpus practice (e.g. multilingual LM training mixes):
+# sample each source with probability ∝ n_source^(-1/2) (temperature T=2)
+# so large sources are down-weighted sub-linearly. Deterministic
+# hash-threshold acceptance (the corpus_mix pattern) — no RNG, no shuffle
+# of the corpus: the per-source size comes from ONE window aggregate and
+# the accept test is a per-row integer compare. sqrt/division are IEEE
+# correctly-rounded everywhere, floor(+0.5) pins the threshold to an
+# integer, so the sample is bit-reproducible across engines and runs.
+
+_TMIX_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+_TMIX_HASH_DUCK = "(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT)"
+_TMIX_K = "8.0"  # acceptance ∝ K / sqrt(n_source), capped at 1
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source")
+    flagged = (
+        docs.withColumn("n_source", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "thresh",
+            F.expr(
+                f"cast(floor(10000.0 * least(1.0, {_TMIX_K} / sqrt(cast(n_source as double))) + 0.5) as bigint)"
+            ),
+        )
+        .withColumn("kept", F.expr(f"case when {_TMIX_HASH} % 10000 < thresh then 1 else 0 end"))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_source").alias("n_docs"),
+            F.sum("kept").alias("n_sampled"),
+            F.max("thresh").alias("accept_per_10k"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH flagged AS (
+  SELECT source,
+         count(*) OVER (PARTITION BY source) AS n_source,
+         cast(floor(10000.0 * least(1.0, {_TMIX_K} / sqrt(cast(count(*) OVER (PARTITION BY source) AS double))) + 0.5) AS bigint) AS thresh,
+         CASE WHEN {_TMIX_HASH_DUCK} % 10000 <
+              cast(floor(10000.0 * least(1.0, {_TMIX_K} / sqrt(cast(count(*) OVER (PARTITION BY source) AS double))) + 0.5) AS bigint)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source, max(n_source) AS n_docs, sum(kept) AS n_sampled,
+       max(thresh) AS accept_per_10k
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+# --- cross-modal join: documents ⋈ embeddings ------------------------------
+
+
+def doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document embedding diagnostics: join the text table to the
+    vector table on id and relate vector norm to document length — the
+    standard sanity screen before ANN indexing. The join shuffles both
+    sides on the id key once (both are fact tables); the norm is a
+    sequential HOF fold, same accumulation order as DuckDB's list ops."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(
+                "sqrt(aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+            ).alias("norm"),
+        )
+        .withColumn("norm_per_kchar", F.expr("norm * 1000.0 / n_chars"))
+    )
+
+
+DOC_EMB_QUALITY_ORACLE = """
+SELECT d.doc_id, d.lang, d.n_chars,
+       sqrt(list_aggregate(list_transform(e.embedding,
+            x -> cast(x AS double) * cast(x AS double)), 'sum')) AS norm,
+       sqrt(list_aggregate(list_transform(e.embedding,
+            x -> cast(x AS double) * cast(x AS double)), 'sum')) * 1000.0 / d.n_chars AS norm_per_kchar
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+# --- per-language character-trigram profile --------------------------------
+
+_TRIGRAM_TOPK = 5
+
+
+def trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character trigrams per language — the classic n-gram
+    language fingerprint (langid-style). Trigrams are formed array-side
+    from each row's text (no self-join), counted in one aggregate, ranked
+    by a per-language window."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tris = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "case when length(text) >= 3 then "
+                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+                "else array() end"
+            )
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TRIGRAM_TOPK)
+        .select("lang", "rank", "tri", "cnt")
+    )
+
+
+TRIGRAM_PROFILE_ORACLE = f"""
+WITH tris AS (
+  SELECT lang, unnest([substr(text, i, 3) FOR i IN generate_series(1, len(text) - 2)]) AS tri
+  FROM documents
+), counts AS (
+  SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY lang, tri
+)
+SELECT lang, rank, tri, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rank
+  FROM counts
+) WHERE rank <= {_TRIGRAM_TOPK}
+"""
+
+# --- month-over-month revenue trend per priority ---------------------------
+
+
+def monthly_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue per priority with the previous month's value
+    and delta (lag window over the aggregated grain — the aggregate is
+    tiny, so the trend window costs one exchange of months x priorities)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    monthly = orders.groupBy("month", "o_orderpriority").agg(
+        F.expr(dsum("o_totalprice")).alias("revenue")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn("delta", F.expr("revenue - prev_revenue"))
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+MONTHLY_TREND_ORACLE = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+         {dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       revenue - lag(revenue) OVER w AS delta
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+"""
+
+# --- supplier balance ranks per nation -------------------------------------
+
+
+def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank + percent_rank of suppliers by account balance within
+    each nation (dimension-grain ranking; nation name via broadcast)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_acctbal")
+        .withColumn("balance_rank", F.dense_rank().over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("balance_rank") <= 3)
+    )
+
+
+SUPPLIER_RANK_ORACLE = """
+SELECT n_name, s_suppkey, s_acctbal, balance_rank, pct_rank FROM (
+  SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+         dense_rank() OVER w AS balance_rank,
+         percent_rank() OVER w AS pct_rank
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WINDOW w AS (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey ASC)
+) WHERE balance_rank <= 3
+"""
+
+# --- document length histogram (digit-count buckets) -----------------------
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length distribution in order-of-magnitude buckets.
+    The bucket is the DIGIT COUNT of n_chars (exact integer string length
+    in both engines) — a log10 bucket without log10's cross-libm last-ulp
+    risk at power-of-ten boundaries."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        docs.withColumn("bucket", F.expr("length(cast(n_chars as string))"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+DOC_LENGTH_HIST_ORACLE = """
+SELECT lang, length(cast(n_chars AS varchar)) AS bucket,
+       count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+SUITE.update({
+    "temperature_mix": QuerySpec(
+        "temperature_mix", temperature_mix, TEMPERATURE_MIX_ORACLE,
+        "temperature-balanced (T=2) multi-source sampling, hash-threshold deterministic",
+    ),
+    "doc_embedding_quality": QuerySpec(
+        "doc_embedding_quality", doc_embedding_quality, DOC_EMB_QUALITY_ORACLE,
+        "cross-modal documents x embeddings join: vector norm vs doc length",
+    ),
+    "trigram_lang_profile": QuerySpec(
+        "trigram_lang_profile", trigram_lang_profile, TRIGRAM_PROFILE_ORACLE,
+        "per-language char-trigram fingerprint, array-side n-grams (LLM text analysis)",
+    ),
+    "monthly_priority_trend": QuerySpec(
+        "monthly_priority_trend", monthly_priority_trend, MONTHLY_TREND_ORACLE,
+        "month-over-month revenue trend via lag over aggregated grain (E)",
+    ),
+    "supplier_balance_rank": QuerySpec(
+        "supplier_balance_rank", supplier_balance_rank, SUPPLIER_RANK_ORACLE,
+        "dense_rank + percent_rank per nation, top-3 filter (E)",
+    ),
+    "doc_length_histogram": QuerySpec(
+        "doc_length_histogram", doc_length_histogram, DOC_LENGTH_HIST_ORACLE,
+        "order-of-magnitude length histogram via exact digit-count buckets",
+    ),
+})
