@@ -340,3 +340,56 @@ def test_idempotent_foreachbatch_sink_exactly_once(spark, sf_dir):
         streaming_sinks.write_batch_idempotent(batch0, 0, out)
         again = spark.read.parquet(out)
         assert again.count() == events.count()  # no duplication
+
+
+def test_first_touch_state_converges_to_batch_twin(spark, sf_dir):
+    """UPDATE-mode stateful attribution: each user's LAST emission (max
+    n_seen) must equal the batch twin row exactly — including first-touch
+    identity, conversion flag, and total event count. Exercises the
+    update + NoTimeout path (sessionize covers append + EventTimeTimeout)."""
+    import time
+
+    from timedf_spark.streaming.first_touch import first_touch_batch, first_touch_state
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    lo, hi = events.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        n_chunks = 3
+        step = (hi - lo) // n_chunks + 1
+        for i in range(n_chunks):
+            chunk = events.filter(
+                (F.col("ts").cast("long") >= lo + i * step)
+                & (F.col("ts").cast("long") < lo + (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            first_touch_state(stream)
+            .writeStream.format("memory")
+            .queryName("first_touch")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from first_touch").collect()
+
+    latest = {}
+    for r in got:
+        if r["user_id"] not in latest or r["n_seen"] > latest[r["user_id"]]["n_seen"]:
+            latest[r["user_id"]] = r
+    batch = {r["user_id"]: r for r in first_touch_batch(events).collect()}
+    assert set(latest) == set(batch)
+    for uid, r in latest.items():
+        b = batch[uid]
+        assert (r["first_ts"], r["first_touch"], r["converted"], r["n_seen"]) == (
+            b["first_ts"], b["first_touch"], b["converted"], b["n_seen"]
+        ), uid
