@@ -67,10 +67,41 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         scan_baseline = -1.0
 
+    def _shuffle_mb_for_group(group: str) -> float:
+        """Total shuffle-write MB across the stages of one job group (from
+        the app status store — the UI's numbers). Skipped stages (reused
+        exchanges) have no attempt and correctly count zero."""
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        tracker = sc.statusTracker()
+        stage_ids: set[int] = set()
+        for j in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(j)
+            if info:
+                stage_ids.update(info.stageIds)
+        total_b = 0
+        for sid in stage_ids:
+            try:
+                total_b += store.lastStageAttempt(sid).shuffleWriteBytes()
+            except Exception:  # noqa: BLE001 — skipped stage
+                pass
+        return round(total_b / 1e6, 3)
+
     per_query: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name, spec in specs.items():
         try:
-            trigger(spec.fn(spark, sf_dir))  # warm-up (scan cache, codegen)
+            # warm-up (scan cache, codegen) doubles as the shuffle-bytes
+            # measurement pass: job-group scoped, no extra execution
+            spark.sparkContext.setJobGroup(f"bench_{name}", name)
+            try:
+                trigger(spec.fn(spark, sf_dir))
+            finally:
+                spark.sparkContext.setJobGroup(None, None)
+            try:
+                shuffle_mb[name] = _shuffle_mb_for_group(f"bench_{name}")
+            except Exception:  # noqa: BLE001
+                pass
             times = []
             for _ in range(ITERATIONS):
                 t0 = time.perf_counter()
@@ -104,6 +135,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "shuffle_write_mb": shuffle_mb,
         "sf": sf,
         "scan_baseline_sec": scan_baseline,
     }
