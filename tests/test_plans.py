@@ -391,3 +391,13 @@ def test_ivfpq_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_join_spreads_key_over_salts(spark):
+    """The salted-join query must join on (key, _salt) — the hot key's
+    rows spread across 8 sub-keys — with the deterministic hash salt
+    (xxhash64), never rand()."""
+    plan = _formatted(spark, "salted_segment_spend")
+    assert "_salt" in plan, plan
+    assert "xxhash64" in plan, plan
+    assert "rand(" not in plan, plan

@@ -88,6 +88,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "quality_classifier",
         "gbt_taxi_train",
         "plasticc_forest_train",
+        # oracle-checked but deliberately back-rotated: the window's 50
+        # hash slots stay reserved for queries the driver has never seen
+        "salted_segment_spend",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

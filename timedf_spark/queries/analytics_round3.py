@@ -681,3 +681,49 @@ SUITE.update({
         "order-of-magnitude length histogram via exact digit-count buckets",
     ),
 })
+
+# --- salted hot-key join (skew showcase, semantics-preserving) -------------
+
+
+def salted_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order spend per market segment through an explicitly SALTED
+    fact⋈dimension join (operators/skew.py): the fact side spreads each
+    key over 8 sub-keys, the dimension side replicates 8x — the classic
+    mitigation when ONE key floods a reducer past what AQE's skew split
+    can fix. Salting is semantics-preserving, so the DuckDB oracle is the
+    plain join; the plan test asserts the (key, salt) join shape."""
+    from timedf_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        "c_custkey",
+        n_salts=8,
+        salt_source="o_totalprice",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.expr(dsum("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_SEGMENT_ORACLE = f"""
+SELECT c.c_mktsegment, {dsum("o.o_totalprice")} AS total_spend,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+SUITE.update({
+    "salted_segment_spend": QuerySpec(
+        "salted_segment_spend", salted_segment_spend, SALTED_SEGMENT_ORACLE,
+        "explicitly salted fact-dim join (8 sub-keys) with plain-join oracle",
+    ),
+})
