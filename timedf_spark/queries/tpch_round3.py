@@ -71,7 +71,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
-    cust = F.broadcast(
+    # customer is the LARGEST dimension — no forced broadcast: AQE picks
+    # broadcast while the region-filtered side fits (it does at any test
+    # sf) and degrades to a shuffle join at extreme SF instead of OOMing
+    # the executors on a forced build side
+    cust = (
         load_table(spark, sf_dir, "customer")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -213,7 +217,11 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("l_returnflag = 'R'")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    cust = F.broadcast(
+    # customer-grain join: the aggregate side is already custkey-grain, so
+    # both inputs scale together — AQE decides the strategy (broadcast at
+    # test sf, shuffle join at extreme SF) rather than forcing the full
+    # customer table onto every executor
+    cust = (
         load_table(spark, sf_dir, "customer")
         .join(
             F.broadcast(load_table(spark, sf_dir, "nation")),
