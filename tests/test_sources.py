@@ -312,3 +312,39 @@ def test_asof_join_null_right_attribute_not_skipped(spark):
     row = asof_join(sl, sr, key="k", ts="t", carry_cols=["rv", "tag"]).first()
     assert row["rv"] is None  # from the matching 00:00:20 row, not 5.0
     assert row["tag"] == "new"  # all carries come from the SAME right row
+
+
+def test_kaggle_loader_offline_paths(tmp_path):
+    """A7: everything except the network call is testable offline — the
+    gated import raises the typed error, and extraction refuses traversal
+    entries while extracting good ones."""
+    import io
+    import zipfile
+
+    import pytest
+
+    from timedf_spark.sources.kaggle import (
+        KaggleUnavailable,
+        load_competition,
+        safe_extract_zip,
+    )
+
+    # no kaggle package in this container → typed error, non-interactive
+    with pytest.raises(KaggleUnavailable):
+        load_competition("some-competition", tmp_path)
+
+    # good zip extracts
+    good = tmp_path / "good.zip"
+    with zipfile.ZipFile(good, "w") as zf:
+        zf.writestr("data/train.csv", "a,b\n1,2\n")
+    out = safe_extract_zip(good, tmp_path / "out")
+    assert out == ["data/train.csv"]
+    assert (tmp_path / "out" / "data" / "train.csv").read_text().startswith("a,b")
+
+    # traversal entry is refused before writing anywhere
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", "nope")
+    with pytest.raises(ValueError, match="escapes"):
+        safe_extract_zip(evil, tmp_path / "out2")
+    assert not (tmp_path / "escape.txt").exists()
