@@ -91,6 +91,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # oracle-checked but deliberately back-rotated: the window's 50
         # hash slots stay reserved for queries the driver has never seen
         "salted_segment_spend",
+        "bpe_vocab",
+        "bpe_token_counts",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

@@ -727,3 +727,47 @@ SUITE.update({
         "explicitly salted fact-dim join (8 sub-keys) with plain-join oracle",
     ),
 })
+
+# --- BPE tokenizer: train + distributed encode -----------------------------
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 50 BPE merges on the corpus (one distributed word-count pass
+    + dictionary-local merge loop — operators/bpe.py) and return the merge
+    table. Deterministic (lexicographic tie-break) but not SQL-expressible
+    (iterative trained state) → rows-only driver check; exact merge tables
+    pinned in tests."""
+    from timedf_spark.operators import bpe
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = bpe.train_bpe(docs, n_merges=50)
+    return bpe.bpe_merge_table(spark, merges).orderBy("rank")
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: train BPE, ENCODE the corpus distributedly (broadcast
+    merge ranks, per-batch word cache, zero shuffle until the aggregate),
+    return the top-20 subword tokens by total count."""
+    from timedf_spark.operators import bpe
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = bpe.train_bpe(docs, n_merges=50)
+    return (
+        bpe.encode_tokens(docs, merges)
+        .groupBy("token")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SUITE.update({
+    "bpe_vocab": QuerySpec(
+        "bpe_vocab", bpe_vocab, None,
+        "BPE tokenizer training: corpus word-count pass + greedy merge loop",
+    ),
+    "bpe_token_counts": QuerySpec(
+        "bpe_token_counts", bpe_token_counts, None,
+        "distributed BPE encoding of the corpus, top subword tokens",
+    ),
+})
