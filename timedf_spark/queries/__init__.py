@@ -93,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "salted_segment_spend",
         "bpe_vocab",
         "bpe_token_counts",
+        "duplicate_paragraphs",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

@@ -771,3 +771,70 @@ SUITE.update({
         "distributed BPE encoding of the corpus, top subword tokens",
     ),
 })
+
+# --- cross-document duplicate-chunk (boilerplate) detection ----------------
+#
+# Sub-document dedup: a chunk whose md5 appears under MORE THAN ONE doc_id
+# is boilerplate (shared header/footer/template text). Per-doc metric =
+# fraction of its chunks that are cross-doc duplicated — the published
+# boilerplate screen that document-level dedup (dedup_exact et al.) cannot
+# see. Non-overlapping windows (stride == window) so each token is counted
+# once. Scale: chunks shuffle as 16-byte digests for the cross-doc count
+# (never the chunk text — same posture as dedup_exact), and the per-doc
+# rollup reuses the doc_id grain.
+
+_DUP_CHUNK_W = 32
+
+
+def duplicate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.operators.curation import chunk_documents
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunks = chunk_documents(docs, window=_DUP_CHUNK_W, stride=_DUP_CHUNK_W).select(
+        "doc_id", F.expr("md5(chunk_text)").alias("h")
+    )
+    cross = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs_with_chunk")
+    )
+    return (
+        chunks.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.expr("case when n_docs_with_chunk > 1 then 1 else 0 end")).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .withColumn("dup_frac", F.expr("n_dup_chunks / n_chunks"))
+        .filter("n_dup_chunks > 0")
+        .orderBy("doc_id")
+    )
+
+
+DUPLICATE_PARAGRAPHS_ORACLE = f"""
+WITH starts AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         unnest(generate_series(1, len(string_split(text, ' ')), {_DUP_CHUNK_W})) AS s
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, s, s + {_DUP_CHUNK_W - 1}), ' ')) AS h
+  FROM starts
+), cross_doc AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs_with_chunk FROM chunks GROUP BY h
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       sum(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
+FROM chunks JOIN cross_doc USING (h)
+GROUP BY doc_id
+HAVING n_dup_chunks > 0
+ORDER BY doc_id
+"""
+
+SUITE.update({
+    "duplicate_paragraphs": QuerySpec(
+        "duplicate_paragraphs", duplicate_paragraphs, DUPLICATE_PARAGRAPHS_ORACLE,
+        "cross-doc duplicate-chunk (boilerplate) fractions, digest-only shuffle",
+    ),
+})
