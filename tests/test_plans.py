@@ -401,3 +401,12 @@ def test_salted_join_spreads_key_over_salts(spark):
     assert "_salt" in plan, plan
     assert "xxhash64" in plan, plan
     assert "rand(" not in plan, plan
+
+
+def test_incremental_near_dup_no_corpus_self_join(spark):
+    """Batch-vs-corpus LSH: candidates must come from a BROADCAST probe of
+    the batch band set — no corpus-side self-join, no cartesian."""
+    plan = _executed_plan(spark, "incremental_near_dup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

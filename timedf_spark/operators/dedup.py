@@ -453,3 +453,161 @@ lanes AS (SELECT doc_id, {lanes} FROM hashed GROUP BY doc_id),
 sig AS (SELECT doc_id, {sig} AS simhash FROM lanes)
 SELECT doc_id, simhash, {bandsel} FROM sig
 """
+
+
+# ---- incremental near-dup: new batch probed against an indexed corpus -----
+
+
+def _minhash_bands(
+    docs: DataFrame, k: int = _K, n_hashes: int = _N_HASHES, bands: int = _BANDS
+) -> tuple[DataFrame, DataFrame]:
+    """(band rows, shingle rows) for any (doc_id, text) frame — the same
+    signature family as minhash_lsh_pairs_df, factored for reuse by the
+    incremental probe. Shingle rows are cached (signatures + verification
+    reuse them)."""
+    rows_per_band = n_hashes // bands
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
+    ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
+    sh = sh.cache()
+    base = "(sh div 4294967296)"
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({a} * {base} + {b}) % {_MERSENNE_P})").alias(f"mh{s}")
+            for s, (a, b) in enumerate(_hash_params(n_hashes))
+        ]
+    )
+    band_keys = [
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
+            + "))"
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    bands_df = minh.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("tb"),
+    ).select("doc_id", "tb.band", "tb.band_key")
+    return bands_df, sh
+
+
+def incremental_near_dup_pairs(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs between a (small) NEW batch and the existing
+    corpus — the daily-ingest shape of the MinHash tier, the approximate
+    sibling of bloom.incremental_dedup's exact hash check.
+
+    Why this is the 100 TB shape: the corpus is NEVER self-joined and
+    never shuffled for the candidate join — its band rows stream through
+    a broadcast-hash probe against the batch's (tiny) band set. In a real
+    deployment the corpus signatures are computed once at ingest time and
+    stored (they are 16 bytes × bands per doc); here they are recomputed
+    from the same deterministic hash family, which keeps the operator a
+    pure function of its inputs and lets the DuckDB oracle replicate it
+    end-to-end. The exact-Jaccard verification likewise touches only
+    candidate docs' shingles: the corpus shingle stream is semi-joined
+    down to candidates before the pair count.
+    """
+    batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
+    corpus_bands, corpus_sh = _minhash_bands(corpus, k, n_hashes, bands)
+    candidates = (
+        corpus_bands.join(F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
+                          ["band", "band_key"])
+        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    # verification: corpus shingles reduced to candidate docs first
+    corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
+        F.broadcast(candidates.select("corpus_id").distinct()), "corpus_id", "left_semi"
+    )
+    common = (
+        batch_sh.withColumnRenamed("doc_id", "batch_id")
+        .join(F.broadcast(candidates), "batch_id")
+        .join(
+            corpus_cand_sh,
+            ["corpus_id", "sh"],
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes_b = batch_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed("doc_id", "batch_id")
+    sizes_c = corpus_cand_sh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("n_c"))
+    return (
+        common.join(F.broadcast(sizes_b), "batch_id")
+        .join(F.broadcast(sizes_c), "corpus_id")
+        .withColumn("jaccard", F.expr("n_common / (n_b + n_c - n_common)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_near_dup_sql(
+    batch_pred: str,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> str:
+    """DuckDB oracle: the same family with documents split into batch
+    (``batch_pred``) and corpus (its negation)."""
+    rows_per_band = n_hashes // bands
+    sh = shingle_expr_duckdb("text", k)
+    base = "(sh // 4294967296)"
+    minh_cols = ", ".join(
+        f"min(({a} * {base} + {b}) % {_MERSENNE_P}) AS mh{s}"
+        for s, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+            + ", ".join(f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
+            + f")) AS band_key FROM {src}"
+            for b in range(bands)
+        )
+
+    return f"""
+WITH bsrc AS (SELECT doc_id, text FROM documents WHERE {batch_pred}),
+csrc AS (SELECT doc_id, text FROM documents WHERE NOT ({batch_pred})),
+bshs AS (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM bsrc),
+bsh AS (SELECT doc_id, {_HASH60_DUCK} AS sh FROM bshs),
+cshs AS (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM csrc),
+csh AS (SELECT doc_id, {_HASH60_DUCK} AS sh FROM cshs),
+bminh AS (SELECT doc_id, {minh_cols} FROM bsh GROUP BY doc_id),
+cminh AS (SELECT doc_id, {minh_cols} FROM csh GROUP BY doc_id),
+bbands AS ({band_rows('bminh')}),
+cbands AS ({band_rows('cminh')}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bbands b JOIN cbands c ON b.band = c.band AND b.band_key = c.band_key
+),
+common AS (
+  SELECT batch_id, corpus_id, count(*) AS n_common
+  FROM cand
+  JOIN bsh x ON x.doc_id = batch_id
+  JOIN csh y ON y.doc_id = corpus_id AND x.sh = y.sh
+  GROUP BY batch_id, corpus_id
+),
+sb AS (SELECT doc_id, count(*) AS n_b FROM bsh GROUP BY doc_id),
+sc AS (SELECT doc_id, count(*) AS n_c FROM csh GROUP BY doc_id)
+SELECT batch_id, corpus_id,
+       n_common / (sb.n_b + sc.n_c - n_common) AS jaccard
+FROM common
+JOIN sb ON sb.doc_id = batch_id
+JOIN sc ON sc.doc_id = corpus_id
+WHERE n_common / (sb.n_b + sc.n_c - n_common) >= {threshold}
+"""

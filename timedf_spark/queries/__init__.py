@@ -94,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "bpe_vocab",
         "bpe_token_counts",
         "duplicate_paragraphs",
+        "incremental_near_dup",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

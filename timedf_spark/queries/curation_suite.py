@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timedf_spark.operators import bloom, curation, lm
+from timedf_spark.operators import bloom, curation, dedup, lm
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import fan_out, load_table
 
@@ -117,3 +117,22 @@ SUITE = {
         "Bloom-prefiltered exact incremental dedup vs standing corpus (zero corpus shuffle)",
     ),
 }
+
+
+def _incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dups of the ingest batch against the existing
+    corpus (the approximate sibling of incremental_ingest's exact check):
+    corpus band rows probe a BROADCAST batch band set — zero corpus
+    self-join, zero corpus shuffle for candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(_INGEST_PRED).select("doc_id", "text")
+    corpus = docs.filter(f"NOT ({_INGEST_PRED})").select("doc_id", "text")
+    return dedup.incremental_near_dup_pairs(new_batch, corpus)
+
+
+SUITE["incremental_near_dup"] = QuerySpec(
+    "incremental_near_dup",
+    _incremental_near_dup,
+    dedup.incremental_near_dup_sql(_INGEST_PRED),
+    "batch-vs-corpus MinHash-LSH near-dups, broadcast probe, no corpus self-join",
+)
