@@ -255,11 +255,6 @@ def minhash_lsh_pairs_df(
 ) -> DataFrame:
     """Core of minhash_lsh_pairs over any (doc_id, text) frame — the
     scale-safe near-dup tier composite pipelines (curate_corpus) run."""
-    rows_per_band = n_hashes // bands
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s")
-    ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
-    sh = sh.cache()  # reused: signatures + sizes + verification
     # All n_hashes minhashes as independent aggregates of ONE groupBy —
     # single shuffle, no seed×row blowup, no collect_list. The hash family
     # is ONE md5 per shingle, pre-hashed to a 60-bit int at explode time
@@ -268,34 +263,8 @@ def minhash_lsh_pairs_df(
     # signature slot, where h is the top 28 bits (div 2^32) of the 60-bit
     # value — products stay < 2^59: exact int64 in any engine. Map-side
     # combine reduces each partition to one row per doc before the exchange.
-    base = "(sh div 4294967296)"
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min(({a} * {base} + {b}) % {_MERSENNE_P})").alias(f"mh{s}")
-            for s, (a, b) in enumerate(_hash_params(n_hashes))
-        ]
-    )
-    # band keys are row-local md5s over consecutive signature columns
-    band_keys = [
-        F.expr(
-            "md5(concat_ws(',', "
-            + ", ".join(f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band))
-            + "))"
-        ).alias(f"bk{b}")
-        for b in range(bands)
-    ]
-    sig = minh.select("doc_id", *band_keys)
-    bands_df = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("tb"),
-    ).select("doc_id", "tb.band", "tb.band_key")
+    # (Signature construction shared with the incremental probe below.)
+    bands_df, sh = _minhash_bands(docs, k, n_hashes, bands)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(
