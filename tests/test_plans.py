@@ -349,12 +349,16 @@ def test_repetition_stats_no_hash_exchange(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
-def test_zscore_outliers_single_hash_exchange(spark):
-    """The window moments (PARTITION BY event_type) and the final groupBy
-    share ONE hashpartitioning exchange — the round-2 two-pass-in-one-
-    shuffle pattern applied to z-scores."""
+def test_zscore_outliers_never_shuffles_raw_rows(spark):
+    """Both aggregation passes must map-side-combine to group grain and
+    the stats join back as a broadcast — no window over the
+    low-cardinality key (one-reducer-per-type at scale), and total
+    shuffle bytes stay at partial-aggregate size."""
     plan = _executed_plan(spark, "zscore_outliers")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    writes = _shuffle_writes(spark, "zscore_outliers")
+    assert sum(writes.values()) < 50_000, writes
 
 
 def test_supplier_part_counts_anti_join_broadcasts(spark):

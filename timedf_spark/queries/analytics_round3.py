@@ -27,12 +27,14 @@ Scale posture (per query, the part the judge checks):
   log form for fixed tf, integer-exact under 2^53, and division is IEEE
   correctly-rounded everywhere — so ranks are reproducible across engines
   AND across cluster runs.
-- ``zscore_outliers``: single-shuffle two-pass — the per-group moments
-  (n, Σx, Σx²) come from a window over PARTITION BY event_type on
-  quantized integers (map-side exact, any order), then the z expression
-  and the outlier aggregate reuse the same partitioning (COVERAGE.md
-  round-2 finding 2 applied). sqrt() is IEEE correctly-rounded (unlike
-  log) so std is bit-identical cross-engine.
+- ``zscore_outliers``: two-pass with ZERO raw-row shuffles — per-group
+  moments (n, Σx, Σx²) via groupBy (map-side combine to group grain),
+  broadcast join-back for the per-row z, final aggregate likewise
+  combined map-side. The window-over-partition-key trick is deliberately
+  NOT used here: event_type has a handful of values, and a window
+  partitioned by a low-cardinality key sends every row of a type through
+  one reducer at scale. sqrt() is IEEE correctly-rounded (unlike log) so
+  std is bit-identical cross-engine.
 - ``spend_deciles``: NTILE over the customer-grain aggregate. The rank is
   a global sort, which in stock Spark lands on ONE reducer — acceptable
   here because it runs on the *aggregated* customer grain (already
@@ -169,12 +171,21 @@ _Q_V2 = "cast(floor(value * value * 10000.0 + 0.5) as bigint)"
 
 
 def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass via groupBy moments + BROADCAST join-back — deliberately
+    NOT the window-over-partition-key trick: event_type has a handful of
+    values, and a window partitioned by a low-cardinality key funnels
+    every row of a type through ONE reducer at scale. Here neither pass
+    shuffles raw rows: both aggregations map-side-combine down to
+    group grain, and the per-row z computation joins the 5-row stats
+    frame as a broadcast."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    w = Window.partitionBy("event_type")
-    stats = (
-        ev.withColumn("n", F.count(F.lit(1)).over(w))
-        .withColumn("s1", F.sum(F.expr(_Q_V)).over(w))
-        .withColumn("s2", F.sum(F.expr(_Q_V2)).over(w))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_Q_V)).alias("s1"),
+        F.sum(F.expr(_Q_V2)).alias("s2"),
+    )
+    z = (
+        ev.join(F.broadcast(stats), "event_type")
         .withColumn("mean", F.expr("(cast(s1 as double) / 10000.0) / n"))
         .withColumn(
             "std",
@@ -183,7 +194,7 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("z", F.expr("case when std > 0 then (value - mean) / std end"))
     )
     return (
-        stats.groupBy("event_type")
+        z.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.expr(f"case when abs(z) > {_Z_CUTOFF} then 1 else 0 end")).alias("n_outliers"),
@@ -441,10 +452,14 @@ _TMIX_K = "8.0"  # acceptance ∝ K / sqrt(n_source), capped at 1
 
 
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source counts via groupBy + broadcast join-back, NOT a window
+    # over the low-cardinality source key (which would funnel each
+    # source's rows through one reducer at scale); neither aggregation
+    # shuffles raw rows — both combine map-side to source grain
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = Window.partitionBy("source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
     flagged = (
-        docs.withColumn("n_source", F.count(F.lit(1)).over(w))
+        docs.join(F.broadcast(counts), "source")
         .withColumn(
             "thresh",
             F.expr(
@@ -600,7 +615,10 @@ ORDER BY o_orderpriority, month
 
 def supplier_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank + percent_rank of suppliers by account balance within
-    each nation (dimension-grain ranking; nation name via broadcast)."""
+    each nation (nation name via broadcast). The per-nation sort window
+    runs on the supplier DIMENSION — parallelism is bounded by nation
+    count, which is the contract of any exact per-group ranking; the fact
+    tables are never windowed."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
     w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
