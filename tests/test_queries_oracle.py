@@ -60,3 +60,30 @@ def test_approx_quantiles_within_tolerance(spark, sf_dir):
         a = approx[flag]
         for p in ["p25", "p50", "p75", "p95"]:
             assert abs(a[p] - e[p]) <= max(1.0, 0.02 * abs(e[p])), (flag, p, a[p], e[p])
+
+
+_ANSI_REPRESENTATIVES = [
+    # quantized-sum arithmetic (the overflow-guard contract), conv()/md5
+    # hashing, window ranks, HOF folds, count-distinct, share-of-total
+    "pricing_summary", "market_share", "taxi_q4", "corpus_mix",
+    "dedup_exact", "supplier_part_counts", "zscore_outliers",
+    "repetition_stats", "tfidf_top_terms", "temperature_mix",
+]
+
+
+def test_queries_hold_under_ansi_mode(spark, sf_dir, con):
+    """spark.sql.ansi.enabled=true is the recommended guard for the
+    quantized-sum overflow contract (functions/deterministic.py): under
+    ANSI an overflow raises instead of wrapping. The suite must produce
+    IDENTICAL results with it on — i.e. nothing relies on non-ANSI
+    wrap/cast semantics. (Full-suite ANSI run verified manually; this
+    pins a representative cross-section.)"""
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name in _ANSI_REPRESENTATIVES:
+            spec = _SPECS[name]
+            issues = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+            assert issues == [], f"{name} under ANSI: {issues}"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
