@@ -87,3 +87,21 @@ def test_queries_hold_under_ansi_mode(spark, sf_dir, con):
             assert issues == [], f"{name} under ANSI: {issues}"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, con):
+    """The reproducibility contract: identical results under a different
+    spark.sql.shuffle.partitions (different partial-aggregation merge
+    trees, different partition orders). True only because every float
+    aggregate is a quantized integer sum — a raw double sum would flip
+    last bits here."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for name in ["pricing_summary", "market_share", "plasticc_multi_agg",
+                     "winsorized_price_mean", "retention_cohorts"]:
+            spec = _SPECS[name]
+            issues = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+            assert issues == [], f"{name} at 7 shuffle partitions: {issues}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
