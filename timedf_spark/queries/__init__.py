@@ -95,6 +95,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "bpe_token_counts",
         "duplicate_paragraphs",
         "incremental_near_dup",
+        "lineitem_profile",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

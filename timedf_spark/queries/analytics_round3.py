@@ -856,3 +856,33 @@ SUITE.update({
         "cross-doc duplicate-chunk (boilerplate) fractions, digest-only shuffle",
     ),
 })
+
+# --- one-pass table profile ------------------------------------------------
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the fact table: every column's null
+    fraction, min/max, and exact distinct count from ONE aggregation pass
+    (operators/profile.py) — the pre-ingest screen a pipeline runs before
+    trusting a new drop."""
+    from timedf_spark.operators.profile import profile_columns
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem").select(*cols), cols
+    ).orderBy("col_name")
+
+
+def _lineitem_profile_oracle() -> str:
+    from timedf_spark.operators.profile import profile_sql
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    return profile_sql("lineitem", cols) + "\nORDER BY col_name"
+
+
+SUITE.update({
+    "lineitem_profile": QuerySpec(
+        "lineitem_profile", lineitem_profile, _lineitem_profile_oracle(),
+        "one-pass per-column profile: nulls, min/max, exact distinct counts",
+    ),
+})
