@@ -96,6 +96,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "duplicate_paragraphs",
         "incremental_near_dup",
         "lineitem_profile",
+        "semantic_dedup_keepers",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

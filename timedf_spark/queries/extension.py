@@ -572,3 +572,40 @@ SUITE = {
         "train CCNet-style linear quality model (IRLS), score corpus in codegen",
     ),
 }
+
+
+def _semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-dup CLUSTERS → keeper summary: SRP-blocked
+    cosine pairs (no all-pairs), connected components over them
+    (pointer jumping), one row per cluster = (keeper vec_id = min member,
+    member count). The semantic twin of curate_corpus's text-level
+    keeper selection."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = similarity.cosine_dedup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cc = cluster.connected_components(emb.withColumnRenamed("vec_id", "doc_id"), edges.select(
+        F.col("doc_a"), F.col("doc_b")))
+    return (
+        cc.groupBy(F.col("component").alias("keeper_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter("n_members > 1")  # singletons are trivially their own keeper
+        .orderBy("keeper_id")
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = (
+    "SELECT component AS keeper_id, count(*) AS n_members FROM ("
+    + cluster.connected_components_sql(
+        "SELECT vec_id AS v FROM embeddings",
+        "SELECT id_a AS src, id_b AS dst FROM (" + similarity.cosine_dedup_sql() + ")",
+    )
+    + ") GROUP BY component HAVING count(*) > 1 ORDER BY keeper_id"
+)
+
+SUITE["semantic_dedup_keepers"] = QuerySpec(
+    "semantic_dedup_keepers",
+    _semantic_dedup_keepers,
+    SEMANTIC_DEDUP_ORACLE,
+    "embedding near-dup clusters -> keeper summary (SRP blocking + CC)",
+)
