@@ -393,3 +393,59 @@ def test_first_touch_state_converges_to_batch_twin(spark, sf_dir):
         assert (r["first_ts"], r["first_touch"], r["converted"], r["n_seen"]) == (
             b["first_ts"], b["first_touch"], b["converted"], b["n_seen"]
         ), uid
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark, sf_dir, tmp_path_factory):
+    """Resilience: stop a checkpointed stream, add new source files,
+    RESTART with the same checkpoint — the resumed query must process
+    only the unseen files (offsets recovered), and the union of outputs
+    must equal the batch answer with zero duplicate event_ids."""
+    import time
+
+    from timedf_spark.streaming import sinks as streaming_sinks
+
+    base = tmp_path_factory.mktemp("restart")
+    src, out, chk = str(base / "src"), str(base / "out"), str(base / "chk")
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    lo, hi = events.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    step = (hi - lo) // 3 + 1
+    chunks = [
+        events.filter(
+            (F.col("ts").cast("long") >= lo + i * step)
+            & (F.col("ts").cast("long") < lo + (i + 1) * step)
+        )
+        for i in range(3)
+    ]
+    chunks[0].coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    chunks[1].coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_sinks.idempotent_parquet_sink(stream, out, chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # first run: chunks 0-1
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == chunks[0].count() + chunks[1].count()
+
+    time.sleep(1.1)
+    chunks[2].coalesce(1).write.mode("append").parquet(src)
+    run_stream()  # restart from checkpoint: must pick up ONLY chunk 2
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+    # the resumed run added new batch directories, it did not rewrite old ones
+    import os
+
+    batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert len(batch_dirs) >= 3, batch_dirs
