@@ -449,3 +449,78 @@ def test_checkpoint_restart_resumes_without_duplicates(spark, sf_dir, tmp_path_f
 
     batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
     assert len(batch_dirs) >= 3, batch_dirs
+
+
+def test_streaming_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
+    """Bounded-state sketch guarantees vs exact batch counts: every key
+    whose true bucket frequency exceeds N_bucket/(capacity+1) must appear
+    in the final summary, and every estimate satisfies
+    count_est <= true <= count_est + decrements."""
+    import time
+
+    from timedf_spark.streaming.heavy_hitters import heavy_hitters_state
+
+    capacity, n_buckets = 4, 2  # small enough that buckets overflow at test sf
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("user_key")
+    )
+    lo, hi = events.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        step = (hi - lo) // 3 + 1
+        for i in range(3):
+            events.filter(
+                (F.col("ts").cast("long") >= lo + i * step)
+                & (F.col("ts").cast("long") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            heavy_hitters_state(stream, "user_key", capacity, n_buckets)
+            .writeStream.format("memory")
+            .queryName("hh")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from hh").collect()
+
+    # final summary per bucket = the emission with the largest n_seen
+    final_n = {}
+    for r in rows:
+        final_n[r["bucket"]] = max(final_n.get(r["bucket"], 0), r["n_seen"])
+    summary = {
+        (r["bucket"], r["key"]): r
+        for r in rows
+        if r["n_seen"] == final_n[r["bucket"]]
+    }
+    assert summary, "no summaries emitted"
+
+    truth = {
+        (r["bucket"], r["key"]): r["true_cnt"]
+        for r in (
+            events.select(
+                F.col("user_key").alias("key"),
+                F.pmod(F.xxhash64("user_key"), F.lit(n_buckets)).alias("bucket"),
+            )
+            .groupBy("bucket", "key")
+            .agg(F.count(F.lit(1)).alias("true_cnt"))
+            .collect()
+        )
+    }
+    n_bucket = {}
+    for (b, _k), c in truth.items():
+        n_bucket[b] = n_bucket.get(b, 0) + c
+    # state really was bounded below the key cardinality
+    assert any(len([1 for (b, _) in truth if b == bb]) > capacity for bb in n_bucket)
+    for (b, k), true_cnt in truth.items():
+        if true_cnt > n_bucket[b] / (capacity + 1):
+            assert (b, k) in summary, f"guaranteed-heavy key missing: {(b, k)}"
+    for (b, k), r in summary.items():
+        true_cnt = truth[(b, k)]
+        assert r["count_est"] <= true_cnt <= r["count_est"] + r["decrements"], (b, k)
