@@ -34,7 +34,7 @@ def _duck_agg(expr: str, values: list[Decimal]) -> float:
     con = duckdb.connect()
     con.execute("CREATE TABLE t (x double)")
     con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in values])
-    out = con.execute(f"SELECT {expr.replace('x', 'x')} FROM t").fetchone()[0]
+    out = con.execute(f"SELECT {expr} FROM t").fetchone()[0]
     con.close()
     return out
 

@@ -341,10 +341,13 @@ def test_kaggle_loader_offline_paths(tmp_path):
     assert out == ["data/train.csv"]
     assert (tmp_path / "out" / "data" / "train.csv").read_text().startswith("a,b")
 
-    # traversal entry is refused before writing anywhere
+    # traversal entry is refused before writing anywhere — even when a
+    # benign entry PRECEDES it (all-or-nothing: no partial extraction)
     evil = tmp_path / "evil.zip"
     with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("innocent.csv", "a\n")
         zf.writestr("../escape.txt", "nope")
     with pytest.raises(ValueError, match="escapes"):
         safe_extract_zip(evil, tmp_path / "out2")
     assert not (tmp_path / "escape.txt").exists()
+    assert not (tmp_path / "out2" / "innocent.csv").exists()

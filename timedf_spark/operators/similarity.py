@@ -552,8 +552,11 @@ def _pq_codebooks(
                 members = x[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)
-        if k_eff < n_codes:  # degenerate tiny sample: pad by repetition
-            cents = np.concatenate([cents, cents[: n_codes - k_eff]])
+        if k_eff < n_codes:  # degenerate tiny sample: cycle the learned
+            # centroids until the codebook is full (a single slice
+            # under-pads whenever k_eff < n_codes - k_eff)
+            reps = -(-n_codes // k_eff)  # ceil
+            cents = np.tile(cents, (reps, 1))[:n_codes]
         books[sub] = cents
     return books
 

@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from timedf_spark.functions.deterministic import dsum
+from timedf_spark.functions.hashing import DOC_HASH_DUCK, DOC_HASH_SPARK
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import fan_out, load_table
 
@@ -446,8 +447,9 @@ SUITE = {
 # correctly-rounded everywhere, floor(+0.5) pins the threshold to an
 # integer, so the sample is bit-reproducible across engines and runs.
 
-_TMIX_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
-_TMIX_HASH_DUCK = "(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT)"
+# doc-id hash-threshold family shared with corpus_mix (functions/hashing.py)
+_TMIX_HASH = DOC_HASH_SPARK
+_TMIX_HASH_DUCK = DOC_HASH_DUCK
 _TMIX_K = "8.0"  # acceptance ∝ K / sqrt(n_source), capped at 1
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedf_spark.functions.deterministic import davg
+from timedf_spark.functions.hashing import DOC_HASH_DUCK, DOC_HASH_SPARK
 from timedf_spark.operators import cluster, dedup, sessionize, similarity
 from timedf_spark.operators.text import (
     fingerprint_sql,
@@ -102,8 +103,9 @@ DEDUP_CLUSTERS_ORACLE = (
 # downsample dominant English, keep mid-resource, trim zh harder.
 _MIX_RATES = {"en": 60, "de": 90, "es": 90, "fr": 90, "zh": 40}
 
-_MIX_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
-_MIX_HASH_DUCK = "(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT)"
+# doc-id hash-threshold family shared with temperature_mix (functions/hashing.py)
+_MIX_HASH = DOC_HASH_SPARK
+_MIX_HASH_DUCK = DOC_HASH_DUCK
 _MIX_CASE = "case " + " ".join(f"when lang = '{l}' then {r}" for l, r in _MIX_RATES.items()) + " else 100 end"
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import zipfile
 from dataclasses import dataclass, field
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 __all__ = ["Workbook"]
 
@@ -248,7 +248,8 @@ class Workbook:
             _XMLDECL
             + f'<workbook xmlns="{_NS_MAIN}" xmlns:r="{_NS_REL}"><sheets>'
             + "".join(
-                f'<sheet name="{escape(s.name)}" sheetId="{i}" r:id="rIdS{i}"/>'
+                # quoteattr: attribute context needs &quot; escaping too
+                f'<sheet name={quoteattr(s.name)} sheetId="{i}" r:id="rIdS{i}"/>'
                 for i, s in enumerate(self._sheets, start=1)
             )
             + "</sheets></workbook>"

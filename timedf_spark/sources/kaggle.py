@@ -47,13 +47,17 @@ def safe_extract_zip(zip_path: str | os.PathLike, target_dir: str | os.PathLike)
     target.mkdir(parents=True, exist_ok=True)
     extracted: list[str] = []
     with zipfile.ZipFile(zip_path) as zf:
-        for info in zf.infolist():
-            name = info.filename
-            dest = (target / name).resolve()
+        infos = zf.infolist()
+        # validate the WHOLE listing before writing anything: all-or-nothing,
+        # so a traversal entry anywhere in the archive leaves no partial
+        # extraction behind
+        for info in infos:
+            dest = (target / info.filename).resolve()
             if not str(dest).startswith(str(target) + os.sep) and dest != target:
-                raise ValueError(f"zip entry escapes target dir: {name!r}")
+                raise ValueError(f"zip entry escapes target dir: {info.filename!r}")
+        for info in infos:
             zf.extract(info, target)
-            extracted.append(name)
+            extracted.append(info.filename)
     return extracted
 
 
