@@ -1,0 +1,108 @@
+"""Sink compaction (streaming/compaction.py): the reader's exactly-once
+view must be invariant across every step of the compaction protocol —
+before, after, mid-crash, and on re-run — while the directory/file count
+actually drops."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from timedf_spark.sources.readers import load_table
+from timedf_spark.streaming import sinks as streaming_sinks
+from timedf_spark.streaming.compaction import (
+    compact_sink,
+    read_sink,
+    sink_stats,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def sink(spark, sf_dir, tmp_path):
+    """Five micro-batches of events written through the idempotent sink."""
+    path = str(tmp_path / "sink")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(500)
+    )
+    batches = [ev.filter((F.col("event_id") % 5) == i) for i in range(5)]
+    for i, b in enumerate(batches):
+        streaming_sinks.write_batch_idempotent(b, i, path)
+    return path, ev
+
+
+def test_compaction_preserves_reader_view_and_drops_files(spark, sink):
+    path, ev = sink
+    before = _rows(read_sink(spark, path).drop("batch_id"))
+    assert before == _rows(ev)
+
+    s0 = sink_stats(path)
+    assert s0["batch_dirs"] == 5
+
+    stats = compact_sink(spark, path)
+    assert stats["compacted"] and stats["folded_batches"] == 5
+    assert stats["covered"] == 4 and stats["epoch"] == 0
+
+    after = _rows(read_sink(spark, path).drop("batch_id"))
+    assert after == before
+    s1 = sink_stats(path)
+    assert s1["batch_dirs"] == 0
+    assert s1["data_files"] < s0["data_files"]
+    assert s1["data_files"] == 1  # target_files=1
+
+    # batch_id provenance survives compaction as a real column
+    ids = {r[0] for r in read_sink(spark, path).select("batch_id").distinct().collect()}
+    assert ids == {0, 1, 2, 3, 4}
+
+
+def test_recompaction_noop_then_folds_new_batches(spark, sink):
+    path, ev = sink
+    compact_sink(spark, path)
+    # nothing new → no-op, manifest unchanged
+    again = compact_sink(spark, path)
+    assert not again["compacted"] and again["new_batches"] == 0
+
+    # two fresh batches (a replayed 5 and a new 6) appear in the view...
+    extra = ev.limit(40).withColumn("value", F.col("value") * 2)
+    streaming_sinks.write_batch_idempotent(extra, 5, path)
+    streaming_sinks.write_batch_idempotent(extra, 6, path)
+    view = read_sink(spark, path)
+    assert view.count() == ev.count() + 80
+
+    # ...and fold into epoch=1, covering batch 6
+    stats = compact_sink(spark, path)
+    assert stats["compacted"] and stats["epoch"] == 1 and stats["covered"] == 6
+    assert read_sink(spark, path).count() == ev.count() + 80
+    assert sink_stats(path)["data_files"] == 1
+
+
+def test_crash_before_publish_is_invisible_and_retryable(spark, sink):
+    path, ev = sink
+    baseline = _rows(read_sink(spark, path).drop("batch_id"))
+
+    # simulate a compactor that died after step 2 (data written) but
+    # before step 3 (manifest publish): an orphaned epoch dir exists
+    orphan = os.path.join(path, "_compaction", "epoch=0")
+    read_sink(spark, path).repartition(1).write.parquet(orphan)
+    assert _rows(read_sink(spark, path).drop("batch_id")) == baseline  # unreferenced
+
+    # the retry overwrites the orphan and publishes normally
+    stats = compact_sink(spark, path)
+    assert stats["compacted"] and stats["epoch"] == 0
+    assert _rows(read_sink(spark, path).drop("batch_id")) == baseline
+
+
+def test_min_batches_guard(spark, sink):
+    path, _ = sink
+    res = compact_sink(spark, path, min_batches=6)
+    assert not res["compacted"]
+    assert sink_stats(path)["batch_dirs"] == 5

@@ -1,0 +1,183 @@
+"""Compaction for the idempotent foreachBatch sink's per-batch directories.
+
+``streaming/sinks.py`` lands every micro-batch in its own ``batch_id=N``
+directory — exactly-once under at-least-once replay, but the directory
+count grows with batch cadence: a 30-second trigger is ~2,900 directories
+a day, and at 100 TB the NameNode/listing cost of a million tiny
+directories dominates the read path long before the data does. This
+module folds cold batches into one compacted store without ever breaking
+the reader's exactly-once view.
+
+Crash-safe protocol (no transaction log, single atomic primitive =
+``os.replace`` of a manifest file — the same publish trick as Spark's own
+file-sink manifest and Hive's rename commit):
+
+1. read the current manifest (``covered``: highest batch id already
+   compacted; ``epoch``: generation counter of the compacted store);
+2. read compacted ``epoch=K`` data UNION batch dirs in
+   ``(covered, new_covered]`` and write them as ``epoch=K+1`` —
+   *alongside* the live data, referenced by nothing;
+3. atomically publish the new manifest (tmp file + ``os.replace``);
+4. best-effort cleanup of the folded batch dirs and the old epoch.
+
+A crash before (3) leaves the old manifest: readers still see old epoch +
+all uncovered batch dirs — the orphaned ``epoch=K+1`` directory is
+unreferenced and harmless (re-running compaction overwrites it). A crash
+after (3) leaves covered-but-undeleted batch dirs: readers use the new
+manifest, which skips them. Cleanup is therefore re-runnable and never
+correctness-bearing. Readers are correct at every instant because each
+row is reachable through exactly one of {published epoch, uncovered
+batch dirs} under whichever manifest they loaded.
+
+At cluster scale the same protocol works on any store with atomic rename
+(HDFS) — on S3, publish the manifest via a conditional PUT instead; the
+data files never need atomicity because they are invisible until
+published.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["compact_sink", "read_sink", "sink_stats"]
+
+_MANIFEST = "_compaction/manifest.json"
+_BATCH_RE = re.compile(r"batch_id=(\d+)$")
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST)
+
+
+def _load_manifest(path: str) -> dict:
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"covered": -1, "epoch": -1}
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Atomic publish: readers see either the old or the new manifest,
+    never a partial write."""
+    mp = _manifest_path(path)
+    os.makedirs(os.path.dirname(mp), exist_ok=True)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, mp)
+
+
+def _live_batch_dirs(path: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for d in glob.glob(os.path.join(path, "batch_id=*")):
+        m = _BATCH_RE.search(d)
+        if m and os.path.isdir(d):
+            out[int(m.group(1))] = d
+    return out
+
+
+def _epoch_dir(path: str, epoch: int) -> str:
+    return os.path.join(path, "_compaction", f"epoch={epoch}")
+
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Exactly-once view of the sink: published compacted store UNION
+    batch directories newer than its coverage. ``batch_id`` survives as a
+    regular column (partition-dir value in live batches, materialized
+    column in the compacted store)."""
+    manifest = _load_manifest(path)
+    covered, epoch = manifest["covered"], manifest["epoch"]
+    parts: list[DataFrame] = []
+    if epoch >= 0:
+        parts.append(spark.read.parquet(_epoch_dir(path, epoch)))
+    live = [d for bid, d in sorted(_live_batch_dirs(path).items()) if bid > covered]
+    if live:
+        # basePath keeps the batch_id partition column when reading leaf dirs
+        df = spark.read.option("basePath", path).parquet(*live)
+        parts.append(df.withColumn("batch_id", F.col("batch_id").cast("long")))
+    if not parts:
+        raise FileNotFoundError(f"empty sink at {path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_sink(
+    spark: SparkSession,
+    path: str,
+    min_batches: int = 2,
+    target_files: int = 1,
+) -> dict:
+    """Fold all currently-covered-by-nothing batch directories into the
+    compacted store. Returns stats; a no-op (too few new batches) returns
+    ``{"compacted": False, ...}``. Safe to re-run at any time, including
+    after a mid-compaction crash."""
+    manifest = _load_manifest(path)
+    covered, epoch = manifest["covered"], manifest["epoch"]
+    live = {bid: d for bid, d in _live_batch_dirs(path).items() if bid > covered}
+    if len(live) < min_batches:
+        return {"compacted": False, "covered": covered, "epoch": epoch,
+                "new_batches": len(live)}
+
+    new_covered = max(live)
+    new_epoch = epoch + 1
+    parts: list[DataFrame] = []
+    if epoch >= 0:
+        parts.append(spark.read.parquet(_epoch_dir(path, epoch)))
+    batch_df = spark.read.option("basePath", path).parquet(*live.values())
+    parts.append(batch_df.withColumn("batch_id", F.col("batch_id").cast("long")))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+
+    # step 2: write the next generation beside the live data (mode
+    # overwrite makes a retry after a pre-publish crash converge)
+    (
+        merged.repartition(target_files)
+        .write.mode("overwrite")
+        .parquet(_epoch_dir(path, new_epoch))
+    )
+    # step 3: atomic publish — the only correctness-bearing mutation
+    _publish_manifest(path, {"covered": new_covered, "epoch": new_epoch})
+    # step 4: best-effort cleanup (correct under the new manifest whether
+    # or not any of these deletions land)
+    removed = 0
+    for bid, d in live.items():
+        try:
+            shutil.rmtree(d)
+            removed += 1
+        except OSError:
+            pass
+    if epoch >= 0:
+        shutil.rmtree(_epoch_dir(path, epoch), ignore_errors=True)
+    return {
+        "compacted": True,
+        "covered": new_covered,
+        "epoch": new_epoch,
+        "folded_batches": len(live),
+        "removed_dirs": removed,
+    }
+
+
+def sink_stats(path: str) -> dict:
+    """Directory/file counts — the metric compaction exists to bound."""
+    manifest = _load_manifest(path)
+    live = _live_batch_dirs(path)
+    uncovered = [d for bid, d in live.items() if bid > manifest["covered"]]
+    files = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in uncovered
+    )
+    if manifest["epoch"] >= 0:
+        files += len(glob.glob(os.path.join(_epoch_dir(path, manifest["epoch"]), "*.parquet")))
+    return {"batch_dirs": len(uncovered), "data_files": files, **manifest}
