@@ -59,3 +59,24 @@ def test_distributed_encode_token_totals(spark):
 def test_train_is_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert bpe.train_bpe(docs, n_merges=25) == bpe.train_bpe(docs, n_merges=25)
+
+
+def test_frequency_floor_bounds_dictionary_not_merges(spark):
+    """min_freq drops rare word-forms distributed-side: 'widest' (x2) and
+    'lower' (x2) vanish under floor 3, so the surviving dictionary is
+    exactly {low x5, newest x6} and greedy BPE runs on it alone — the
+    floor bounds driver memory, and the merge table is still the exact
+    greedy table of the floored dictionary (hand-traced)."""
+    docs = _toy_docs(spark)
+    floored = bpe.train_bpe(docs, n_merges=6, min_freq=3)
+    assert floored == [
+        ("e", "s", 6),
+        ("e", "w", 6),
+        ("es", "t", 6),
+        ("est", "</w>", 6),
+        ("ew", "est</w>", 6),
+        ("n", "ewest</w>", 6),
+    ]
+    # under the floor, the surviving dictionary is exactly {low, newest}
+    rows = bpe.word_counts(docs).filter("cnt >= 3").collect()
+    assert {r["word"] for r in rows} == {"low", "newest"}

@@ -57,11 +57,27 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 50,
     vocab_guard: int = _VOCAB_GUARD,
+    min_freq: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq)] in
     merge order. Exact greedy BPE — at each step the globally most
-    frequent adjacent symbol pair merges, ties broken lexicographically."""
-    rows = word_counts(docs, text_col).collect()
+    frequent adjacent symbol pair merges, ties broken lexicographically.
+
+    ``min_freq`` is the frequency floor for 10M+-word-form dictionaries
+    (web-scale corpora with typos/codes/URLs have unbounded word-form
+    counts but Zipfian mass): words rarer than the floor are dropped
+    FROM THE DISTRIBUTED AGGREGATE — the driver only ever sees the
+    surviving dictionary, so driver memory is bounded by the floor, not
+    the corpus. The deviation from exact BPE is principled: a pair
+    occurring only inside sub-floor words can contribute at most
+    (min_freq - 1) × (number of dropped word-forms containing it) to any
+    merge count — with the default floors this is noise next to the
+    millions-scale counts that drive early merges (the same trade
+    subword-nmt's --min-frequency makes)."""
+    wc = word_counts(docs, text_col)
+    if min_freq > 1:
+        wc = wc.filter(F.col("cnt") >= min_freq)
+    rows = wc.collect()
     assert len(rows) <= vocab_guard, (
         f"word-form dictionary {len(rows)} exceeds guard {vocab_guard}; "
         "raise the guard or apply a frequency floor first"
