@@ -561,6 +561,58 @@ def _pq_codebooks(
     return books
 
 
+def _opq_rotation(sample: np.ndarray, m: int = _PQ_M) -> np.ndarray:
+    """Parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013, §4 — the closed-form variant): rotate into
+    the PCA basis, then allocate principal directions to the M subspaces
+    balancing the PRODUCT of eigenvalues per subspace, so no subquantizer
+    is handed all the variance while others quantize noise. Returns an
+    orthonormal (dim × dim) matrix R; vectors are encoded as R @ x.
+
+    Rotating costs one small matmul per Arrow batch and nothing at the
+    join layer — codes stay 8 bytes — while cutting quantization
+    distortion on anisotropic embeddings (real text/image encoders
+    concentrate variance in a few directions; plain PQ splits dims by
+    position, which couples subspace quality to dimension order).
+    Orthogonality preserves inner products, so ADC scores in rotated
+    space estimate the same cosine.
+
+    Deterministic: eigh on the sample covariance (symmetric — stable
+    ordering), sign-canonicalized eigenvectors, greedy balanced
+    allocation with index tie-breaks.
+    """
+    dim = sample.shape[1]
+    ds = dim // m
+    cov = np.cov(sample, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(-evals, kind="stable")   # descending variance
+    evals, evecs = evals[order], evecs[:, order]
+    # canonical sign: largest-|component| entry of each eigenvector > 0
+    for j in range(dim):
+        i = int(np.abs(evecs[:, j]).argmax())
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    # greedy balanced allocation: biggest eigenvalue goes to the open
+    # subspace with the smallest current log-product of eigenvalues.
+    # Every bucket ends with exactly ds items, so balancing Σ log λ is
+    # invariant to a constant shift per item — shift logs to ≥ 0 first,
+    # otherwise (all λ < 1 ⇒ all logs < 0) each assignment makes its
+    # bucket MORE attractive and the greedy stuffs one subspace with
+    # every high-variance direction.
+    logs = np.log(np.maximum(evals, 1e-12))
+    logs = logs - logs.min()
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logprod = np.zeros(m)
+    for j in range(dim):
+        open_subs = [s for s in range(m) if len(buckets[s]) < ds]
+        s = min(open_subs, key=lambda s: (logprod[s], s))
+        buckets[s].append(j)
+        logprod[s] += float(logs[j])
+    perm = [j for b in buckets for j in b]
+    # row i of R is the eigenvector assigned to output coordinate i
+    return evecs[:, perm].T.copy()
+
+
 def ivfpq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -568,6 +620,7 @@ def ivfpq_topk(
     k: int = _TOP_K,
     n_cells: int = 32,
     nprobe: int = 8,
+    opq: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse inverted lists (as ivf_topk) with a
     product-quantized second level — candidates are scored by asymmetric
@@ -590,10 +643,13 @@ def ivfpq_topk(
     rows-only check (no SQL oracle can express the trained quantizer).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # ONE bounded sample scan trains both quantizer levels
+    # ONE bounded sample scan trains both quantizer levels (and, under
+    # opq=True, the rotation — coarse cells stay in the original space;
+    # only the residual-free PQ codes live in the rotated basis)
     sample = _normed_sample(emb)
     cmat = _kmeans_centroids(emb, n_cells, sample=sample)  # (cells × dim), L2-normalized
-    books = _pq_codebooks(sample)
+    rot = _opq_rotation(sample) if opq else None
+    books = _pq_codebooks(sample @ rot.T if rot is not None else sample)
     m, n_codes, ds = books.shape
 
     @F.pandas_udf("struct<cell: long, codes: array<int>>")
@@ -605,9 +661,10 @@ def ivfpq_topk(
         with np.errstate(invalid="ignore", divide="ignore"):
             mat = np.where(nrm > 0, mat / nrm, 0.0)
         cells = (mat @ cmat.T).argmax(axis=1)
+        pq_mat = mat @ rot.T if rot is not None else mat
         codes = np.empty((len(mat), m), dtype=np.int32)
         for sub in range(m):
-            x = mat[:, sub * ds : (sub + 1) * ds]
+            x = pq_mat[:, sub * ds : (sub + 1) * ds]
             d2 = (
                 (x**2).sum(axis=1, keepdims=True)
                 - 2.0 * (x @ books[sub].T)
@@ -663,6 +720,8 @@ def ivfpq_topk(
         qn = np.linalg.norm(q)
         if qn > 0:
             q = q / qn
+        if rot is not None:  # orthogonal: (Rq)·(Rx) == q·x
+            q = rot @ q
         lut = np.stack(
             [q[sub * ds : (sub + 1) * ds] @ books[sub].T for sub in range(m)]
         )  # (m, n_codes)
