@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "salt_col"]
+__all__ = ["salted_join", "salt_col", "null_split_left_join"]
 
 
 def salt_col(df: DataFrame, n_salts: int, salt_source: str | None = None) -> F.Column:
@@ -53,3 +53,32 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_large.join(replicated_small, [key, "_salt"]).drop("_salt")
+
+
+def null_split_left_join(
+    left: DataFrame, right: DataFrame, key: str
+) -> DataFrame:
+    """LEFT OUTER equi-join equal to ``left.join(right, key, "left")`` but
+    with NULL join keys split out BEFORE the shuffle.
+
+    Why: an outer join must keep null-key rows, so Catalyst cannot push
+    ``isnotnull(key)`` below the exchange the way it does for inner joins
+    — every null-key row hashes to the same shuffle partition and lands on
+    ONE reducer. Null is the single most common pathological hot key in
+    practice (unattributed events, optional foreign keys), and at fact-
+    table scale that reducer is the job. SQL NULL semantics guarantee a
+    null key matches nothing, so the null stratum needs no join at all:
+    filter it out (the surviving branch shuffles with isnotnull pushed
+    down), null-extend it with the right side's columns as a pure
+    projection (zero shuffle), and UNION the branches back.
+
+    Both inputs must be free of column-name overlap besides ``key``.
+    """
+    right_cols = [c for c in right.columns if c != key]
+    matched = left.filter(F.col(key).isNotNull()).join(right, key, "left")
+    unmatched = left.filter(F.col(key).isNull()).select(
+        key,
+        *[c for c in left.columns if c != key],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+    )
+    return matched.unionByName(unmatched)
