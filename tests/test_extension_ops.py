@@ -335,3 +335,59 @@ def test_ivfpq_opq_end_to_end_recall(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & {(r.q_id, r.vec_id) for r in rows}) / len(exact)
     assert recall >= 0.3, f"recall@10 too low: {recall}"
+
+
+def test_pagerank_matches_numpy_and_duckdb_twin(spark):
+    """PageRank on a hand-built graph with a dangling node: (a) within the
+    1e-9 quantization grid of an unquantized numpy power iteration, (b)
+    BIT-identical to the unrolled-CTE DuckDB twin (the property that makes
+    an iterative float algorithm oracle-checkable), (c) total mass 1."""
+    import duckdb
+    import numpy as np
+
+    from timedf_spark.operators.pagerank import pagerank, pagerank_sql
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    ndf = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(ndf, edf, iters=12).collect()}
+
+    # unquantized reference
+    out = {0: [1, 2], 1: [2, 3], 2: [0], 3: []}
+    d, n = 0.85, 4
+    r = np.ones(n) / n
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n)
+        nxt += d * sum(r[u] for u in range(n) if not out[u]) / n
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        r = nxt
+    assert max(abs(got[i] - r[i]) for i in range(n)) < 2e-8
+    assert abs(sum(got.values()) - 1.0) < 1e-7  # mass conserved
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE n(node BIGINT)")
+    con.execute("INSERT INTO n VALUES (0),(1),(2),(3)")
+    con.execute("CREATE TABLE edges_t(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_t VALUES (?,?)", edges)
+    sql = pagerank_sql("SELECT node FROM n", "SELECT src, dst FROM edges_t", iters=12)
+    du = {row[0]: row[1] for row in con.execute(sql).fetchall()}
+    assert du == got  # bit-identical, not approximately equal
+
+
+def test_pagerank_releases_checkpoint_blocks(spark):
+    """Iterative-operator contract: after the result materializes, only
+    the final round's checkpoint blocks may remain registered."""
+    from timedf_spark.operators.pagerank import pagerank
+
+    sc = spark.sparkContext
+    before = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    ndf = spark.createDataFrame([(i,) for i in range(20)], "node long")
+    edf = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    res = pagerank(ndf, edf, iters=8)
+    res.collect()
+    after = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert len(after - before) <= 1, "stale checkpoint blocks leaked"

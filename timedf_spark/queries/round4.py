@@ -199,6 +199,48 @@ FROM ev LEFT JOIN customer c ON ev.cust_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
 
+# --- supply-graph PageRank -------------------------------------------------
+
+_PR_ITERS = 6
+_CUST_NS = 10_000_000  # customer node-id namespace offset (keys overlap)
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer fulfillment graph (edge =
+    'supplier shipped to customer', via lineitem⋈orders). The corpus-
+    curation analogue is the domain link graph; here the TPC-H star
+    provides a real bipartite graph with every customer a dangling node —
+    exercising the redistribution path every iteration. Oracle-exact:
+    see operators/pagerank.py (quantized iterations, unrolled CTE twin)."""
+    from timedf_spark.operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + _CUST_NS).alias("dst"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + _CUST_NS).alias("node")
+    )
+    return pagerank(supp.unionAll(cust), edges, iters=_PR_ITERS)
+
+
+def _pagerank_oracle() -> str:
+    from timedf_spark.operators.pagerank import pagerank_sql
+
+    return pagerank_sql(
+        "SELECT s_suppkey AS node FROM supplier "
+        f"UNION ALL SELECT {_CUST_NS} + c_custkey FROM customer",
+        f"SELECT l_suppkey AS src, {_CUST_NS} + o_custkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        iters=_PR_ITERS,
+    )
+
+
 SUITE: dict[str, QuerySpec] = {
     "event_bucket_dedup": QuerySpec(
         "event_bucket_dedup", event_bucket_dedup, EVENT_BUCKET_DEDUP_ORACLE,
@@ -215,5 +257,9 @@ SUITE: dict[str, QuerySpec] = {
     "null_skew_enrich": QuerySpec(
         "null_skew_enrich", null_skew_enrich, NULL_SKEW_ENRICH_ORACLE,
         "left-outer enrichment with null keys split out of the shuffle",
+    ),
+    "supplier_pagerank": QuerySpec(
+        "supplier_pagerank", supplier_pagerank, _pagerank_oracle(),
+        "hash-exact iterative PageRank over the supplier→customer graph",
     ),
 }
