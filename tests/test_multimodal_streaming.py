@@ -524,3 +524,56 @@ def test_streaming_heavy_hitters_misra_gries_guarantees(spark, sf_dir):
     for (b, k), r in summary.items():
         true_cnt = truth[(b, k)]
         assert r["count_est"] <= true_cnt <= r["count_est"] + r["decrements"], (b, k)
+
+
+def test_streaming_zscore_anomalies_match_batch_twin(spark, sf_dir):
+    """Causal z-score detector: replaying the events table through the
+    stateful stream yields exactly the batch twin's anomaly rows (same
+    preceding-history arithmetic in the same order → identical flags and
+    scores), regardless of micro-batch boundaries."""
+    import time
+
+    from timedf_spark.streaming.anomaly import (
+        batch_zscore_anomalies,
+        zscore_anomaly_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo, hi = events.agg(F.min("ts").cast("long"), F.max("ts").cast("long")).first()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "ev")
+        n_chunks = 3
+        step = (hi - lo) // n_chunks + 1
+        for i in range(n_chunks):
+            chunk = events.filter(
+                (F.col("ts").cast("long") >= lo + i * step)
+                & (F.col("ts").cast("long") < lo + (i + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            zscore_anomaly_stream(stream)
+            .writeStream.format("memory")
+            .queryName("anomalies")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r["event_id"]: r for r in spark.sql("select * from anomalies").collect()}
+
+    want = {r["event_id"]: r for r in batch_zscore_anomalies(events).collect()}
+    assert want, "no anomalies at this sf — threshold too high for the test"
+    assert set(got) == set(want)
+    for eid, r in got.items():
+        b = want[eid]
+        assert r["event_type"] == b["event_type"]
+        assert r["n_prior"] == b["n_prior"]
+        assert r["z"] == pytest.approx(b["z"], abs=1e-9)

@@ -45,6 +45,8 @@ __all__ = [
     "pii_redact_sql",
     "contamination_probe",
     "contamination_probe_sql",
+    "decontaminate_spans",
+    "decontaminate_spans_sql",
 ]
 
 # ---- document chunking -----------------------------------------------------
@@ -292,4 +294,124 @@ SELECT d.doc_id,
        coalesce(c.n_shared_shingles, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM {table} WHERE doc_id % {probe_mod} != 0) d
 LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+# ---- span-level decontamination -------------------------------------------
+#
+# Document-level decontamination (contamination_probe) drops a whole doc
+# for one leaked paragraph; span-level removal (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022, applied to
+# benchmark overlap as in the GPT-3/PaLM appendices) excises only the
+# contaminated windows and keeps the rest. Shape: chunk (zero-shuffle
+# explode, NON-overlapping so reassembly is exact) → flag chunks whose
+# shingles hit the BROADCAST probe set (corpus side never shuffles for
+# the join) → reassemble per doc with an order-defined string aggregate
+# (one shuffle on doc_id).
+
+_SPAN_WINDOW = 24  # non-overlapping: stride == window
+
+
+def decontaminate_spans(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = CONTAM_K,
+    probe_mod: int = PROBE_MOD,
+    window: int = _SPAN_WINDOW,
+) -> DataFrame:
+    """Per corpus doc: chunk count, removed-chunk count, and the cleaned
+    text with contaminated chunks excised (order-preserving reassembly).
+    Probe set = shingles of docs with doc_id % probe_mod == 0 (the
+    'benchmark' role, as in contamination_probe)."""
+    corpus = docs.filter(F.col("doc_id") % probe_mod != 0).select("doc_id", text_col)
+    chunks = chunk_documents(corpus, text_col, window=window, stride=window)
+
+    probe = (
+        docs.filter(F.col("doc_id") % probe_mod == 0)
+        .select(F.explode(F.expr(shingle_expr_spark(text_col, k))).alias("s"))
+        .select(F.expr(_HASH60_SPARK).alias("sh"))
+        .distinct()
+    )
+    flagged = (
+        chunks.select(
+            "doc_id", "chunk_start",
+            F.explode(F.expr(shingle_expr_spark("chunk_text", k))).alias("s"),
+        )
+        .select("doc_id", "chunk_start", F.expr(_HASH60_SPARK).alias("sh"))
+        .join(F.broadcast(probe), "sh", "left_semi")
+        .select("doc_id", "chunk_start")
+        .distinct()
+    )
+    kept = chunks.join(flagged, ["doc_id", "chunk_start"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(chunk_start, chunk_text))), x -> x.chunk_text))"
+        ).alias("clean_text"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def decontaminate_spans_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = CONTAM_K,
+    probe_mod: int = PROBE_MOD,
+    window: int = _SPAN_WINDOW,
+) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {text_col} FROM {table} WHERE doc_id % {probe_mod} != 0
+),
+chunks AS (
+  SELECT doc_id, cast(s as bigint) AS chunk_start,
+         array_to_string(list_slice(toks, s, s + {window - 1}), ' ') AS chunk_text
+  FROM (
+    SELECT doc_id, {toks} AS toks,
+           unnest(generate_series(1, len({toks}), {window})) AS s
+    FROM corpus
+  )
+),
+probe AS (
+  SELECT DISTINCT {_HASH60_DUCK} AS sh FROM (
+    SELECT unnest({shingle_expr_duckdb(text_col, k)}) AS s
+    FROM {table} WHERE doc_id % {probe_mod} = 0
+  )
+),
+flagged AS (
+  SELECT DISTINCT doc_id, chunk_start FROM (
+    SELECT doc_id, chunk_start, {_HASH60_DUCK} AS sh FROM (
+      SELECT doc_id, chunk_start,
+             unnest({shingle_expr_duckdb('chunk_text', k)}) AS s
+      FROM chunks
+    )
+  ) WHERE sh IN (SELECT sh FROM probe)
+),
+kept AS (
+  SELECT c.* FROM chunks c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM flagged f
+    WHERE f.doc_id = c.doc_id AND f.chunk_start = c.chunk_start
+  )
+),
+ka AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_start) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       cast(t.n_chunks AS BIGINT) AS n_chunks,
+       cast(t.n_chunks - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(ka.clean_text, '') AS clean_text
+FROM (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id) t
+LEFT JOIN ka ON t.doc_id = ka.doc_id
 """

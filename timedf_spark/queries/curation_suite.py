@@ -136,3 +136,16 @@ SUITE["incremental_near_dup"] = QuerySpec(
     dedup.incremental_near_dup_sql(_INGEST_PRED),
     "batch-vs-corpus MinHash-LSH near-dups, broadcast probe, no corpus self-join",
 )
+
+
+def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return curation.decontaminate_spans(spark, docs)
+
+
+SUITE["decontaminate_spans"] = QuerySpec(
+    "decontaminate_spans",
+    _decontaminate_spans,
+    curation.decontaminate_spans_sql(),
+    "excise contaminated chunks, keep the rest: chunk → broadcast-probe flag → ordered reassembly",
+)

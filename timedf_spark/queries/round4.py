@@ -34,6 +34,8 @@ are the event-log generalizations it never needed at single-node scale.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -199,6 +201,96 @@ FROM ev LEFT JOIN customer c ON ev.cust_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
 
+# --- cluster-balanced diversity sampling -----------------------------------
+
+_DIV_CELLS = 16
+_DIV_QUOTA = 20
+_VEC_HASH_SPARK = "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)"
+_VEC_HASH_DUCK = "(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15))::BIGINT)"
+
+
+def diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus subsampling: assign every embedding to its
+    nearest of 16 hash-seeded medoids, keep a fixed per-cluster quota by
+    deterministic hash rank. The diversity step of an embedding-curated
+    training mix (draw evenly across clusters so no mode dominates) —
+    the balance a uniform sampler can't give.
+
+    Medoids are the 16 embeddings with the smallest (md5-hash, vec_id) —
+    a deterministic sample both engines can name in SQL, so the whole
+    query is oracle-exact at ANY sf (contrast ann_ivf*, whose TRAINED
+    centroids make them rows-only; the k-means tier remains the
+    production quality path and this the verifiable one). Assignment is
+    argmax of raw dot products quantized to a 1e-6 grid, first-max-wins
+    in both engines; the vector's own norm scales every cell equally, so
+    argmax needs no normalization.
+
+    Scale: medoids are a bounded collect broadcast into one shuffle-free
+    Arrow-matmul scan; only (cluster, hash) pairs shuffle for the quota
+    rank. The per-cluster window sorts only hash ranks; at extreme scale
+    replace it with hash-threshold acceptance per cluster sized from
+    cluster counts (corpus_mix's trick)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.expr(_VEC_HASH_SPARK), "vec_id")
+        .limit(_DIV_CELLS)
+        .collect()
+    )
+    smat = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    @F.pandas_udf("array<bigint>")
+    def qdots_udf(emb_s: pd.Series) -> pd.Series:
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        q = np.floor(mat @ smat.T * 1e6 + 0.5).astype(np.int64)
+        return pd.Series(q.tolist())
+
+    assigned = emb.select(
+        "vec_id", "label", qdots_udf("embedding").alias("qd")
+    ).select(
+        "vec_id",
+        "label",
+        (F.expr("array_position(qd, array_max(qd))") - 1).cast("long").alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.expr(_VEC_HASH_SPARK), "vec_id")
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _DIV_QUOTA)
+        .select("cluster", F.col("pick_rank").cast("long").alias("pick_rank"),
+                "vec_id", "label")
+    )
+
+
+DIVERSE_SAMPLE_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_emb,
+         row_number() OVER (ORDER BY {_VEC_HASH_DUCK}, vec_id) - 1 AS seed_rank
+  FROM embeddings
+  ORDER BY {_VEC_HASH_DUCK}, vec_id LIMIT {_DIV_CELLS}
+),
+dots AS (
+  SELECT e.vec_id, e.label, s.seed_rank,
+         cast(floor(list_dot_product(e.embedding::DOUBLE[], s.seed_emb::DOUBLE[])
+              * 1e6 + 0.5) AS BIGINT) AS qd
+  FROM embeddings e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, label, seed_rank AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY qd DESC, seed_rank) AS rn
+  FROM dots
+),
+r AS (
+  SELECT cluster, vec_id, label,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY {_VEC_HASH_DUCK}, vec_id
+         ) AS pick_rank
+  FROM asg WHERE rn = 1
+)
+SELECT cluster, cast(pick_rank AS BIGINT) AS pick_rank, vec_id, label
+FROM r WHERE pick_rank <= {_DIV_QUOTA}
+"""
+
+
 # --- supply-graph PageRank -------------------------------------------------
 
 _PR_ITERS = 6
@@ -261,5 +353,9 @@ SUITE: dict[str, QuerySpec] = {
     "supplier_pagerank": QuerySpec(
         "supplier_pagerank", supplier_pagerank, _pagerank_oracle(),
         "hash-exact iterative PageRank over the supplier→customer graph",
+    ),
+    "diverse_sample": QuerySpec(
+        "diverse_sample", diverse_sample, DIVERSE_SAMPLE_ORACLE,
+        "cluster-balanced subsample: hash-seeded medoid assignment + per-cluster quota",
     ),
 }
