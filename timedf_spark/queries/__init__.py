@@ -81,7 +81,17 @@ def all_queries() -> dict[str, QuerySpec]:
     # stronger local test (recall vs brute force, GBT-beats-linear, Arrow
     # plumbing asserts) than the driver's rows-only check, and the freed
     # slots go to hash-checked queries instead.
-    rotate_back = _R02_DRIVER_CHECKED | {
+    # r01-green queries unchanged since round 1 also rotate back (their
+    # CORRECTNESS_r01 rows stand). Deliberately KEPT in the window:
+    # json_props_stats + token_budget_pack (r01 FAILURES whose fixes the
+    # driver has never re-validated) and curate_corpus (recomposed onto
+    # the LSH tier in round 3 — semantics re-check warranted).
+    _R01_GREEN_UNCHANGED = {
+        "funnel_counts", "text_stats", "lang_id", "doc_fingerprint",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_clusters", "corpus_mix", "ann_brute_topk",
+    }
+    rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | {
         "ann_ivfpq_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
