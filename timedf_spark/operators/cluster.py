@@ -72,7 +72,7 @@ def _release(df: DataFrame, ids: set[int]) -> None:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
+    vertices: DataFrame | None, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
 ) -> DataFrame:
     """(vertex) + (src, dst) → (vertex, component) with component = min
     vertex id reachable. Vertices absent from edges keep themselves as
@@ -80,14 +80,24 @@ def connected_components(
 
     ``vertices`` must have one column (the id); ``edges`` two columns
     (src, dst), undirected — both orientations are generated internally.
+
+    ``vertices=None`` restricts the computation to edge ENDPOINTS,
+    derived from the already-checkpointed edge frame (zero extra
+    pipeline cost). This is the shape for dedup graphs at corpus scale:
+    every off-graph vertex is a singleton the caller can enumerate
+    without iterating, so the O(log n) rounds run over the (small)
+    duplicate graph instead of the whole corpus.
     """
-    vcol = vertices.columns[0]
     scol, dcol = edges.columns[0], edges.columns[1]
     # undirected: propagate both ways each round
     e = edges.select(F.col(scol).alias("src"), F.col(dcol).alias("dst")).union(
         edges.select(F.col(dcol).alias("src"), F.col(scol).alias("dst"))
     )
     e, e_ids = _checkpoint(e)  # materialize once; reused every round
+    if vertices is None:
+        # both orientations are in e, so src alone covers every endpoint
+        vertices = e.select(F.col("src").alias("v")).distinct()
+    vcol = vertices.columns[0]
     labels, label_ids = _checkpoint(
         vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl"))
     )

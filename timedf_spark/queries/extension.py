@@ -582,12 +582,16 @@ def _semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pointer jumping), one row per cluster = (keeper vec_id = min member,
     member count). The semantic twin of curate_corpus's text-level
     keeper selection."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # CC only over edge ENDPOINTS (vertices=None): vertices without a
+    # near-dup edge are singleton components, and the query filters
+    # singletons anyway — so the iterative rounds run over the (tiny)
+    # duplicate graph, not the whole corpus. The endpoint set derives
+    # from the operator's own edge checkpoint: zero extra
+    # materialization of the SRP+cosine pipeline.
     edges = similarity.cosine_dedup_pairs(spark, sf_dir).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    cc = cluster.connected_components(emb.withColumnRenamed("vec_id", "doc_id"), edges.select(
-        F.col("doc_a"), F.col("doc_b")))
+    cc = cluster.connected_components(None, edges)
     return (
         cc.groupBy(F.col("component").alias("keeper_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
