@@ -414,3 +414,41 @@ def test_incremental_near_dup_no_corpus_self_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_event_bucket_dedup_single_aggregate_no_window(spark):
+    """The bucketed dedup must be ONE partial+final aggregate over one
+    exchange — no Window (the naive rn=1 formulation windows over the
+    full event stream). Spark plans min(struct) as SortAggregate (struct
+    min has no hash-agg path), which still combines map-side: the
+    exchange moves one row per live bucket, not per event."""
+    plan = _executed_plan(spark, "event_bucket_dedup")
+    assert plan.count("Exchange") <= 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine before the shuffle
+
+
+def test_diverse_sample_no_join_for_assignment(spark):
+    """Medoid assignment rides a broadcast-closure Arrow scan: the plan
+    must contain NO join at all (16 seed vectors never become a join
+    side), and exactly the quota-rank window's exchange."""
+    plan = _executed_plan(spark, "diverse_sample")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_null_skew_enrich_join_branch_filters_nulls(spark):
+    """The split left join's joined branch must carry an IsNotNull data
+    filter on the key expression (the plain outer join legally cannot)."""
+    plan = _formatted(spark, "null_skew_enrich")
+    assert "isnotnull" in plan.lower(), plan
+
+
+def test_source_reputation_distinct_travels_as_digest(spark):
+    """The per-source distinct must aggregate md5 digests, not text: the
+    exchange carries a 32-char hash per row, never the document body."""
+    plan = _executed_plan(spark, "source_reputation")
+    assert "md5" in plan, plan
+    # text itself must not appear as a shuffle attribute in the exchange
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in seg.split("\n")[0], seg.split("\n")[0]
