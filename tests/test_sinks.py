@@ -63,3 +63,30 @@ def test_sink_max_records_per_file_splits_hot_partition(spark, tmp_path):
     write_partitioned(df, path, ["part"], max_records_per_file=2_500)
     files = glob.glob(os.path.join(path, "part=hot", "*.parquet"))
     assert len(files) == 4, files
+
+
+def test_format_generic_sink_roundtrips(spark, sf_dir, tmp_path):
+    """write_table/read_table: every supported format round-trips values
+    and schema; ORC additionally pushes filters into the scan like
+    parquet (footer-stats formats), while csv/json are interchange-only."""
+    from timedf_spark.sources.sinks import read_table, write_table
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(src, path, fmt)
+        back = read_table(spark, path, fmt, schema=src.schema)
+        got = sorted(tuple(r) for r in back.select(*src.columns).collect())
+        assert got == want, fmt
+
+    # ORC pushdown parity with parquet
+    orc = read_table(spark, str(tmp_path / "t_orc"), "orc", schema=src.schema)
+    filtered = orc.filter(F.col("o_orderkey") == 42)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan orc") :]
+    assert "PushedFilters: [" in scan and "o_orderkey" in scan.split("PushedFilters")[1][:200]

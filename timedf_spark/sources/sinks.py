@@ -31,7 +31,11 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_partitioned", "read_partitioned"]
+__all__ = ["write_partitioned", "read_partitioned", "write_table", "read_table"]
+
+# columnar formats with footer statistics usable for scan pruning; json/csv
+# are interchange-only (no stats, row-oriented — document the cost)
+_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def write_partitioned(
@@ -54,3 +58,32 @@ def write_partitioned(
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned sink back; partition-column predicates prune."""
     return spark.read.parquet(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-generic sink (parquet/orc columnar; json/csv interchange).
+    ORC carries the same footer min/max stats + predicate pushdown as
+    parquet (both prune row groups/stripes); json/csv exist for interop
+    with non-columnar consumers — a scan of them reads every byte, so
+    they are for handoff, not for the lakehouse layout."""
+    assert fmt in _FORMATS, f"unsupported format {fmt!r}"
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Read a :func:`write_table` sink back. csv/json require ``schema``
+    for type fidelity (inference is a second full scan AND can drift)."""
+    assert fmt in _FORMATS, f"unsupported format {fmt!r}"
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
