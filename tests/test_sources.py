@@ -351,3 +351,49 @@ def test_kaggle_loader_offline_paths(tmp_path):
         safe_extract_zip(evil, tmp_path / "out2")
     assert not (tmp_path / "escape.txt").exists()
     assert not (tmp_path / "out2" / "innocent.csv").exists()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_tolerance_matches_pandas(spark, direction):
+    """tolerance parity: matches beyond the window become NULL carries,
+    per side before the nearest pick — exactly pandas merge_asof's
+    tolerance semantics, on a randomized problem."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 200), unit="s"),
+            "lid": np.arange(200),
+        }
+    ).sort_values("t").reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 60),
+            "t": pd.to_datetime(rng.integers(0, 1_000_000, 60), unit="s"),
+            "rv": rng.normal(size=60),
+        }
+    )
+    right = right.drop_duplicates(subset=["k", "t"]).sort_values("t").reset_index(drop=True)
+
+    tol_s = 20_000  # tight enough that many matches fall out of range
+    expected = pd.merge_asof(
+        left, right, on="t", by="k", allow_exact_matches=True,
+        direction=direction, tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        key="k", ts="t", carry_cols=["rv"],
+        direction=direction, tolerance_us=tol_s * 1_000_000,
+    ).toPandas()
+    merged = expected.merge(got, on="lid", suffixes=("_exp", "_got"))
+    assert len(merged) == len(expected)
+    n_null = int(merged["rv_exp"].isna().sum())
+    assert 0 < n_null < len(merged), "tolerance not exercised by this data"
+    for _, row in merged.iterrows():
+        if pd.isna(row["rv_exp"]):
+            assert pd.isna(row["rv_got"]), row
+        else:
+            assert row["rv_exp"] == pytest.approx(row["rv_got"]), row

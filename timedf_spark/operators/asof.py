@@ -35,12 +35,20 @@ def asof_join(
     ts: str,
     carry_cols: list[str],
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``carry_cols`` of the matched right row:
     direction='backward' → latest right with right.ts <= left.ts,
     'forward' → earliest right with right.ts >= left.ts,
     'nearest' → the closer of the two (backward wins ties).
-    Left rows keep NULL carries when no right row matches (left-outer)."""
+    Left rows keep NULL carries when no right row matches (left-outer).
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)`` parity): a
+    candidate further than this many integer microseconds is no match —
+    the row keeps NULL carries. Applied per-side before the nearest pick
+    (pandas semantics: both sides out of range ⇒ no match). Exact int64
+    µs comparison, zero extra shuffle (a projection gate on the already
+    carried struct)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     lcols = [c for c in left.columns]
@@ -78,26 +86,37 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
+    def _gate(col: F.Column, dist: F.Column) -> F.Column:
+        """NULL out a carried match beyond the tolerance."""
+        if tolerance_us is None:
+            return col
+        return F.when(dist <= F.lit(tolerance_us), col)
+
     if direction == "backward":
-        carried = unioned.select(
-            "*", F.last("__carry", ignorenulls=True).over(w_bwd).alias("__m")
-        )
+        m = F.last("__carry", ignorenulls=True).over(w_bwd)
+        dist = F.unix_micros(F.col(ts)) - F.unix_micros(m["__rts"])
+        carried = unioned.select("*", _gate(m, dist).alias("__m"))
     elif direction == "forward":
-        carried = unioned.select(
-            "*", F.first("__carry", ignorenulls=True).over(w_fwd).alias("__m")
-        )
+        m = F.first("__carry", ignorenulls=True).over(w_fwd)
+        dist = F.unix_micros(m["__rts"]) - F.unix_micros(F.col(ts))
+        carried = unioned.select("*", _gate(m, dist).alias("__m"))
     else:  # nearest
         both = unioned.select(
             "*",
-            F.last("__carry", ignorenulls=True).over(w_bwd).alias("__b"),
-            F.first("__carry", ignorenulls=True).over(w_fwd).alias("__f"),
+            F.last("__carry", ignorenulls=True).over(w_bwd).alias("__b0"),
+            F.first("__carry", ignorenulls=True).over(w_fwd).alias("__f0"),
         )
         # exact integer microsecond timeline — a double epoch would not
         # represent microsecond timestamps exactly, so equal-distance
         # tie-breaks at fine granularity could diverge from pandas'
         # integer-nanosecond arithmetic
-        bwd_dist = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__b.__rts"))
-        fwd_dist = F.unix_micros(F.col("__f.__rts")) - F.unix_micros(F.col(ts))
+        bwd_dist = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__b0.__rts"))
+        fwd_dist = F.unix_micros(F.col("__f0.__rts")) - F.unix_micros(F.col(ts))
+        both = both.select(
+            "*",
+            _gate(F.col("__b0"), bwd_dist).alias("__b"),
+            _gate(F.col("__f0"), fwd_dist).alias("__f"),
+        )
         pick = (
             F.when(F.col("__b").isNull(), F.col("__f"))
             .when(F.col("__f").isNull(), F.col("__b"))
