@@ -391,3 +391,34 @@ def test_pagerank_releases_checkpoint_blocks(spark):
     res.collect()
     after = {int(str(k)) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     assert len(after - before) <= 1, "stale checkpoint blocks leaked"
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Incremental cluster maintenance must reach the same fixpoint as
+    clustering the whole edge set from scratch — across merges of
+    existing components, extensions by brand-new vertices, and untouched
+    components passing through."""
+    from timedf_spark.operators.cluster import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new_edges = [(3, 10), (40, 41), (11, 99)]  # merge, new comp, extend
+    all_vertices = sorted({v for e in old_edges + new_edges for v in e})
+
+    vdf = spark.createDataFrame([(v,) for v in all_vertices], "v long")
+    e_old = spark.createDataFrame(old_edges, "src long, dst long")
+    e_new = spark.createDataFrame(new_edges, "src long, dst long")
+
+    base = connected_components(vdf, e_old)
+    inc = incremental_components(
+        base.select("vertex", "component"), e_new
+    )
+    full = connected_components(vdf, e_old.unionByName(e_new))
+
+    got = {(r["vertex"], r["component"]) for r in inc.collect()}
+    want = {(r["vertex"], r["component"]) for r in full.collect()}
+    assert got == want
+    # untouched component (20,21) really passed through unrelabelled
+    assert (20, 20) in got and (21, 20) in got

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = ["connected_components", "connected_components_star", "incremental_components"]
 
 _MAX_ROUNDS = 50  # diameter bound; raise for adversarial chain graphs
 
@@ -241,3 +241,59 @@ walk(v, lbl) AS (
 )
 SELECT v AS vertex, min(lbl) AS component FROM walk GROUP BY v
 """
+
+
+def incremental_components(
+    assignments: DataFrame, new_edges: DataFrame, max_rounds: int = _MAX_ROUNDS
+) -> DataFrame:
+    """Maintain (vertex, component) under a batch of NEW near-dup edges
+    without re-clustering the corpus — the daily-ingest companion to
+    ``dedup.incremental_near_dup_pairs``.
+
+    Insight: an existing assignment (v → c) is exactly an EDGE v—c in the
+    component-contraction sense (c is itself a vertex: the component id
+    is the min member id). So the updated fixpoint is plain
+    ``connected_components`` over (new edges ∪ assignment edges of the
+    AFFECTED components) — and only components touched by a new edge can
+    change, so everything else passes through untouched.
+
+    Steps (each one equi-join, no iteration outside the tiny affected
+    subgraph):
+    1. endpoints of new edges → their current components (left join:
+       brand-new vertices are their own component);
+    2. affected component ids (distinct, tiny) SEMI-join back to pull the
+       affected membership rows — the corpus-sized assignment table is
+       filtered by broadcast semi-join, never shuffled whole;
+    3. CC over [new edges ∪ (v—component) edges of affected rows] with
+       ``vertices=None`` (endpoint-restricted rounds);
+    4. untouched assignments UNION the re-labelled affected ones.
+
+    Equivalent to full recompute by construction (union of spanning
+    structures preserves connectivity); pinned by the equivalence test.
+    """
+    va, vb = new_edges.columns[0], new_edges.columns[1]
+    e_new = new_edges.select(F.col(va).alias("src"), F.col(vb).alias("dst"))
+    vcol, ccol = assignments.columns[0], assignments.columns[1]
+    asg = assignments.select(F.col(vcol).alias("v"), F.col(ccol).alias("c"))
+
+    endpoints = (
+        e_new.select(F.col("src").alias("v"))
+        .union(e_new.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    touched = (
+        endpoints.join(asg, "v", "left")
+        .select(F.coalesce("c", "v").alias("c"))  # new vertex = own component
+        .distinct()
+    )
+    affected = asg.join(F.broadcast(touched), "c", "left_semi")
+    # assignment rows double as edges v—c; self-loops (v = c) are harmless
+    e_old = affected.select(F.col("v").alias("src"), F.col("c").alias("dst"))
+    relabelled = connected_components(
+        None, e_new.unionByName(e_old), max_rounds=max_rounds
+    )
+    untouched = asg.join(F.broadcast(touched), "c", "left_anti")
+    return (
+        untouched.select(F.col("v").alias("vertex"), F.col("c").alias("component"))
+        .unionByName(relabelled)
+    )

@@ -615,3 +615,33 @@ SUITE["semantic_dedup_keepers"] = QuerySpec(
     SEMANTIC_DEDUP_ORACLE,
     "embedding near-dup clusters -> keeper summary (SRP blocking + CC)",
 )
+
+
+# --- incremental cluster maintenance ---------------------------------------
+
+_INC_CLUSTER_PRED = "(doc_a + doc_b) % 3 = 0"  # ~1/3 of pairs arrive "later"
+
+
+def _incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest cluster maintenance, end-to-end: cluster the corpus on
+    2/3 of the near-dup pairs, then fold in the remaining 1/3 through
+    operators/cluster.py::incremental_components — only components touched
+    by a new edge re-cluster; everything else passes through. The oracle
+    is the FULL-recompute recursive-CTE twin over all pairs: incremental
+    maintenance is only correct if it reaches the from-scratch fixpoint."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    old_e = pairs.filter(f"NOT ({_INC_CLUSTER_PRED})")
+    new_e = pairs.filter(_INC_CLUSTER_PRED)
+    base = cluster.connected_components(docs, old_e)
+    return cluster.incremental_components(base, new_e).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+SUITE["incremental_dedup_clusters"] = QuerySpec(
+    "incremental_dedup_clusters",
+    _incremental_dedup_clusters,
+    DEDUP_CLUSTERS_ORACLE,  # the full-recompute fixpoint IS the contract
+    "incremental cluster maintenance reaches the from-scratch fixpoint",
+)
