@@ -577,3 +577,69 @@ def test_streaming_zscore_anomalies_match_batch_twin(spark, sf_dir):
         assert r["event_type"] == b["event_type"]
         assert r["n_prior"] == b["n_prior"]
         assert r["z"] == pytest.approx(b["z"], abs=1e-9)
+
+
+def test_streaming_cdc_apply_maintains_snapshot(spark, sf_dir, tmp_path_factory):
+    """CDC change stream → foreachBatch merge loop: the published
+    snapshot after the stream drains equals applying the batches
+    sequentially with the batch operator; replaying an already-published
+    batch is a no-op (at-least-once converges); old versions are gone."""
+    import time
+
+    from timedf_spark.operators.merge import merge_changes
+    from timedf_spark.streaming import cdc_apply
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(300)
+        .cache()
+    )
+    keys = [r["o_orderkey"] for r in base.select("o_orderkey").collect()]
+    chg_schema = "o_orderkey long, o_orderstatus string, o_totalprice double, op string"
+    batches = [
+        # batch 0: update 5, delete 3
+        [(k, "X", 1.0, "U") for k in keys[:5]] + [(k, None, None, "D") for k in keys[5:8]],
+        # batch 1: insert 4 new, update one of batch 0's updates again
+        [(10_000_000 + i, "N", 2.0, "I") for i in range(4)] + [(keys[0], "Y", 3.0, "U")],
+    ]
+
+    d = str(tmp_path_factory.mktemp("cdc"))
+    snap, chk, src = f"{d}/snap", f"{d}/chk", f"{d}/changes"
+    cdc_apply.seed_snapshot(base, snap)
+    for b in batches:
+        spark.createDataFrame(b, chg_schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], chg_schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cdc_apply.cdc_apply_sink(stream, snap, chk, key="o_orderkey")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in cdc_apply.read_snapshot(spark, snap).collect())
+    want_df = base
+    for b in batches:
+        want_df = merge_changes(want_df, spark.createDataFrame(b, chg_schema), "o_orderkey")
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want
+    assert len(got) == 300 - 3 + 4
+
+    # replay convergence: re-applying the final batch changes nothing
+    cdc_apply.apply_batch(
+        spark.createDataFrame(batches[1], chg_schema), 1, snap, "o_orderkey"
+    )
+    again = sorted(tuple(r) for r in cdc_apply.read_snapshot(spark, snap).collect())
+    assert again == got
+
+    # only the published version remains on disk
+    vdirs = [p for p in os.listdir(snap) if p.startswith("v=")]
+    assert vdirs == ["v=1"], vdirs
+    base.unpersist()
