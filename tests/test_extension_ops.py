@@ -422,3 +422,49 @@ def test_incremental_components_equals_full_recompute(spark):
     assert got == want
     # untouched component (20,21) really passed through unrelabelled
     assert (20, 20) in got and (21, 20) in got
+
+
+def test_prefix_filter_prunes_candidates_but_loses_nothing(spark, sf_dir):
+    """Prefix filtering is exact (same pair set as the inverted-index
+    tier — also pinned by the shared oracle) while generating strictly
+    fewer candidate pairs than 'any shared shingle'."""
+    from pyspark.sql.window import Window as W
+
+    from timedf_spark.operators.text import shingle_expr_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_prefix_pairs(spark, sf_dir).collect()}
+    assert got == base
+
+    # candidate volume: prefix-join pairs vs any-shared-shingle pairs
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', 5)})")).alias("s"),
+    ).select("doc_id", F.expr(
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").alias("sh")).cache()
+    any_shared = (
+        sh.alias("a").join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    t = 0.2
+    prefix = (
+        sh.join(freq, "sh").join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")))
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+    )
+    pruned = (
+        prefix.alias("a").join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    sh.unpersist()
+    assert pruned < any_shared, (pruned, any_shared)
+    assert pruned >= len(base)  # candidates must cover every true pair

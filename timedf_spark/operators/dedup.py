@@ -41,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_df",
     "ngram_jaccard_sql",
+    "ngram_jaccard_prefix_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_df",
     "minhash_lsh_sql",
@@ -580,3 +581,86 @@ JOIN sb ON sb.doc_id = batch_id
 JOIN sc ON sc.doc_id = corpus_id
 WHERE n_common / (sb.n_b + sc.n_c - n_common) >= {threshold}
 """
+
+
+def ngram_jaccard_prefix_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _K,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """EXACT Jaccard pairs via PPJoin-style prefix filtering — identical
+    results to :func:`ngram_jaccard_pairs` (same oracle), structurally
+    cheaper candidates.
+
+    The inverted-index tier pairs every two docs sharing ANY shingle —
+    per-shingle cost O(df²), and the verify happens inside the pairing
+    join. Prefix filtering (Chaudhuri et al., "A Primitive Operator for
+    Similarity Joins", ICDE 2006; Bayardo et al. WWW 2007) exploits the
+    threshold: under one GLOBAL rare-first shingle order, a pair with
+    J ≥ t must share a shingle within each doc's first
+    |d| - ceil(t·|d|) + 1 ordered shingles. Candidates therefore join
+    only on PREFIX shingles — and because prefixes are rare-first, the
+    hottest (stopword) shingles fall outside most prefixes precisely
+    because frequent shingles carry no evidence of similarity. A size
+    filter (t·|a| ≤ |b| ≤ |a|/t) prunes further before verification.
+
+    The exact verify then counts full-set intersections ONLY for
+    candidate pairs: candidates ⋈ a-shingles ⋈ b-shingles — linear in
+    candidate volume, not in shared-shingle volume. At corpus scale this
+    is the exact tier you can actually run; the inverted-index form
+    stays as the oracle-twin baseline.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
+    ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
+    sh = sh.cache()  # feeds prefixes, sizes, and both verify sides
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")  # global rare-first
+    prefix = (
+        sh.join(freq, "sh")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select("doc_id", "sh", "n_sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify restricted to candidates: count the full-set overlap
+    common = (
+        cands.join(sh.alias("x"), cands.doc_a == F.col("x.doc_id"))
+        .select("doc_a", "doc_b", F.col("x.sh").alias("sh_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("doc_b") == F.col("y.doc_id")) & (F.col("sh_a") == F.col("y.sh")),
+            "left_semi",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.expr("n_common / (n_a + n_b - n_common)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -645,3 +645,15 @@ SUITE["incremental_dedup_clusters"] = QuerySpec(
     DEDUP_CLUSTERS_ORACLE,  # the full-recompute fixpoint IS the contract
     "incremental cluster maintenance reaches the from-scratch fixpoint",
 )
+
+
+def _jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_prefix_pairs(spark, sf_dir)
+
+
+SUITE["dedup_jaccard_prefix"] = QuerySpec(
+    "dedup_jaccard_prefix",
+    _jaccard_prefix,
+    dedup.ngram_jaccard_sql(),  # EXACT tier: same results as the inverted-index form
+    "PPJoin prefix-filtered exact Jaccard: rare-first prefixes generate candidates, full-set verify",
+)
