@@ -630,10 +630,24 @@ def _incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the FULL-recompute recursive-CTE twin over all pairs: incremental
     maintenance is only correct if it reaches the from-scratch fixpoint."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # checkpoint the pair pipeline ONCE: both the base and the increment
+    # read it (a lazy frame would re-run the shingle self-join per branch)
+    pairs, _ids = cluster._checkpoint(
+        dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     old_e = pairs.filter(f"NOT ({_INC_CLUSTER_PRED})")
     new_e = pairs.filter(_INC_CLUSTER_PRED)
-    base = cluster.connected_components(docs, old_e)
+    # base assignments WITHOUT a corpus-wide iteration: endpoint-restricted
+    # CC over the old edges, union the off-graph docs as their own
+    # singletons (exactly what full CC assigns them, minus the rounds)
+    base_cc = cluster.connected_components(None, old_e)
+    endpoints = old_e.select(F.col("doc_a").alias("doc_id")).union(
+        old_e.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    singles = docs.join(endpoints, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("vertex"), F.col("doc_id").alias("component")
+    )
+    base = base_cc.unionByName(singles)
     return cluster.incremental_components(base, new_e).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
