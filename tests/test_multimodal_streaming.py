@@ -643,3 +643,69 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, sf_dir, tmp_path_factory)
     vdirs = [p for p in os.listdir(snap) if p.startswith("v=")]
     assert vdirs == ["v=1"], vdirs
     base.unpersist()
+
+
+def test_streaming_cluster_maintenance_reaches_batch_fixpoint(spark, tmp_path_factory):
+    """Edge stream → incrementally maintained (vertex, component) table:
+    after the stream drains, the published assignments equal from-scratch
+    connected components over ALL edges; replay is a no-op; brand-new
+    vertices joined components mid-stream."""
+    import time
+
+    from timedf_spark.operators.cluster import connected_components
+    from timedf_spark.streaming import cluster_apply
+
+    vertices = list(range(12))
+    base_edges = [(0, 1), (4, 5)]
+    batches = [
+        [(1, 2), (6, 7)],           # extend comp 0, new comp 6
+        [(2, 4), (100, 101)],       # merge comps 0 and 4; brand-new vertices
+        [(7, 100)],                 # merge 6-comp with the new one
+    ]
+
+    d = str(tmp_path_factory.mktemp("ccstream"))
+    asg_path, chk, src = f"{d}/asg", f"{d}/chk", f"{d}/edges"
+    vdf = spark.createDataFrame([(v,) for v in vertices], "v long")
+    e0 = spark.createDataFrame(base_edges, "src long, dst long")
+    cluster_apply.seed_assignments(connected_components(vdf, e0), asg_path)
+
+    for b in batches:
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cluster_apply.cluster_apply_sink(stream, asg_path, chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["vertex"], r["component"])
+        for r in cluster_apply.read_assignments(spark, asg_path).collect()
+    }
+    all_v = sorted(set(vertices) | {v for b in batches for e in b for v in e})
+    all_e = base_edges + [e for b in batches for e in b]
+    want = {
+        (r["vertex"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame([(v,) for v in all_v], "v long"),
+            spark.createDataFrame(all_e, "src long, dst long"),
+        ).collect()
+    }
+    assert got == want
+    # replaying the last batch changes nothing
+    cluster_apply.apply_edge_batch(
+        spark.createDataFrame(batches[-1], "src long, dst long"), 2, asg_path
+    )
+    again = {
+        (r["vertex"], r["component"])
+        for r in cluster_apply.read_assignments(spark, asg_path).collect()
+    }
+    assert again == got
