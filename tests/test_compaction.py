@@ -106,3 +106,20 @@ def test_min_batches_guard(spark, sink):
     res = compact_sink(spark, path, min_batches=6)
     assert not res["compacted"]
     assert sink_stats(path)["batch_dirs"] == 5
+
+
+def test_maybe_compact_threshold_policy(spark, sink):
+    """Below the dir-count threshold: O(listing) no-op. Above: compacts,
+    and the reader view is unchanged either way."""
+    from timedf_spark.streaming.compaction import maybe_compact
+
+    path, ev = sink  # 5 batch dirs
+    before = _rows(read_sink(spark, path).drop("batch_id"))
+    res = maybe_compact(spark, path, max_batch_dirs=10)
+    assert not res["compacted"] and res["reason"] == "below_threshold"
+    assert sink_stats(path)["batch_dirs"] == 5
+
+    res = maybe_compact(spark, path, max_batch_dirs=3)
+    assert res["compacted"] and res["folded_batches"] == 5
+    assert sink_stats(path)["batch_dirs"] == 0
+    assert _rows(read_sink(spark, path).drop("batch_id")) == before

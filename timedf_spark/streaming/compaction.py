@@ -46,7 +46,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_sink", "read_sink", "sink_stats"]
+__all__ = ["compact_sink", "maybe_compact", "read_sink", "sink_stats"]
 
 _MANIFEST = "_compaction/manifest.json"
 _BATCH_RE = re.compile(r"batch_id=(\d+)$")
@@ -168,6 +168,26 @@ def compact_sink(
         "folded_batches": len(live),
         "removed_dirs": removed,
     }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    max_batch_dirs: int = 64,
+    target_files: int = 1,
+) -> dict:
+    """The operational trigger: compact only when the uncovered batch-dir
+    count exceeds ``max_batch_dirs``. Run it after every micro-batch (or
+    from a cron) — it is O(one listing) when below threshold, so the
+    caller never needs its own bookkeeping, and the sink's directory
+    count is bounded at max_batch_dirs + batches-per-compaction-interval
+    regardless of stream lifetime."""
+    live = sum(
+        1 for bid in _live_batch_dirs(path) if bid > _load_manifest(path)["covered"]
+    )
+    if live <= max_batch_dirs:
+        return {"compacted": False, "reason": "below_threshold", "batch_dirs": live}
+    return compact_sink(spark, path, min_batches=2, target_files=target_files)
 
 
 def sink_stats(path: str) -> dict:
