@@ -201,6 +201,102 @@ FROM ev LEFT JOIN customer c ON ev.cust_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
 
+# --- robust spread: median absolute deviation ------------------------------
+
+
+def mad_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag MAD of l_quantity: med = median(x), MAD =
+    median(|x − med|) — the robust spread every outlier-tolerant quality
+    rule wants next to the z-score's stdev. Two exact aggregation passes
+    with a broadcast join-back of the (tiny) per-group medians; the
+    deviation |x − med| is one exact IEEE subtract, so the interpolated
+    second median is engine-identical (percentile ≡ quantile_cont). At
+    100 TB both passes swap to approx_percentile sketches."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(abs(l_quantity - med), 0.5)").alias("mad"),
+            F.expr("any_value(med)").alias("med"),
+        )
+        .select("l_returnflag", "med", "mad")
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, any_value(m.med) AS med,
+       quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+FROM lineitem l JOIN med m USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+# --- share-of-parent rollup ------------------------------------------------
+
+
+def nation_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's revenue as a share of its region's total — the
+    share-of-parent report every drill-down UI renders. Parent totals via
+    a second aggregation of the CHILD aggregate (never a window over the
+    low-cardinality region key) broadcast back; one fact shuffle total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = F.expr(dsum("l_extendedprice * (1 - l_discount)"))
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(rev.alias("revenue"))
+    )
+    # the parent total re-quantizes the child sums (a bare sum(double)
+    # would re-open the order-dependence the child aggregate closed)
+    per_region = per_nation.groupBy("r_name").agg(
+        F.expr(dsum("revenue")).alias("region_rev")
+    )
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .select(
+            "r_name", "n_name", "revenue",
+            (F.col("revenue") / F.col("region_rev")).alias("region_share"),
+        )
+    )
+
+
+NATION_REGION_SHARE_ORACLE = f"""
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         {dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+per_region AS (
+  SELECT r_name, {dsum("revenue")} AS region_rev FROM per_nation GROUP BY r_name
+)
+SELECT pn.r_name, pn.n_name, pn.revenue,
+       pn.revenue / pr.region_rev AS region_share
+FROM per_nation pn JOIN per_region pr ON pn.r_name = pr.r_name
+"""
+
 # --- cluster-balanced diversity sampling -----------------------------------
 
 _DIV_CELLS = 16
@@ -357,5 +453,13 @@ SUITE: dict[str, QuerySpec] = {
     "diverse_sample": QuerySpec(
         "diverse_sample", diverse_sample, DIVERSE_SAMPLE_ORACLE,
         "cluster-balanced subsample: hash-seeded medoid assignment + per-cluster quota",
+    ),
+    "mad_quantity": QuerySpec(
+        "mad_quantity", mad_quantity, MAD_ORACLE,
+        "median absolute deviation: two exact passes + broadcast join-back",
+    ),
+    "nation_region_share": QuerySpec(
+        "nation_region_share", nation_region_share, NATION_REGION_SHARE_ORACLE,
+        "share-of-parent rollup: parent totals from the child aggregate, no low-cardinality window",
     ),
 }
