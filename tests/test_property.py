@@ -97,3 +97,69 @@ def test_cell_and_area_refs_shape(r, c):
     assert ref == f"{col_letter(c)}{r + 1}"
     area = area_ref("S", r, c, r + 1, c + 2)
     assert area == f"'S'!${col_letter(c)}${r + 1}:${col_letter(c + 2)}${r + 2}"
+
+
+# ---- z-order (Morton) interleave -------------------------------------------
+#
+# The layout guarantee (sources/zorder.py) rests on the interleave being a
+# BIJECTION that preserves per-dimension order within fixed other-dimension
+# values — pinned here in pure Python against the same mask cascade the
+# Spark expressions implement.
+
+
+def _spread16(x: int) -> int:
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _morton(a: int, b: int) -> int:
+    return _spread16(a) | (_spread16(b) << 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=0xFFFF),
+    st.integers(min_value=0, max_value=0xFFFF),
+)
+def test_morton_interleave_is_bijective(a, b):
+    z = _morton(a, b)
+    # de-interleave: even bits → a, odd bits → b
+    da = db = 0
+    for i in range(16):
+        da |= ((z >> (2 * i)) & 1) << i
+        db |= ((z >> (2 * i + 1)) & 1) << i
+    assert (da, db) == (a, b)
+    assert 0 <= z < (1 << 32)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=0xFFFE),
+    st.integers(min_value=0, max_value=0xFFFF),
+)
+def test_morton_monotone_per_dimension(a, b):
+    # fixing one dimension, the curve index grows with the other — the
+    # property that makes footer min/max ranges tight per dimension
+    assert _morton(a, b) < _morton(a + 1, b)
+    assert _morton(b, a) < _morton(b, a + 1)
+
+
+def test_morton_matches_spark_expression(spark):
+    """The pure-Python model above IS the Spark expression: compare on a
+    grid of values through the actual zorder_key column."""
+    import pyspark.sql.functions as F
+
+    from timedf_spark.sources.zorder import _spread_bits_16
+
+    vals = [0, 1, 2, 255, 256, 32767, 65535]
+    df = spark.createDataFrame([(a, b) for a in vals for b in vals], "a long, b long")
+    got = df.select(
+        "a", "b",
+        (_spread_bits_16(F.col("a")).bitwiseOR(
+            F.shiftleft(_spread_bits_16(F.col("b")), 1))).alias("z"),
+    ).collect()
+    for r in got:
+        assert r["z"] == _morton(r["a"], r["b"]), (r["a"], r["b"])
