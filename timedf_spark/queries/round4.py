@@ -387,6 +387,71 @@ FROM r WHERE pick_rank <= {_DIV_QUOTA}
 """
 
 
+def diverse_sample_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`diverse_sample`: per-cluster
+    hash-threshold ACCEPTANCE (keep iff h(vec_id) mod cluster_count <
+    quota) replaces the rank window — no per-cluster sort anywhere, just
+    the assignment scan, one tiny count aggregate broadcast back, and a
+    filter. Sample sizes are binomial around the quota instead of exact
+    (the corpus_mix trade); selection is still a deterministic pure
+    function of the data. Fully oracle-exact — the acceptance rule is
+    the same integer arithmetic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.expr(_VEC_HASH_SPARK), "vec_id")
+        .limit(_DIV_CELLS)
+        .collect()
+    )
+    smat = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    @F.pandas_udf("array<bigint>")
+    def qdots_udf(emb_s: pd.Series) -> pd.Series:
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        q = np.floor(mat @ smat.T * 1e6 + 0.5).astype(np.int64)
+        return pd.Series(q.tolist())
+
+    assigned = emb.select(
+        "vec_id", "label", qdots_udf("embedding").alias("qd")
+    ).select(
+        "vec_id",
+        "label",
+        (F.expr("array_position(qd, array_max(qd))") - 1).cast("long").alias("cluster"),
+    )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        assigned.join(F.broadcast(counts), "cluster")
+        .filter(F.expr(f"{_VEC_HASH_SPARK} % cnt < {_DIV_QUOTA}"))
+        .select("cluster", "vec_id", "label")
+    )
+
+
+DIVERSE_SAMPLE_SCALED_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_emb,
+         row_number() OVER (ORDER BY {_VEC_HASH_DUCK}, vec_id) - 1 AS seed_rank
+  FROM embeddings
+  ORDER BY {_VEC_HASH_DUCK}, vec_id LIMIT {_DIV_CELLS}
+),
+dots AS (
+  SELECT e.vec_id, e.label, s.seed_rank,
+         cast(floor(list_dot_product(e.embedding::DOUBLE[], s.seed_emb::DOUBLE[])
+              * 1e6 + 0.5) AS BIGINT) AS qd
+  FROM embeddings e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, label, seed_rank AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY qd DESC, seed_rank) AS rn
+  FROM dots
+),
+a AS (SELECT vec_id, label, cluster FROM asg WHERE rn = 1),
+counts AS (SELECT cluster, count(*) AS cnt FROM a GROUP BY cluster)
+SELECT a.cluster, a.vec_id, a.label
+FROM a JOIN counts USING (cluster)
+WHERE {_VEC_HASH_DUCK} % cnt < {_DIV_QUOTA}
+"""
+
+
 # --- supply-graph PageRank -------------------------------------------------
 
 _PR_ITERS = 6
@@ -461,5 +526,9 @@ SUITE: dict[str, QuerySpec] = {
     "nation_region_share": QuerySpec(
         "nation_region_share", nation_region_share, NATION_REGION_SHARE_ORACLE,
         "share-of-parent rollup: parent totals from the child aggregate, no low-cardinality window",
+    ),
+    "diverse_sample_scaled": QuerySpec(
+        "diverse_sample_scaled", diverse_sample_scaled, DIVERSE_SAMPLE_SCALED_ORACLE,
+        "windowless diversity sampling: per-cluster hash-threshold acceptance",
     ),
 }
