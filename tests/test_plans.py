@@ -452,3 +452,26 @@ def test_source_reputation_distinct_travels_as_digest(spark):
     # text itself must not appear as a shuffle attribute in the exchange
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in seg.split("\n")[0], seg.split("\n")[0]
+
+
+# ---- round-5 query plan audits
+
+
+def test_brand_basket_pairs_no_fact_self_join(spark):
+    """Co-occurrence must come from array-side pair emission over ONE
+    lineitem scan — the naive orderkey self-join scans and shuffles the
+    fact table twice and explodes on hot orders. Top-20 must be
+    TakeOrdered, not a global sort of the pair aggregate."""
+    plan = _executed_plan(spark, "brand_basket_pairs")
+    assert plan.count("lineitem.parquet") <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_part_names_gram_join_is_equi(spark):
+    """The candidate join must be an equi-join on the prefix gram; the
+    only nested-loop join allowed is the bounded short-string branch
+    (broadcast, alphabet-limited by construction)."""
+    plan = _executed_plan(spark, "fuzzy_part_names")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
