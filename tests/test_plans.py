@@ -475,3 +475,14 @@ def test_fuzzy_part_names_gram_join_is_equi(spark):
     plan = _executed_plan(spark, "fuzzy_part_names")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_overlapping_sessions_no_theta_join(spark):
+    """The overlap join must execute as an EQUI-join on the grid cell —
+    a CartesianProduct/BroadcastNestedLoopJoin means Catalyst received
+    the raw theta predicate, the quadratic shape this operator exists
+    to avoid."""
+    plan = _executed_plan(spark, "overlapping_sessions")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan

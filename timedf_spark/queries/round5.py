@@ -99,6 +99,61 @@ LIMIT {_BASKET_TOP}
 """
 
 
+# --- overlapping-session interval join -------------------------------------
+
+
+def overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user pairs of time-overlapping sessions (concurrency
+    analysis) via the grid-bucketed interval join — see
+    ``operators/intervals.py`` for why the theta join this replaces is
+    quadratic. Exact int64-µs arithmetic end to end."""
+    from timedf_spark.operators.intervals import interval_overlap_join
+    from timedf_spark.operators.sessionize import sessionize
+
+    sess = sessionize(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("t_start").alias("start_us"),
+        F.unix_micros("t_end").alias("end_us"),
+    )
+    return interval_overlap_join(
+        sess, sess, pair_filter="a_user_id < b_user_id"
+    ).select(
+        F.col("a_user_id").alias("user_a"),
+        F.col("a_session_id").alias("session_a"),
+        F.col("b_user_id").alias("user_b"),
+        F.col("b_session_id").alias("session_b"),
+        "overlap_us",
+    )
+
+
+OVERLAPPING_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+         epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "fuzzy_part_names": QuerySpec(
         "fuzzy_part_names", fuzzy_part_names, FUZZY_PART_NAMES_ORACLE,
@@ -107,5 +162,9 @@ SUITE: dict[str, QuerySpec] = {
     "brand_basket_pairs": QuerySpec(
         "brand_basket_pairs", brand_basket_pairs, BRAND_BASKET_PAIRS_ORACLE,
         "market-basket co-occurrence: array-side pair emission, no fact self-join",
+    ),
+    "overlapping_sessions": QuerySpec(
+        "overlapping_sessions", overlapping_sessions, OVERLAPPING_SESSIONS_ORACLE,
+        "interval overlap join: grid-bucketed equi-join candidates, canonical-cell emission",
     ),
 }
