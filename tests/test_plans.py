@@ -486,3 +486,12 @@ def test_overlapping_sessions_no_theta_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_doc_sample_is_take_ordered_no_exchange(spark):
+    """The race key computes row-locally inside the scan; bottom-k must be
+    TakeOrderedAndProject — a global Sort would materialize the ordered
+    corpus, and any hash exchange means the key left the row."""
+    plan = _executed_plan(spark, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

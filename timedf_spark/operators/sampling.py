@@ -1,0 +1,74 @@
+"""Exact weighted sampling without replacement — integer-only arithmetic.
+
+Weighted reservoir sampling (Efraimidis–Spirakis, IPL 2006) orders items
+by ``u^(1/w)`` — a transcendental whose last-ulp differences across
+engines/libms make it impossible to verify by exact comparison (the same
+reason tfidf_top_terms avoids log()). This operator gets the SAME
+distribution from pure integer arithmetic: each item draws ``w``
+independent 60-bit uniform hashes and keeps the MINIMUM; the bottom-k
+items by that key are the sample.
+
+Correctness of the race: for independent uniforms, P(min of item A's
+``w_a`` draws beats min of B's ``w_b`` draws) = w_a / (w_a + w_b) — by
+symmetry each of the w_a + w_b draws is equally likely to be the overall
+minimum. That pairwise property (and its multi-item generalization:
+argmin over all draws lands on item i with probability w_i / Σw) is
+exactly the without-replacement inclusion law of the exponential-race /
+A-ES scheme. Selection is a deterministic pure function of (id, salt),
+reproducible at any parallelism — the same hash-not-RNG reproducibility
+contract as corpus_mix.
+
+Scale posture: cost is O(Σw) hash evaluations in ONE row-local
+projection (no shuffle — the HOF runs inside the scan), then a
+TakeOrderedAndProject for the bottom-k; nothing materializes the sorted
+corpus. Keep weights coarse (e.g. size div 100) so Σw stays a small
+multiple of row count; for unbounded float weights the ``u^(1/w)`` float
+key is the fallback tier — same distribution, not oracle-exact.
+
+Reference parity: the reference samples only via head/limit
+(SURVEY.md §2 A3/F4); weighted corpus subsampling is what a
+training-data mixture pipeline actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["weighted_bottomk", "race_key_spark", "race_key_duck"]
+
+
+def race_key_spark(id_col: str, weight_col: str, salt: str = "") -> str:
+    """Spark SQL text of the min-of-w-hashes race key (60-bit bigint)."""
+    h = (
+        f"cast(conv(substring(md5(concat(cast({id_col} as string), '#{salt}#', "
+        f"cast(j as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return f"array_min(transform(sequence(1, {weight_col}), j -> {h}))"
+
+
+def race_key_duck(id_col: str, weight_col: str, salt: str = "") -> str:
+    """The DuckDB twin — same md5 text, same 60-bit prefix, value-identical."""
+    h = (
+        f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '#{salt}#' || "
+        f"CAST(j AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    return f"list_min([{h} for j in range(1, {weight_col} + 1)])"
+
+
+def weighted_bottomk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Bottom-k rows by the weighted race key → input columns plus
+    ``race_key``. ``weight_col`` must be a positive integer column;
+    ordering ties break on ``id_col`` (keys are 60-bit, so a tie means a
+    hash collision — broken deterministically all the same)."""
+    return (
+        df.withColumn("race_key", F.expr(race_key_spark(id_col, weight_col, salt)))
+        .orderBy("race_key", id_col)
+        .limit(k)
+    )

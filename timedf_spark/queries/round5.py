@@ -154,6 +154,43 @@ FROM sess a JOIN sess b
 """
 
 
+# --- weighted corpus sample ------------------------------------------------
+
+_WS_K = 100
+_WS_WEIGHT = "(n_chars div 100 + 1)"  # coarse size-proportional weight
+_WS_WEIGHT_DUCK = "(n_chars // 100 + 1)"
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted 100-doc sample without replacement — the exact
+    integer-arithmetic race of ``operators/sampling.py`` (see its
+    docstring for the distribution proof and the O(Σw) cost bound)."""
+    from timedf_spark.operators.sampling import weighted_bottomk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(f"{_WS_WEIGHT}").cast("long").alias("weight")
+    )
+    return weighted_bottomk(docs, "doc_id", "weight", _WS_K).select(
+        "doc_id", "lang", "weight", "race_key"
+    )
+
+
+def _weighted_doc_sample_oracle() -> str:
+    from timedf_spark.operators.sampling import race_key_duck
+
+    key = race_key_duck("doc_id", "weight")
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST({_WS_WEIGHT_DUCK} AS BIGINT) AS weight
+  FROM documents
+)
+SELECT doc_id, lang, weight, {key} AS race_key
+FROM w
+ORDER BY race_key, doc_id
+LIMIT {_WS_K}
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "fuzzy_part_names": QuerySpec(
         "fuzzy_part_names", fuzzy_part_names, FUZZY_PART_NAMES_ORACLE,
@@ -166,5 +203,9 @@ SUITE: dict[str, QuerySpec] = {
     "overlapping_sessions": QuerySpec(
         "overlapping_sessions", overlapping_sessions, OVERLAPPING_SESSIONS_ORACLE,
         "interval overlap join: grid-bucketed equi-join candidates, canonical-cell emission",
+    ),
+    "weighted_doc_sample": QuerySpec(
+        "weighted_doc_sample", weighted_doc_sample, _weighted_doc_sample_oracle(),
+        "exact weighted sampling without replacement: integer min-hash race, no transcendentals",
     ),
 }
