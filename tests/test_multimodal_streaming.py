@@ -709,3 +709,87 @@ def test_streaming_cluster_maintenance_reaches_batch_fixpoint(spark, tmp_path_fa
         for r in cluster_apply.read_assignments(spark, asg_path).collect()
     }
     assert again == got
+
+
+def test_stream_stream_left_outer_join_null_extends_unmatched(spark, sf_dir):
+    """Left-outer attribution: matches must equal the batch inner join
+    EXACTLY; NULL-extended clicks must (a) never have a real match
+    (soundness — an early NULL is a wrong answer, not a late one) and
+    (b) be COMPLETE for every click whose no-match status was decidable
+    under the watermark the replay reached. Two source files replayed one
+    per micro-batch force the watermark to advance between batches so
+    eviction actually emits."""
+    from timedf_spark.streaming.joins import (
+        ATTRIBUTION_WINDOW_MIN,
+        attribution_join_left,
+        attribution_join_left_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type", "value"
+    )
+    split_ts = events.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.7) as long))")
+    ).first()[0]
+    early_max = events.filter(F.col("ts") <= F.lit(split_ts)).agg(F.max("ts")).first()[0]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        # lexicographic file order == chronological: file source lists in
+        # path order, so part-0 replays before part-1
+        events.filter(F.col("ts") <= F.lit(split_ts)).coalesce(1).write.parquet(
+            os.path.join(src, "t=0")
+        )
+        events.filter(F.col("ts") > F.lit(split_ts)).coalesce(1).write.parquet(
+            os.path.join(src, "t=1")
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            attribution_join_left(stream)
+            .writeStream.format("memory")
+            .queryName("attrib_left")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        rows = spark.sql("select * from attrib_left").collect()
+    got_matched = {
+        (r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None
+    }
+    got_nulls = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    batch = attribution_join_left_batch(events).collect()
+    want_matched = {
+        (r["click_id"], r["purchase_id"]) for r in batch if r["purchase_id"] is not None
+    }
+    matched_clicks = {c for c, _ in want_matched}
+    want_nulls = {r["click_id"] for r in batch if r["purchase_id"] is None}
+
+    assert got_matched == want_matched
+    # soundness: a NULL row for a click that has a match is wrong output
+    assert not (got_nulls & matched_clicks), got_nulls & matched_clicks
+    assert got_nulls <= want_nulls
+    # completeness up to the reached watermark: after batch 1 the
+    # watermark stands at max(early ts) - 10 min; batch 2 must emit the
+    # NULL row of every unmatched click already evictable under it
+    click_ts = {
+        r["click_id"]: r["click_ts"]
+        for r in attribution_join_left_batch(events).collect()
+    }
+    import datetime
+
+    wm_after_first = early_max - datetime.timedelta(minutes=10)
+    decided = {
+        c
+        for c in want_nulls
+        if click_ts[c] + datetime.timedelta(minutes=ATTRIBUTION_WINDOW_MIN)
+        < wm_after_first
+    }
+    assert decided, "fixture split leaves no decidable unmatched clicks"
+    missing = decided - got_nulls
+    assert not missing, f"{len(missing)} decidable NULL rows never emitted"

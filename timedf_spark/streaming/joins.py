@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attribution_join", "attribution_join_batch", "enrichment_join", "user_dim"]
+__all__ = [
+    "attribution_join",
+    "attribution_join_batch",
+    "attribution_join_left",
+    "attribution_join_left_batch",
+    "enrichment_join",
+    "user_dim",
+]
 
 WATERMARK = "10 minutes"
 ATTRIBUTION_WINDOW_MIN = 30
@@ -73,6 +80,38 @@ def attribution_join_batch(events: DataFrame) -> DataFrame:
     """Batch twin: identical condition on static frames."""
     clicks, purchases = _sides(events)
     return clicks.join(purchases, _condition(), "inner").select(*_OUT_COLS)
+
+
+def attribution_join_left(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every click appears exactly
+    once per matching purchase, and clicks with NO purchase inside the
+    window are emitted NULL-extended — but only once the watermark has
+    passed ``click_ts + window``, the earliest moment "no match" is a
+    fact rather than a race.
+
+    This is the semantics an unconverted-click funnel needs (inner join
+    silently drops exactly the rows it is about to analyze). State and
+    eviction are identical to the inner form — the outer behavior costs
+    nothing extra: a click's state row was retained until
+    watermark > click_ts + window anyway; on eviction it either produced
+    matches already or emits its NULL row. Replay caveat: a single
+    ``availableNow`` pass leaves the final watermark at
+    max(event_ts) − watermark, so the trailing clicks' NULL rows emit on
+    the NEXT trigger — exactly-once overall, never early, never wrong
+    (the test pins both directions of that contract).
+    """
+    clicks, purchases = _sides(events)
+    return (
+        clicks.withWatermark("click_ts", watermark)
+        .join(purchases.withWatermark("purchase_ts", watermark), _condition(), "leftOuter")
+        .select(*_OUT_COLS)
+    )
+
+
+def attribution_join_left_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the left-outer form."""
+    clicks, purchases = _sides(events)
+    return clicks.join(purchases, _condition(), "left").select(*_OUT_COLS)
 
 
 # --- stream-static enrichment join ----------------------------------------
