@@ -262,3 +262,50 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
         F.sum(F.col("l_orderkey") * F.col("l_suppkey")).alias("chk"),
     ).collect()
     assert a == b
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """The 100 TB fact⋈filtered-dim shape: Spark's runtime bloom filter
+    (on in session.py via spark.sql.optimizer.runtime.bloomFilter.enabled)
+    builds a filter from the selective side and prunes the fact scan's
+    shuffle input. Local testdata never crosses the 10 GiB application-
+    side threshold, so this test lowers it to prove the reduction
+    engages on our join shape — and that results are unchanged."""
+    from timedf_spark.sources import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def run():
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+        return rows, j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain_rows, plain_plan = run()
+        assert "bloom_filter_agg" not in plain_plan  # above threshold: off
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        bloom_rows, bloom_plan = run()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in bloom_plan, bloom_plan
+    assert "might_contain" in bloom_plan, bloom_plan
+    assert bloom_rows == plain_rows and bloom_rows
