@@ -495,3 +495,11 @@ def test_weighted_doc_sample_is_take_ordered_no_exchange(spark):
     plan = _executed_plan(spark, "weighted_doc_sample")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_source_lang_drift_single_fact_scan(spark):
+    """Marginals and the total must derive from the (source, lang)
+    aggregate — the corpus parquet appears in the plan exactly once; the
+    expected-count grid joins aggregate-sized frames only."""
+    plan = _executed_plan(spark, "source_lang_drift")
+    assert plan.count("documents.parquet") == 1, plan

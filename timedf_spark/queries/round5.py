@@ -154,6 +154,61 @@ FROM sess a JOIN sess b
 """
 
 
+# --- per-source language-distribution drift --------------------------------
+
+# The float chi-square terms are per-(source,lang) scalars from exact
+# integer counts — IEEE multiply/divide are correctly rounded, so both
+# engines produce bit-identical terms from the same expression text. The
+# SUM over langs is the only order-dependent step, so terms are quantized
+# to 1e-6 and summed exactly (the functions/deterministic.py recipe);
+# magnitudes stay ≤ corpus_size·1e6 « 2^53.
+_DRIFT_TERM = (
+    "(obs - cast(n_s as double) * n_l / n_t)"
+    " * (obs - cast(n_s as double) * n_l / n_t)"
+    " / (cast(n_s as double) * n_l / n_t)"
+)
+_DRIFT_SQL = f"""
+WITH sl AS (
+  -- explicit NOT NULL: the grid's left join would otherwise push
+  -- isnotnull into ITS copy of this aggregate's scan, making the
+  -- subtree differ and defeating physical Exchange reuse (one fact
+  -- scan instead of two)
+  SELECT source, lang, count(*) AS n_sl FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+),
+s AS (SELECT source, cast(sum(n_sl) AS BIGINT) AS n_s FROM sl GROUP BY source),
+l AS (SELECT lang, cast(sum(n_sl) AS BIGINT) AS n_l FROM sl GROUP BY lang),
+t AS (SELECT cast(sum(n_s) AS BIGINT) AS n_t FROM s),
+grid AS (
+  SELECT s.source, l.lang, s.n_s, l.n_l, t.n_t,
+         cast(coalesce(sl.n_sl, 0) AS DOUBLE) AS obs
+  FROM s CROSS JOIN l CROSS JOIN t
+  LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang
+)
+SELECT source, min(n_s) AS n_docs,
+       cast(sum(cast(floor({_DRIFT_TERM} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS chi2
+FROM grid
+GROUP BY source
+"""
+
+
+def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square drift of the language mix vs the corpus-wide
+    distribution — the mixture-monitoring report a curation pipeline runs
+    per ingest batch.
+
+    Scale posture: the corpus is scanned ONCE into the (source, lang)
+    aggregate; marginals and the total derive from that
+    dimension-cardinality frame, never from re-scanning the fact. The
+    expected-count grid is a cross join of two aggregate-sized frames
+    (sources × langs, bounded by vocabulary — the only place crossJoin
+    is legal at 100 TB). No window, no fact self-join. The SQL text is
+    dialect-shared: Spark and DuckDB run the same string."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_DRIFT_SQL)
+
+
 # --- weighted corpus sample ------------------------------------------------
 
 _WS_K = 100
@@ -207,5 +262,9 @@ SUITE: dict[str, QuerySpec] = {
     "weighted_doc_sample": QuerySpec(
         "weighted_doc_sample", weighted_doc_sample, _weighted_doc_sample_oracle(),
         "exact weighted sampling without replacement: integer min-hash race, no transcendentals",
+    ),
+    "source_lang_drift": QuerySpec(
+        "source_lang_drift", source_lang_drift, _DRIFT_SQL,
+        "chi-square mixture drift per source: one fact scan, marginals from the aggregate",
     ),
 }
