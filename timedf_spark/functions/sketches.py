@@ -1,0 +1,44 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL via Spark's
+``hll_sketch_agg`` family).
+
+``approx_cardinalities`` already demonstrates one-shot HLL++
+(approx_count_distinct). What THAT cannot do is the 100 TB operational
+pattern: compute per-partition/per-day sketches ONCE, persist them as
+binary columns, and answer any coarser rollup later — union of sketches,
+never a rescan of the fact. Exact distinct counts cannot roll up
+(distinct is not additive); sketches are the standard fix
+(Flajolet et al. HLL '07; the lossless-union DataSketches HLL variant
+Spark 3.5+ ships).
+
+Scale posture: a sketch row is O(KB) regardless of group size; the
+rollup aggregates sketch bytes at parent-key cardinality. Error is the
+configured HLL standard error (~1.04/sqrt(2^lgK) ≈ 1.6% at the default
+lgK=12), pinned by tolerance tests — there is deliberately no DuckDB
+oracle (engine-specific binary), mirroring approx_cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["group_sketches", "rollup_estimate"]
+
+
+def group_sketches(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
+    """Per-group HLL sketch of ``id_col`` + its point estimate. The
+    ``sketch`` binary column is persistable (parquet) and unionable."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(id_col).alias("sketch"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(id_col)).alias("estimate"),
+    )
+
+
+def rollup_estimate(sketches: DataFrame, parent_cols: list[str]) -> DataFrame:
+    """Union child sketches up to ``parent_cols`` grain and estimate —
+    no access to the original fact rows. Empty ``parent_cols`` gives the
+    grand total."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    if parent_cols:
+        return sketches.groupBy(*parent_cols).agg(agg)
+    return sketches.agg(agg)
