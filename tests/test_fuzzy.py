@@ -108,3 +108,31 @@ def test_prefix_blocking_prunes_candidates(spark):
         for r in edit_distance_pairs(df, k=2).collect()
     }
     assert got == _brute(sorted(vocab), 2)
+
+
+def test_probe_equals_brute_force_small_alphabet(spark):
+    """Batch-vs-corpus probe must equal the brute-force cross join on the
+    same adversarial tiny-alphabet vocabulary (incl. strings only in the
+    batch, whose grams are absent from the corpus frequency order)."""
+    from timedf_spark.operators.fuzzy import edit_distance_probe
+
+    rng = random.Random(13)
+    vocab = list({
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 8)))
+        for _ in range(200)
+    })
+    corpus = vocab[: len(vocab) * 2 // 3]
+    batch = vocab[len(vocab) // 2 :]  # overlaps corpus + fresh strings
+    cdf = spark.createDataFrame([(v,) for v in corpus], "name string")
+    bdf = spark.createDataFrame([(v,) for v in batch], "name string")
+    got = {
+        (r["probe"], r["match"], r["dist"])
+        for r in edit_distance_probe(cdf, bdf, k=2).collect()
+    }
+    want = {
+        (b, c, _lev(b, c))
+        for b in set(batch)
+        for c in set(corpus)
+        if _lev(b, c) <= 2
+    }
+    assert got == want

@@ -503,3 +503,13 @@ def test_source_lang_drift_single_fact_scan(spark):
     expected-count grid joins aggregate-sized frames only."""
     plan = _executed_plan(spark, "source_lang_drift")
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_fuzzy_name_probe_broadcasts_batch_side(spark):
+    """Incremental linkage: the candidate join must be a broadcast
+    equi-join on the prefix gram (batch side broadcast) — the corpus
+    must never self-join; only the bounded short branch may nest-loop."""
+    plan = _executed_plan(spark, "fuzzy_name_probe")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["candidate_pairs", "edit_distance_pairs"]
+__all__ = ["candidate_pairs", "edit_distance_pairs", "edit_distance_probe"]
 
 
 def _qgrams_expr(col: str, q: int) -> str:
@@ -127,4 +127,90 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= k)
         .select("name_a", "name_b", "dist")
+    )
+
+
+def _gram_sets(df: DataFrame, col: str, q: int, out: str) -> DataFrame:
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias(out))
+        .distinct()
+        .select(
+            out,
+            F.length(out).alias(f"{out}_len"),
+            F.explode(F.expr(_qgrams_expr(out, q))).alias("g"),
+        )
+    )
+
+
+def edit_distance_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    col: str = "name",
+    k: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Incremental record linkage: every (batch name, corpus name) pair
+    within Levenshtein distance ``k`` → (probe, match, dist).
+
+    The daily-ingest shape (same decomposition as
+    dedup.incremental_near_dup_pairs): the small batch side BROADCASTS —
+    the corpus computes its prefix grams in one scan and equi-joins the
+    broadcast batch prefixes; the corpus never self-joins and never
+    shuffles for candidate generation. Both sides rank grams under ONE
+    global order — corpus document frequency (batch-only grams default to
+    df=0, i.e. rarest: unseen grams carry maximal evidence), tie-broken
+    by gram — so the prefix-filter lemma applies across the two sets
+    exactly as in the self-join case, with the same short-string branch.
+
+    Exact: equals the brute-force batch × corpus cross join (DuckDB
+    oracle runs the brute force).
+    """
+    prefix_len = k * q + 1
+    cg = _gram_sets(corpus, col, q, "match")
+    bg = _gram_sets(batch, col, q, "probe")
+    freq = cg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+
+    def prefixes(grams: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(out).orderBy("df", "g")
+        return (
+            grams.join(F.broadcast(freq), "g", "left")
+            .na.fill({"df": 0})
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= prefix_len)
+            .select(out, f"{out}_len", "g")
+        )
+
+    long_cands = (
+        prefixes(cg, "match")
+        .join(
+            F.broadcast(prefixes(bg, "probe")),
+            "g",
+        )
+        .filter(F.abs(F.col("probe_len") - F.col("match_len")) <= k)
+        .select("probe", "match")
+    )
+    def shorts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(F.col(col).alias(out))
+            .distinct()
+            .filter(F.size(F.array_distinct(F.expr(_qgrams_expr(out, q)))) <= k * q)
+            .select(out, F.length(out).alias(f"{out}_len"))
+        )
+
+    short_cands = (
+        shorts(corpus, "match")
+        .join(
+            F.broadcast(shorts(batch, "probe")),
+            F.abs(F.col("probe_len") - F.col("match_len")) <= k,
+        )
+        .select("probe", "match")
+    )
+    return (
+        long_cands.unionByName(short_cands)
+        .distinct()
+        .withColumn("dist", F.levenshtein("probe", "match"))
+        .filter(F.col("dist") <= k)
+        .select("probe", "match", "dist")
     )

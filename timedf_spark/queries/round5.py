@@ -53,6 +53,38 @@ WHERE levenshtein(a.name, b.name) <= {_FUZZY_K}
 """
 
 
+# --- incremental fuzzy probe (batch vs corpus) ------------------------------
+
+_NAME_HASH_SPARK = "cast(conv(substring(md5(p_name), 1, 15), 16, 10) as bigint)"
+_NAME_HASH_DUCK = "(('0x' || substr(md5(p_name), 1, 15))::BIGINT)"
+
+
+def fuzzy_name_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest record linkage: a deterministic quarter of the part
+    names plays the incoming batch, matched within edit distance 2
+    against the remaining corpus — batch prefixes broadcast, the corpus
+    never self-joins (operators/fuzzy.py::edit_distance_probe)."""
+    from timedf_spark.operators.fuzzy import edit_distance_probe
+
+    part = load_table(spark, sf_dir, "part")
+    is_batch = F.expr(f"{_NAME_HASH_SPARK} % 4 = 0")
+    batch = part.filter(is_batch).select(F.col("p_name").alias("name"))
+    corpus = part.filter(~is_batch).select(F.col("p_name").alias("name"))
+    return edit_distance_probe(corpus, batch, k=_FUZZY_K)
+
+
+FUZZY_NAME_PROBE_ORACLE = f"""
+WITH b AS (SELECT DISTINCT p_name AS name FROM part
+           WHERE p_name IS NOT NULL AND {_NAME_HASH_DUCK} % 4 = 0),
+c AS (SELECT DISTINCT p_name AS name FROM part
+      WHERE p_name IS NOT NULL AND NOT ({_NAME_HASH_DUCK} % 4 = 0))
+SELECT b.name AS probe, c.name AS match,
+       levenshtein(b.name, c.name) AS dist
+FROM b CROSS JOIN c
+WHERE levenshtein(b.name, c.name) <= {_FUZZY_K}
+"""
+
+
 # --- market-basket brand co-occurrence -------------------------------------
 
 _BASKET_TOP = 20
@@ -250,6 +282,10 @@ SUITE: dict[str, QuerySpec] = {
     "fuzzy_part_names": QuerySpec(
         "fuzzy_part_names", fuzzy_part_names, FUZZY_PART_NAMES_ORACLE,
         "edit-distance name self-match: q-gram prefix blocking, brute-force oracle",
+    ),
+    "fuzzy_name_probe": QuerySpec(
+        "fuzzy_name_probe", fuzzy_name_probe, FUZZY_NAME_PROBE_ORACLE,
+        "incremental fuzzy linkage: broadcast batch prefixes probe the corpus, no self-join",
     ),
     "brand_basket_pairs": QuerySpec(
         "brand_basket_pairs", brand_basket_pairs, BRAND_BASKET_PAIRS_ORACLE,
