@@ -68,6 +68,9 @@ _ANSI_REPRESENTATIVES = [
     "pricing_summary", "market_share", "taxi_q4", "corpus_mix",
     "dedup_exact", "supplier_part_counts", "zscore_outliers",
     "repetition_stats", "tfidf_top_terms", "temperature_mix",
+    # round-5 arithmetic: min-hash race conv(), chi-square floor-casts,
+    # interval µs div/sequence
+    "weighted_doc_sample", "source_lang_drift", "overlapping_sessions",
 ]
 
 
