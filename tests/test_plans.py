@@ -513,3 +513,16 @@ def test_fuzzy_name_probe_broadcasts_batch_side(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_session_paths_single_raw_exchange(spark):
+    """The path aggregate must reuse the session window's user_id
+    exchange (hashpartitioning(user_id) satisfies the (user_id,
+    session_id) clustered distribution) — exactly one hashpartitioning
+    exchange carries raw event rows; the path-count aggregate exchanges
+    path-vocabulary rows only, and top-15 is TakeOrdered."""
+    plan = _executed_plan(spark, "session_paths")
+    assert "TakeOrderedAndProject" in plan, plan
+    # exchanges: one for the window/collect on user_id, one for the
+    # path count — nothing more
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -241,6 +241,90 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DRIFT_SQL)
 
 
+# --- session event-path analysis -------------------------------------------
+
+_PATH_TOP = 15
+_PATH_LEN = 5
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type journeys: each session's first five event types in
+    (ts, event_id) order joined into a path string, counted, top-15.
+
+    Order-defined aggregation is the shape pandas users take for granted
+    and distributed engines must construct: the collect is a
+    ``sort_array(collect_list(struct(ts, event_id, event_type)))`` — the
+    struct's field order IS the sort key, so ordering is total and
+    engine-independent (DuckDB twin: ``array_agg(... ORDER BY ts,
+    event_id)``).
+
+    Scale posture: ONE exchange — the session window partitions by
+    user_id, and hashpartitioning(user_id) already satisfies the
+    (user_id, session_id) grouping's clustered distribution, so the
+    path aggregate reuses the window's shuffle (the plasticc
+    window-reuses-exchange trick); per-session state is capped by the
+    5-event truncation only at output (collect is session-bounded);
+    the path count aggregate runs at path-vocabulary cardinality and
+    tops out in a TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(slice(sort_array(collect_list("
+                f"struct(ts, event_id, event_type))), 1, {_PATH_LEN}),"
+                " x -> x.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+SESSION_PATHS_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+p AS (
+  SELECT user_id, session_id,
+         array_to_string((array_agg(event_type ORDER BY ts, event_id))[1:{_PATH_LEN}], '>') AS path
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
 # --- weighted corpus sample ------------------------------------------------
 
 _WS_K = 100
@@ -294,6 +378,10 @@ SUITE: dict[str, QuerySpec] = {
     "overlapping_sessions": QuerySpec(
         "overlapping_sessions", overlapping_sessions, OVERLAPPING_SESSIONS_ORACLE,
         "interval overlap join: grid-bucketed equi-join candidates, canonical-cell emission",
+    ),
+    "session_paths": QuerySpec(
+        "session_paths", session_paths, SESSION_PATHS_ORACLE,
+        "ordered aggregation: sorted-struct collect builds session journeys, one exchange",
     ),
     "weighted_doc_sample": QuerySpec(
         "weighted_doc_sample", weighted_doc_sample, _weighted_doc_sample_oracle(),
