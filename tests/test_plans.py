@@ -526,3 +526,12 @@ def test_session_paths_single_raw_exchange(spark):
     # exchanges: one for the window/collect on user_id, one for the
     # path count — nothing more
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_fk_integrity_audit_dims_broadcast(spark):
+    """Every dimension-keyed FK branch must broadcast its dimension; at
+    most the lineitem->orders fact-fact edge may shuffle-join. Each
+    branch reduces to one row before the union."""
+    plan = _executed_plan(spark, "fk_integrity_audit")
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan

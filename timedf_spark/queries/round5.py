@@ -241,6 +241,43 @@ def source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DRIFT_SQL)
 
 
+# --- referential-integrity audit --------------------------------------------
+
+_FK_RELATIONS = [
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS fk, count(*) AS n_rows,
+       cast(sum(CASE WHEN d.{dim_key} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {fact} f LEFT JOIN {dim} d ON f.{fact_key} = d.{dim_key}"""
+    for label, fact, fact_key, dim, dim_key in _FK_RELATIONS
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse referential-integrity audit: orphan counts for every FK
+    edge of the star schema in one report — the nightly data-quality
+    gate a 100 TB ingest pipeline runs before publishing a snapshot.
+
+    Scale posture: each relation is fact LEFT JOIN dim on the key —
+    every dimension side broadcasts (nation/region/part/supplier/
+    customer are dimension-sized by definition; the one fact-fact edge,
+    lineitem→orders, shuffles on the key under AQE exactly like the
+    TPC-H joins). Each branch collapses to a 1-row aggregate before the
+    union, so the report exchange is 7 rows. The SQL text is
+    dialect-shared: Spark and DuckDB run the same string."""
+    for t in {"lineitem", "orders", "part", "supplier", "customer", "nation", "region"}:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FK_AUDIT_SQL)
+
+
 # --- session event-path analysis -------------------------------------------
 
 _PATH_TOP = 15
@@ -378,6 +415,10 @@ SUITE: dict[str, QuerySpec] = {
     "overlapping_sessions": QuerySpec(
         "overlapping_sessions", overlapping_sessions, OVERLAPPING_SESSIONS_ORACLE,
         "interval overlap join: grid-bucketed equi-join candidates, canonical-cell emission",
+    ),
+    "fk_integrity_audit": QuerySpec(
+        "fk_integrity_audit", fk_integrity_audit, _FK_AUDIT_SQL,
+        "referential-integrity report: per-FK orphan counts, dims broadcast, 7-row union",
     ),
     "session_paths": QuerySpec(
         "session_paths", session_paths, SESSION_PATHS_ORACLE,
