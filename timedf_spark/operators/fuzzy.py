@@ -124,7 +124,10 @@ def edit_distance_pairs(
     """
     return (
         candidate_pairs(names, col, k, q)
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        # bigint, not Spark's int32: DuckDB levenshtein is BIGINT and the
+        # driver's compare checks dtype widths (same convention as the
+        # year() casts in queries/taxi.py)
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= k)
         .select("name_a", "name_b", "dist")
     )
@@ -210,7 +213,8 @@ def edit_distance_probe(
     return (
         long_cands.unionByName(short_cands)
         .distinct()
-        .withColumn("dist", F.levenshtein("probe", "match"))
+        # bigint for cross-engine dtype parity (see edit_distance_pairs)
+        .withColumn("dist", F.levenshtein("probe", "match").cast("long"))
         .filter(F.col("dist") <= k)
         .select("probe", "match", "dist")
     )
