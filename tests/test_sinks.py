@@ -90,3 +90,30 @@ def test_format_generic_sink_roundtrips(spark, sf_dir, tmp_path):
     )
     scan = plan[plan.index("Scan orc") :]
     assert "PushedFilters: [" in scan and "o_orderkey" in scan.split("PushedFilters")[1][:200]
+
+
+def test_additive_schema_evolution_across_partitions(spark, tmp_path):
+    """Daily-ingest evolution: a partition written before a column
+    existed must read back NULL-extended under merge_schema=True, with
+    full typed values where the column exists — and partition pruning
+    must still reach the scan."""
+    path = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string").withColumn(
+        "day", F.lit(1)
+    )
+    write_partitioned(v1, path, ["day"], mode="overwrite")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)], "id long, val string, score double"
+    ).withColumn("day", F.lit(2))
+    write_partitioned(v2, path, ["day"], mode="append")
+
+    merged = read_partitioned(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "val", "score", "day"}
+    rows = {r["id"]: (r["score"], r["day"]) for r in merged.collect()}
+    assert rows[1] == (None, 1) and rows[3] == (0.5, 2)
+    # old-partition rows are NULL, not 0/garbage
+    assert merged.filter(F.col("score").isNull()).count() == 2
+    # pruning still applies with merged schemas
+    plan = merged.filter(F.col("day") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "day = 2" in plan or "day#" in plan
+    assert merged.filter(F.col("day") == 2).count() == 2

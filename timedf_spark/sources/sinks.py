@@ -55,9 +55,18 @@ def write_partitioned(
     )
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    """Read a partitioned sink back; partition-column predicates prune."""
-    return spark.read.parquet(path)
+def read_partitioned(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """Read a partitioned sink back; partition-column predicates prune.
+
+    ``merge_schema=True`` handles ADDITIVE schema evolution across
+    partitions (a daily-ingest layout where new columns appear over
+    time): Spark unions the per-file footers and NULL-extends files
+    written before a column existed. Off by default — merging reads
+    every file's footer up front, which at 100 TB is a driver-side
+    metadata storm to opt into knowingly, and ingest jobs should instead
+    pin the current schema. Type WIDENING (int→long etc.) is NOT merged
+    by parquet — that is a rewrite (or a read-schema cast), by design."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
