@@ -147,3 +147,38 @@ def test_sketch_rollup_persisted_union_within_tolerance(spark, sf_dir, tmp_path)
     # per-nation point estimates were also within tolerance at write time
     for r in spark.read.parquet(path).collect():
         assert r["estimate"] >= 0
+
+
+def test_rolling_distinct_sketch_window_within_tolerance(spark, sf_dir):
+    """Trailing-7-day distinct users via sketch-window union must track
+    the exact rolling distinct within HLL tolerance on every day —
+    without the union ever re-reading fact rows (it windows over the
+    day-grain sketch frame)."""
+    from timedf_spark.functions.sketches import rolling_distinct_estimate
+    from timedf_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["day"]: r["estimate"]
+        for r in rolling_distinct_estimate(ev, "ts", "user_id", 7).collect()
+    }
+    pairs = (
+        ev.select(F.expr("cast(date_trunc('DAY', ts) as date)").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in pairs:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    import datetime
+
+    for day, est in got.items():
+        exact = len(
+            set().union(
+                *(
+                    by_day.get(day - datetime.timedelta(days=i), set())
+                    for i in range(7)
+                )
+            )
+        )
+        assert abs(est - exact) <= max(2, 0.05 * exact), (day, est, exact)

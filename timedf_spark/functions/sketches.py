@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_sketches", "rollup_estimate"]
+__all__ = ["group_sketches", "rollup_estimate", "rolling_distinct_estimate"]
 
 
 def group_sketches(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
@@ -42,3 +42,30 @@ def rollup_estimate(sketches: DataFrame, parent_cols: list[str]) -> DataFrame:
     if parent_cols:
         return sketches.groupBy(*parent_cols).agg(agg)
     return sketches.agg(agg)
+
+
+def rolling_distinct_estimate(
+    df: DataFrame, ts_col: str, id_col: str, window_days: int = 7
+) -> DataFrame:
+    """(day, estimate): trailing ``window_days`` distinct ``id_col`` per
+    day — the rolling-actives metric exact count-distinct cannot compute
+    incrementally (distinct does not slide: each day's exact answer
+    re-touches the whole window's raw rows).
+
+    Shape: ONE pass folds the fact to per-day sketches (a sketch row per
+    day, KBs); the trailing union is a RANGE window over those day rows
+    — 365 sketch unions per year of data, zero further fact access. The
+    window's single-ordering shuffle moves day-grain sketch rows only.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.expr(f"cast(date_trunc('DAY', {ts_col}) as date)").alias("day")
+    ).agg(F.hll_sketch_agg(id_col).alias("sketch"))
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_days - 1) * 86_400, 0)
+    )
+    return daily.select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("estimate")
+    )
