@@ -468,3 +468,29 @@ def test_prefix_filter_prunes_candidates_but_loses_nothing(spark, sf_dir):
     sh.unpersist()
     assert pruned < any_shared, (pruned, any_shared)
     assert pruned >= len(base)  # candidates must cover every true pair
+
+
+def test_filtered_ivf_search_recall_and_predicate(spark, sf_dir):
+    """Filtered vector search: every hit must satisfy the attribute
+    predicate (pre-filter soundness — post-filtering can emit none), and
+    probe oversampling must recover recall vs the filtered brute force
+    despite the ~10x-selective filter thinning each cell."""
+    flt = "label = 3"
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(spark, sf_dir, corpus_filter=flt).collect()
+    }
+    got_rows = similarity.ivf_topk(
+        spark, sf_dir, corpus_filter=flt, probe_boost=3
+    ).collect()
+    got = {(r["q_id"], r["vec_id"]) for r in got_rows}
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    assert got and all(labels[v] == 3 for _, v in got)
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"filtered recall too low: {recall}"
+    # unfiltered behavior unchanged by the new parameters' defaults
+    base = similarity.ivf_topk(spark, sf_dir)
+    assert base.filter(F.col("rank") == 1).count() > 0

@@ -43,14 +43,21 @@ _TOP_K = 10
 
 
 def brute_force_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = _N_QUERIES, k: int = _TOP_K
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = _N_QUERIES,
+    k: int = _TOP_K,
+    corpus_filter: str | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbours for the first n_queries vectors (by vec_id)."""
+    """Exact top-k neighbours for the first n_queries vectors (by vec_id).
+    ``corpus_filter`` restricts the searched corpus (exact twin for the
+    filtered IVF tier); queries stay unfiltered."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    corpus = emb.filter(F.expr(corpus_filter)) if corpus_filter else emb
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
         "q_id",
         "vec_id",
         cosine_similarity("q_emb", "embedding").alias("cos"),
@@ -445,10 +452,25 @@ def ivf_topk(
     k: int = _TOP_K,
     n_cells: int = 32,
     nprobe: int = 6,
+    corpus_filter: str | None = None,
+    probe_boost: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``n_cells``
     inverted lists, probe only the query's ``nprobe`` nearest cells, exact
     cosine re-rank inside probed cells.
+
+    ``corpus_filter`` (SQL predicate over the embeddings columns, e.g.
+    ``"label = 3"``) turns this into FILTERED vector search — the hybrid
+    attribute+similarity query every retrieval stack needs. It is a
+    PRE-filter: applied to the corpus side before the candidate join, so
+    the predicate pushes into the scan and candidates are drawn only
+    from qualifying rows. Post-filtering top-k instead silently starves
+    recall when the filter is selective (k survivors of an unfiltered
+    top-k may all fail the predicate). Selective filters thin each
+    probed cell, so callers raise ``probe_boost`` (multiplies nprobe,
+    capped at n_cells) to restore the candidate budget — the standard
+    oversampling trade: probe_boost ~ 1/selectivity keeps expected
+    candidates constant while the scan stays inverted-list-bounded.
 
     The classic FAISS-style scale structure on Spark primitives:
     - centroids: spherical k-means over a deterministic bounded sample
@@ -471,6 +493,7 @@ def ivf_topk(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cmat_normed = _kmeans_centroids(emb, n_cells)
+    nprobe = min(n_cells, nprobe * max(1, probe_boost))
 
     @F.pandas_udf("array<double>")
     def cell_cos_udf(emb_s: pd.Series) -> pd.Series:
@@ -483,9 +506,17 @@ def ivf_topk(
             sims = np.where(norms > 0, mat / norms, 0.0) @ cmat_normed.T
         return pd.Series(sims.tolist())
 
-    scored_cells = emb.select("vec_id", "embedding", cell_cos_udf("embedding").alias("cell_cos"))
+    corpus_side = emb.filter(F.expr(corpus_filter)) if corpus_filter else emb
+    scored_corpus = corpus_side.select(
+        "vec_id", "embedding", cell_cos_udf("embedding").alias("cell_cos")
+    )
+    # query side scored separately: it is n_queries rows — re-scoring the
+    # full corpus for it would undo the filter pushdown above
+    scored_cells = emb.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding", cell_cos_udf("embedding").alias("cell_cos")
+    )
     # corpus: argmax cell (deterministic: first max wins via array_position)
-    corpus = scored_cells.select(
+    corpus = scored_corpus.select(
         "vec_id",
         "embedding",
         (F.expr("array_position(cell_cos, array_max(cell_cos))") - 1)

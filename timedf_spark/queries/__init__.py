@@ -93,6 +93,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_simhash", "dedup_clusters", "corpus_mix", "ann_brute_topk",
     }
     rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | {
+        "ann_ivf_filtered",
         "ann_ivfpq_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -85,6 +85,21 @@ WHERE levenshtein(b.name, c.name) <= {_FUZZY_K}
 """
 
 
+# --- filtered vector search -------------------------------------------------
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid attribute+similarity retrieval: IVF top-k restricted to
+    ``label = 3`` (a ~10x-selective pre-filter pushed into the corpus
+    scan) with 3x probe oversampling to restore the candidate budget —
+    see operators/similarity.py::ivf_topk for the pre- vs post-filter
+    recall argument. Recall vs the filtered brute force is pinned in
+    tests; the driver records a rows-only check."""
+    from timedf_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(spark, sf_dir, corpus_filter="label = 3", probe_boost=3)
+
+
 # --- market-basket brand co-occurrence -------------------------------------
 
 _BASKET_TOP = 20
@@ -403,6 +418,11 @@ SUITE: dict[str, QuerySpec] = {
     "fuzzy_part_names": QuerySpec(
         "fuzzy_part_names", fuzzy_part_names, FUZZY_PART_NAMES_ORACLE,
         "edit-distance name self-match: q-gram prefix blocking, brute-force oracle",
+    ),
+    "ann_ivf_filtered": QuerySpec(
+        "ann_ivf_filtered", ann_ivf_filtered,
+        None,  # approximate by construction; recall-tested vs filtered brute force
+        "filtered vector search: attribute pre-filter + probe oversampling",
     ),
     "fuzzy_name_probe": QuerySpec(
         "fuzzy_name_probe", fuzzy_name_probe, FUZZY_NAME_PROBE_ORACLE,
