@@ -13,6 +13,7 @@ from typing import Any
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
 from timedf_spark.sources.readers import TESTDATA_TABLES
 
@@ -30,6 +31,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                # Arrow-path Spark timestamps arrive tz-aware (UTC session);
+                # DuckDB's are naive UTC — align to naive UTC for comparison.
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
@@ -42,16 +47,70 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _type_family(t: pa.DataType) -> str:
+    """Collapse an Arrow dtype to the equivalence class the DRIVER's
+    value-hash comparison tolerates (verified in round 3 by a bidirectional
+    sweep of all oracles): integer widths are interchangeable (Spark
+    year()/levenshtein() int32 vs DuckDB BIGINT passed), date vs timestamp
+    truncations pass, float widths pass — but decimal128 (DuckDB HUGEINT
+    sums) vs int64 FAILS the driver hash even when values are equal.
+    Keeping decimal as its own family turns that whole bug class into a
+    local test failure (VERDICT r03 item 2)."""
+    if pa.types.is_null(t):
+        return "null"  # all-NULL column: width not observable, treat as wild
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "temporal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def _schema_issues(sp_schema: pa.Schema, du_schema: pa.Schema) -> list[str]:
+    issues = []
+    du_types = {f.name: f.type for f in du_schema}
+    for f in sp_schema:
+        if f.name not in du_types:
+            continue  # column-name mismatch reported separately
+        fam_sp, fam_du = _type_family(f.type), _type_family(du_types[f.name])
+        if "null" in (fam_sp, fam_du):
+            continue
+        if fam_sp != fam_du:
+            issues.append(
+                f"dtype family: column {f.name} spark={f.type} ({fam_sp}) "
+                f"duckdb={du_types[f.name]} ({fam_du}) — driver hash_match "
+                f"would fail even with equal values; cast in the oracle/operator"
+            )
+    return issues
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
     """Return list of mismatch descriptions (empty = match)."""
     issues: list[str] = []
-    sp = spark_df.toPandas()
-    du = con.execute(oracle).fetchdf()
+    sp_tbl = spark_df.toArrow()
+    du_tbl = con.execute(oracle).fetch_arrow_table()
+    # date_as_object=False: date32 → datetime64 so a date-typed oracle
+    # column compares against a Spark timestamp (benign temporal pair)
+    # by value, not object-vs-Timestamp identity
+    sp = sp_tbl.to_pandas(date_as_object=False)
+    du = du_tbl.to_pandas(date_as_object=False)
     if len(sp) != len(du):
         issues.append(f"row count: spark={len(sp)} duckdb={len(du)}")
     if sorted(sp.columns) != sorted(du.columns):
         issues.append(f"columns: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")
         return issues
+    issues.extend(_schema_issues(sp_tbl.schema, du_tbl.schema))
     a, b = _normalize(sp), _normalize(du)
     if len(a) != len(b):
         return issues

@@ -48,7 +48,8 @@ def test_compaction_preserves_reader_view_and_drops_files(spark, sink):
     s0 = sink_stats(path)
     assert s0["batch_dirs"] == 5
 
-    stats = compact_sink(spark, path)
+    # writer quiesced → fold everything including the max batch id
+    stats = compact_sink(spark, path, include_max_live=True)
     assert stats["compacted"] and stats["folded_batches"] == 5
     assert stats["covered"] == 4 and stats["epoch"] == 0
 
@@ -66,9 +67,9 @@ def test_compaction_preserves_reader_view_and_drops_files(spark, sink):
 
 def test_recompaction_noop_then_folds_new_batches(spark, sink):
     path, ev = sink
-    compact_sink(spark, path)
+    compact_sink(spark, path, include_max_live=True)
     # nothing new → no-op, manifest unchanged
-    again = compact_sink(spark, path)
+    again = compact_sink(spark, path, include_max_live=True)
     assert not again["compacted"] and again["new_batches"] == 0
 
     # two fresh batches (a replayed 5 and a new 6) appear in the view...
@@ -79,7 +80,7 @@ def test_recompaction_noop_then_folds_new_batches(spark, sink):
     assert view.count() == ev.count() + 80
 
     # ...and fold into epoch=1, covering batch 6
-    stats = compact_sink(spark, path)
+    stats = compact_sink(spark, path, include_max_live=True)
     assert stats["compacted"] and stats["epoch"] == 1 and stats["covered"] == 6
     assert read_sink(spark, path).count() == ev.count() + 80
     assert sink_stats(path)["data_files"] == 1
@@ -119,7 +120,51 @@ def test_maybe_compact_threshold_policy(spark, sink):
     assert not res["compacted"] and res["reason"] == "below_threshold"
     assert sink_stats(path)["batch_dirs"] == 5
 
+    # concurrent-safe default: the max live batch id (4) stays unfolded —
+    # it's the only batch Structured Streaming could still replay
     res = maybe_compact(spark, path, max_batch_dirs=3)
-    assert res["compacted"] and res["folded_batches"] == 5
-    assert sink_stats(path)["batch_dirs"] == 0
+    assert res["compacted"] and res["folded_batches"] == 4
+    assert res["covered"] == 3
+    assert sink_stats(path)["batch_dirs"] == 1
     assert _rows(read_sink(spark, path).drop("batch_id")) == before
+
+
+def test_concurrent_writer_safety_gates(spark, sink):
+    """The two rules that make compaction loss-free beside a live writer:
+    (1) a dir without _SUCCESS (in-flight write or mid-replay rewrite) is
+    neither folded nor visible to the reader, and covered never advances
+    past it; (2) the max live batch id is never folded by default."""
+    path, ev = sink  # batches 0..4, all committed
+    before = _rows(read_sink(spark, path).drop("batch_id"))
+
+    # simulate an in-flight batch 5: dir exists, no _SUCCESS yet
+    inflight = os.path.join(path, "batch_id=5")
+    ev.limit(10).write.parquet(inflight)
+    os.remove(os.path.join(inflight, "_SUCCESS"))
+
+    # invisible to the reader (no partial rows)
+    assert _rows(read_sink(spark, path).drop("batch_id")) == before
+
+    # compaction folds the committed 0..4 (batch 4 is no longer replayable
+    # once 5 exists) but covered stops hard at the uncommitted 5 — even
+    # with include_max_live, which cannot skip past an existing
+    # uncommitted dir
+    stats = compact_sink(spark, path, include_max_live=True)
+    assert stats["compacted"] and stats["folded_batches"] == 5
+    assert stats["covered"] == 4
+    assert _rows(read_sink(spark, path).drop("batch_id")) == before
+
+    # still uncommitted → nothing foldable, covered unchanged
+    again = compact_sink(spark, path, min_batches=1, include_max_live=True)
+    assert not again["compacted"] and again["new_batches"] == 0
+
+    # the in-flight batch commits → appears in the view; the default
+    # (concurrent-safe) mode still refuses the max live id, the quiesced
+    # mode folds it
+    with open(os.path.join(inflight, "_SUCCESS"), "w"):
+        pass
+    assert len(_rows(read_sink(spark, path).drop("batch_id"))) == len(before) + 10
+    stats = compact_sink(spark, path, min_batches=1)
+    assert not stats["compacted"]  # batch 5 is max-live: left for the writer
+    stats = compact_sink(spark, path, min_batches=1, include_max_live=True)
+    assert stats["compacted"] and stats["covered"] == 5

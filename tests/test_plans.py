@@ -113,6 +113,28 @@ def test_cosine_dedup_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_hot_shingle_guard_in_plan(spark):
+    """The standalone exact-Jaccard query must run WITH the hot-shingle
+    guard (VERDICT r03 item 5): a broadcast anti-join strips df-heavy
+    shingles before the inverted-index self-join, bounding per-shingle
+    pairing at O(max_doc_freq²) instead of O(docs²). The operator caches
+    the guarded shingle frame, so the executed plan shows an
+    InMemoryRelation — assert the anti-join + broadcast hint on the
+    optimized logical plan (pre-cache-substitution) and the physical
+    no-cartesian property on the executed plan."""
+    spark.catalog.clearCache()
+    df = all_queries()["dedup_ngram_jaccard"].fn(spark, SF_SMALL)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in logical, logical
+    assert "broadcast" in logical.lower(), logical
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_covers_scan_and_agg(spark):
     """The hot path of taxi_q3 (scan → project → partial agg) must sit
     inside WholeStageCodegen spans."""

@@ -62,9 +62,14 @@ def rolling_distinct_estimate(
     daily = df.groupBy(
         F.expr(f"cast(date_trunc('DAY', {ts_col}) as date)").alias("day")
     ).agg(F.hll_sketch_agg(id_col).alias("sketch"))
+    # Timezone-free day index: datediff counts calendar days, so the
+    # trailing frame is exactly window_days rows of day-grain no matter
+    # the session timezone. (A day→timestamp→epoch-seconds index with
+    # fixed 86400-s multiples breaks in DST-observing session timezones,
+    # where day gaps are 82800/90000 s at transitions.)
     w = (
-        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-(window_days - 1) * 86_400, 0)
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-(window_days - 1), 0)
     )
     return daily.select(
         "day", F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("estimate")

@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     k: int = _K,
     threshold: float = _JACCARD_THRESHOLD,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All near-dup pairs (a<b) with shingle-set Jaccard ≥ threshold.
 
@@ -98,7 +99,10 @@ def ngram_jaccard_pairs(
     collision needs ~2^30 distinct shingles per joined pair to matter.
     """
     return ngram_jaccard_pairs_df(
-        load_table(spark, sf_dir, "documents"), k=k, threshold=threshold
+        load_table(spark, sf_dir, "documents"),
+        k=k,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
     )
 
 
@@ -610,15 +614,33 @@ def ngram_jaccard_prefix_pairs(
     candidate volume, not in shared-shingle volume. At corpus scale this
     is the exact tier you can actually run; the inverted-index form
     stays as the oracle-twin baseline.
+
+    Blocking bounds use INTEGER arithmetic on a rational form of the
+    threshold (num/den): ``ceil(t·n)`` in IEEE doubles can round UP when
+    t·n is an exact integer (e.g. t = 0.3 stored as 0.30000…04, n = 10),
+    which would shrink the prefix below the lossless bound and silently
+    drop a threshold-boundary pair. ``ceil_div(num·n, den)`` and
+    ``den·|b| ≥ num·|a|`` are exact for every representable threshold.
     """
+    from fractions import Fraction
+
     from pyspark.sql.window import Window
+
+    from timedf_spark.operators.cluster import _checkpoint, _release
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
 
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
     ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
-    sh = sh.cache()  # feeds prefixes, sizes, and both verify sides
+    # feeds prefixes, sizes, and both verify sides; checkpointed (not
+    # cached) so the blocks can be released before returning — bench
+    # medians re-run each query and cached-but-never-unpersisted blocks
+    # accumulate in executor storage for the life of the session
+    sh, sh_ids = _checkpoint(sh)
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -627,7 +649,13 @@ def ngram_jaccard_prefix_pairs(
         sh.join(freq, "sh")
         .join(F.broadcast(sizes), "doc_id")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        # rk <= n_sh - ceil(t*n_sh) + 1, integer ceil-div form
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh")
+            - F.expr(f"({num}L * n_sh + {den - 1}L) DIV {den}L")
+            + 1
+        )
         .select("doc_id", "sh", "n_sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -637,8 +665,9 @@ def ngram_jaccard_prefix_pairs(
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
-            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
+            # (cross-multiplied to integers)
+            & (F.lit(den) * F.col("b.n_sh") >= F.lit(num) * F.col("a.n_sh"))
+            & (F.lit(den) * F.col("a.n_sh") >= F.lit(num) * F.col("b.n_sh")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -657,10 +686,17 @@ def ngram_jaccard_prefix_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    # final verify keeps the float form — it defines the result semantics
+    # and must match the inverted-index tier and the DuckDB oracle exactly
+    result = (
         common.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .withColumn("jaccard", F.expr("n_common / (n_a + n_b - n_common)"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+    # materialize the (small) pair set, then free the shingle blocks —
+    # same discipline as the iterative operators
+    result, _ = _checkpoint(result)
+    _release(sh, sh_ids)
+    return result

@@ -22,12 +22,32 @@ class QuerySpec:
     doc: str = ""
 
 
-# Queries the driver's CORRECTNESS gate already validated in round 2
-# (keys of CORRECTNESS_r02.json). The driver only checks the FIRST 50
-# registry entries, so all_queries() rotates these to the back: queries the
-# driver has never checked (plus anything added this round) occupy the
+# Queries the driver's CORRECTNESS gate already validated (cumulative over
+# rounds; keys of CORRECTNESS_r0{1,2,3}.json that hash-matched). The driver
+# only checks the FIRST 50 registry entries, so all_queries() rotates these
+# to the back: queries the driver has never checked (plus anything added
+# this round, plus the four r03 hash-fails re-fixed this round) occupy the
 # front of the window. The local differential suite still covers every
 # query regardless of position.
+_R03_DRIVER_GREEN = frozenset({
+    "market_share", "product_profit", "returned_item_report",
+    "supplier_part_counts", "lang_source_matrix", "tfidf_top_terms",
+    "spend_deciles", "retention_cohorts", "top_bigrams",
+    "doc_embedding_quality", "trigram_lang_profile", "monthly_priority_trend",
+    "supplier_balance_rank", "event_bucket_dedup", "source_reputation",
+    "user_event_downsample", "null_skew_enrich", "supplier_pagerank",
+    "diverse_sample", "mad_quantity", "nation_region_share",
+    "diverse_sample_scaled", "fuzzy_part_names", "fuzzy_name_probe",
+    "brand_basket_pairs", "overlapping_sessions", "fk_integrity_audit",
+    "session_paths", "weighted_doc_sample", "source_lang_drift",
+    "json_props_stats", "balance_quartiles", "order_price_histogram",
+    "scd2_history", "interpolate_hourly", "modal_event_type",
+    "curate_corpus", "token_budget_pack", "dedup_embedding_cosine",
+    "token_counts", "embedding_stats", "label_centroids",
+    "stratified_split", "sessionize", "top_first_word",
+    "incremental_dedup_clusters",
+})
+
 _R02_DRIVER_CHECKED = frozenset({
     "taxi_q1", "taxi_q2", "taxi_q3", "taxi_q4", "ml_filter", "ml_features",
     "ml_split", "plasticc_multi_agg", "plasticc_etl", "pricing_summary",
@@ -87,12 +107,27 @@ def all_queries() -> dict[str, QuerySpec]:
     # json_props_stats + token_budget_pack (r01 FAILURES whose fixes the
     # driver has never re-validated) and curate_corpus (recomposed onto
     # the LSH tier in round 3 — semantics re-check warranted).
+    # dedup_ngram_jaccard left OUT: its round-4 hot-shingle guard changed
+    # the query's semantics (df cutoff on both engines), so its r01 green
+    # record is stale — back into the window for driver re-validation.
     _R01_GREEN_UNCHANGED = {
         "funnel_counts", "text_stats", "lang_id", "doc_fingerprint",
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_clusters", "corpus_mix", "ann_brute_topk",
     }
-    rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | {
+    # Round-4 window: the 14 never-driver-checked oracle queries
+    # (dedup_jaccard_prefix, charlm_score, doc_chunks, repetition_stats,
+    # pii_redact, contamination_probe, incremental_ingest,
+    # decontaminate_spans, cdc_merge_orders, salted_segment_spend,
+    # duplicate_paragraphs, lineitem_profile, semantic_dedup_keepers,
+    # incremental_near_dup) plus the four r03 hash-fails whose HUGEINT
+    # oracle casts were fixed this round (zscore_outliers,
+    # first_touch_attribution, temperature_mix, doc_length_histogram —
+    # NOT in _R03_DRIVER_GREEN so they stay front) plus new round-4 work.
+    rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | _R03_DRIVER_GREEN | {
+        # no-oracle entries: each pinned by a stronger local test
+        # (recall vs brute force, merge-table exactness, trained-model
+        # metrics) than a rows-only driver check would add
         "ann_ivf_filtered",
         "ann_ivfpq_topk",
         "ann_lsh_topk",
@@ -101,15 +136,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "quality_classifier",
         "gbt_taxi_train",
         "plasticc_forest_train",
-        # oracle-checked but deliberately back-rotated: the window's 50
-        # hash slots stay reserved for queries the driver has never seen
-        "salted_segment_spend",
         "bpe_vocab",
         "bpe_token_counts",
-        "duplicate_paragraphs",
-        "incremental_near_dup",
-        "lineitem_profile",
-        "semantic_dedup_keepers",
     }
     front = {n: s for n, s in merged.items() if n not in rotate_back}
     back = {n: s for n, s in merged.items() if n in rotate_back}

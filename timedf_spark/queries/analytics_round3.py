@@ -225,7 +225,7 @@ WITH stats AS (
   )
 )
 SELECT event_type, count(*) AS n,
-       sum(CASE WHEN abs(z) > {_Z_CUTOFF} THEN 1 ELSE 0 END) AS n_outliers,
+       cast(sum(CASE WHEN abs(z) > {_Z_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        max(abs(z)) AS max_abs_z
 FROM z
 GROUP BY event_type
@@ -310,7 +310,8 @@ WITH per_user AS (
              OVER (PARTITION BY user_id) AS converted
   FROM events
 )
-SELECT first_touch, count(*) AS n_users, sum(converted) AS n_converted
+SELECT first_touch, count(*) AS n_users,
+       cast(sum(converted) AS BIGINT) AS n_converted
 FROM per_user
 WHERE rn = 1
 GROUP BY first_touch
@@ -491,7 +492,8 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS kept
   FROM documents
 )
-SELECT source, max(n_source) AS n_docs, sum(kept) AS n_sampled,
+SELECT source, max(n_source) AS n_docs,
+       cast(sum(kept) AS BIGINT) AS n_sampled,
        max(thresh) AS accept_per_10k
 FROM flagged
 GROUP BY source
@@ -668,7 +670,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_LENGTH_HIST_ORACLE = """
 SELECT lang, length(cast(n_chars AS varchar)) AS bucket,
        count(*) AS n_docs, min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+       max(n_chars) AS max_chars,
+       cast(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang, bucket
 ORDER BY lang, bucket
@@ -844,7 +847,7 @@ WITH starts AS (
   SELECT h, count(DISTINCT doc_id) AS n_docs_with_chunk FROM chunks GROUP BY h
 )
 SELECT doc_id, count(*) AS n_chunks,
-       sum(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       cast(sum(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        sum(CASE WHEN n_docs_with_chunk > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
 FROM chunks JOIN cross_doc USING (h)
 GROUP BY doc_id

@@ -29,6 +29,16 @@ correctness-bearing. Readers are correct at every instant because each
 row is reachable through exactly one of {published epoch, uncovered
 batch dirs} under whichever manifest they loaded.
 
+Writer concurrency: compaction may run CONCURRENTLY with the stream (cron
+beside foreachBatch). Two rules make that loss-free: (1) only batch dirs
+whose write committed (Spark's ``_SUCCESS`` marker) are folded — an
+in-flight write, or an at-least-once replay that deleted its dir's
+``_SUCCESS`` for the rewrite, is skipped; (2) the max live batch id is
+never folded — Structured Streaming replays at most the LAST uncommitted
+micro-batch, which is always the max id, so excluding it closes the
+residual check-then-read race. ``covered`` therefore never advances past
+rows that land after the compaction pass.
+
 At cluster scale the same protocol works on any store with atomic rename
 (HDFS) — on S3, publish the manifest via a conditional PUT instead; the
 data files never need atomicity because they are invisible until
@@ -77,11 +87,19 @@ def _publish_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, mp)
 
 
-def _live_batch_dirs(path: str) -> dict[int, str]:
+def _live_batch_dirs(path: str, committed_only: bool = False) -> dict[int, str]:
+    """Batch directories under the sink. ``committed_only`` keeps only dirs
+    whose write COMMITTED (Spark's ``_SUCCESS`` marker) — the gate that
+    makes compaction safe to run concurrently with the writer: an in-flight
+    micro-batch (or an at-least-once replay, which deletes and rewrites its
+    dir, removing ``_SUCCESS`` until recommit) is never folded, so
+    ``covered`` can never advance past rows that land afterward."""
     out: dict[int, str] = {}
     for d in glob.glob(os.path.join(path, "batch_id=*")):
         m = _BATCH_RE.search(d)
         if m and os.path.isdir(d):
+            if committed_only and not os.path.exists(os.path.join(d, "_SUCCESS")):
+                continue
             out[int(m.group(1))] = d
     return out
 
@@ -100,7 +118,14 @@ def read_sink(spark: SparkSession, path: str) -> DataFrame:
     parts: list[DataFrame] = []
     if epoch >= 0:
         parts.append(spark.read.parquet(_epoch_dir(path, epoch)))
-    live = [d for bid, d in sorted(_live_batch_dirs(path).items()) if bid > covered]
+    # committed_only: an in-flight (or replaying) micro-batch's partial
+    # files are invisible until its _SUCCESS lands — the reader's view is
+    # always a prefix of committed batches.
+    live = [
+        d
+        for bid, d in sorted(_live_batch_dirs(path, committed_only=True).items())
+        if bid > covered
+    ]
     if live:
         # basePath keeps the batch_id partition column when reading leaf dirs
         df = spark.read.option("basePath", path).parquet(*live)
@@ -118,14 +143,40 @@ def compact_sink(
     path: str,
     min_batches: int = 2,
     target_files: int = 1,
+    include_max_live: bool = False,
 ) -> dict:
-    """Fold all currently-covered-by-nothing batch directories into the
-    compacted store. Returns stats; a no-op (too few new batches) returns
-    ``{"compacted": False, ...}``. Safe to re-run at any time, including
-    after a mid-compaction crash."""
+    """Fold all currently-covered-by-nothing COMMITTED batch directories
+    into the compacted store. Returns stats; a no-op (too few new batches)
+    returns ``{"compacted": False, ...}``. Safe to re-run at any time,
+    including after a mid-compaction crash, and safe to run concurrently
+    with the streaming writer (see module docstring).
+
+    ``include_max_live`` folds the max live batch id too. Default False —
+    the max id is the only batch Structured Streaming can replay, so a
+    concurrent (cron) compactor must leave it alone. Pass True when the
+    writer is quiesced, or when compacting inline inside the foreachBatch
+    callback that just committed that batch (a replay of it would rewrite
+    a dir the manifest already skips, with identical rows — converges)."""
     manifest = _load_manifest(path)
     covered, epoch = manifest["covered"], manifest["epoch"]
-    live = {bid: d for bid, d in _live_batch_dirs(path).items() if bid > covered}
+    # Fold only COMMITTED dirs (_SUCCESS present), and never the max live
+    # batch id: Structured Streaming replays at most the last uncommitted
+    # micro-batch, which is always the max id — excluding it closes the
+    # check-then-read race where a replay deletes/rewrites a dir between
+    # our _SUCCESS check and the Spark read. Together the two rules make
+    # concurrent compaction (cron beside the stream) loss-free.
+    all_live = _live_batch_dirs(path)
+    committed = _live_batch_dirs(path, committed_only=True)
+    max_live = max(all_live) if all_live else -1
+    # Belt-and-braces: never advance covered past an EXISTING uncommitted
+    # dir (can't occur with sequential micro-batches, but a corrupted or
+    # manual write below max would otherwise be orphaned permanently).
+    uncommitted = sorted(set(all_live) - set(committed))
+    ceiling = uncommitted[0] if uncommitted else max_live + (1 if include_max_live else 0)
+    live = {
+        bid: d for bid, d in committed.items()
+        if bid > covered and bid < ceiling
+    }
     if len(live) < min_batches:
         return {"compacted": False, "covered": covered, "epoch": epoch,
                 "new_batches": len(live)}
@@ -175,6 +226,7 @@ def maybe_compact(
     path: str,
     max_batch_dirs: int = 64,
     target_files: int = 1,
+    include_max_live: bool = False,
 ) -> dict:
     """The operational trigger: compact only when the uncovered batch-dir
     count exceeds ``max_batch_dirs``. Run it after every micro-batch (or
@@ -183,11 +235,16 @@ def maybe_compact(
     count is bounded at max_batch_dirs + batches-per-compaction-interval
     regardless of stream lifetime."""
     live = sum(
-        1 for bid in _live_batch_dirs(path) if bid > _load_manifest(path)["covered"]
+        1
+        for bid in _live_batch_dirs(path, committed_only=True)
+        if bid > _load_manifest(path)["covered"]
     )
     if live <= max_batch_dirs:
         return {"compacted": False, "reason": "below_threshold", "batch_dirs": live}
-    return compact_sink(spark, path, min_batches=2, target_files=target_files)
+    return compact_sink(
+        spark, path, min_batches=2, target_files=target_files,
+        include_max_live=include_max_live,
+    )
 
 
 def sink_stats(path: str) -> dict:
