@@ -47,7 +47,11 @@ def main() -> None:
         app_name="timedf_spark_bench",
         extra_conf={
             "spark.cleaner.periodicGC.interval": "30s",
-            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+            # 2g: at 135 queries the 1g reserve still filled mid-suite —
+            # the compiler shut off and the "migrating spike" landed on
+            # whichever query was running (r03: sessionize 0.285->1.6 s
+            # with an unchanged plan; warm-JVM re-measure restored 0.49 s)
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=2g",
         },
     )
     specs = all_queries()
@@ -94,14 +98,26 @@ def main() -> None:
             # warm-up (scan cache, codegen) doubles as the shuffle-bytes
             # measurement pass: job-group scoped, no extra execution
             spark.sparkContext.setJobGroup(f"bench_{name}", name)
+            t_warm = time.perf_counter()
             try:
                 trigger(spec.fn(spark, sf_dir))
             finally:
                 spark.sparkContext.setJobGroup(None, None)
+            t_warm = time.perf_counter() - t_warm
             try:
                 shuffle_mb[name] = _shuffle_mb_for_group(f"bench_{name}")
             except Exception:  # noqa: BLE001
                 pass
+            # Cheap queries need a second warm-up: codegen compile + JIT
+            # tiering decays over several invocations (measured on
+            # sessionize: 11.8 -> 5.6 -> 4.3 -> 2.2 -> ... -> 0.47 s in a
+            # cold session), so a single warm-up leaves the 3-run median
+            # inside the decay tail and the resulting spike migrates
+            # between queries across runs. Expensive iterative queries
+            # amortize the warm-up within their own runtime — skip them
+            # to keep the suite wall-clock bounded.
+            if t_warm < 3.0:
+                trigger(spec.fn(spark, sf_dir))
             times = []
             for _ in range(ITERATIONS):
                 t0 = time.perf_counter()
@@ -130,6 +146,45 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in per_query.values() if t > 0), 4)
+
+    # Quantitative evidence for the no-oracle queries (recall vs brute
+    # force, tolerance vs exact, held-out metrics, determinism
+    # invariants) — printed as its own tail line so the driver record
+    # carries numbers, not just rows-only checks. Untimed: runs after the
+    # measurement loop.
+    evidence: dict = {}
+    if os.environ.get("SPARK_GRAFT_NO_EVIDENCE") != "1":
+        try:
+            from timedf_spark.evidence import collect_evidence
+
+            evidence = collect_evidence(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — evidence must not sink bench
+            evidence = {"error": repr(exc)[:200]}
+
+    # Shuffle-bytes regression gate (VERDICT r03 item 8): the per-query
+    # shuffle audit becomes a standing invariant — compare against the
+    # previous run's BENCH_local.json before overwriting it. >2x growth
+    # at the same sf means a plan regression (lost broadcast, dropped
+    # partial aggregation, new exchange), which is a scale bug even while
+    # results stay correct. Reported always; hard exit only under
+    # SPARK_GRAFT_SHUFFLE_GATE=strict so driver runs never sink on noise.
+    bench_local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    shuffle_regressions: dict[str, dict] = {}
+    try:
+        with open(bench_local) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf:
+            for name, mb in shuffle_mb.items():
+                prev_mb = prev.get("shuffle_write_mb", {}).get(name)
+                # floor of 1 MB: tiny absolute volumes flap with AQE
+                # coalescing and aren't scale-relevant
+                if prev_mb is not None and mb > 2 * prev_mb and mb > 1.0:
+                    shuffle_regressions[name] = {"prev_mb": prev_mb, "now_mb": mb}
+    except (OSError, ValueError):
+        pass
+
     detail = {
         "metric": "sum_of_median_query_seconds",
         "value": total,
@@ -138,6 +193,8 @@ def main() -> None:
         "shuffle_write_mb": shuffle_mb,
         "sf": sf,
         "scan_baseline_sec": scan_baseline,
+        "evidence": evidence,
+        "shuffle_regressions": shuffle_regressions,
     }
     # The driver captures only the TAIL of stdout; the full detail line for
     # 85+ queries is ~3 KB and was truncated mid-stream in round 2
@@ -150,6 +207,11 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    # evidence line before the compact summary: both fit the driver's
+    # 2 KB tail window (evidence ~1.2 KB compact, summary <150 B)
+    print(json.dumps({"evidence": evidence}))
+    if shuffle_regressions:
+        print(json.dumps({"shuffle_regressions": shuffle_regressions}))
     print(
         json.dumps(
             {
@@ -162,6 +224,8 @@ def main() -> None:
             }
         )
     )
+    if shuffle_regressions and os.environ.get("SPARK_GRAFT_SHUFFLE_GATE") == "strict":
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

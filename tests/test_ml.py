@@ -182,6 +182,12 @@ def test_taxi_gbt_workload_end_to_end(spark, sf_dir):
     assert row["n_test"] > 0
     assert math.isfinite(row["rmse"])
     assert row["n_trees"] == 10
+    # real signal, not noise-fitting: with cust_scaled in the basis the
+    # euclidean target is learnable and the model must crush the
+    # constant-mean baseline (the evidence block reports this same ratio)
+    assert row["rmse"] < 0.5 * row["baseline_rmse"], (
+        row["rmse"], row["baseline_rmse"]
+    )
 
 
 def test_plasticc_forest_beats_uniform_logloss(spark, sf_dir):

@@ -1,0 +1,125 @@
+"""Round-6 semantics: Markov transitions, exact incremental rollup
+maintenance, curation funnel consistency, streaming rolling-distinct.
+(The DuckDB equality oracles run in test_queries_oracle.py; these pin
+the semantic invariants the oracles can't express.)"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from timedf_spark.queries import all_queries
+from timedf_spark.sources import load_table
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    """Per from_type the outgoing probabilities must sum to 1 (each row
+    count divided by the same exact integer total)."""
+    df = all_queries()["markov_transitions"].fn(spark, sf_dir)
+    sums = df.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert sums, "no transitions found"
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9, (r["from_type"], r["s"])
+
+
+def test_markov_transitions_stay_within_sessions(spark):
+    """A gap larger than the session timeout must NOT produce a
+    transition: two events 2h apart for one user are separate sessions."""
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 2, "2024-01-01 10:05:00", "click"),   # view -> click (same session)
+        (1, 3, "2024-01-01 13:00:00", "purchase"),  # new session: no click -> purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.createOrReplaceTempView("events")
+    from timedf_spark.queries.round6 import MARKOV_SQL
+
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in spark.sql(MARKOV_SQL).collect()}
+    assert got == {("view", "click"): 1}
+
+
+def test_incremental_rollup_equals_full_recompute_bitwise(spark, sf_dir):
+    """The core claim: integer quantized accumulators are associative, so
+    base + delta == full recompute EXACTLY (not approximately) — checked
+    inside Spark here, independent of the DuckDB oracle."""
+    from timedf_spark.queries.round6 import _day_rollup, incremental_daily_rollup
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    full = _day_rollup(orders).select(
+        F.col("day"),
+        "n_orders",
+        F.expr("cast(rev_q as double) / 10000.0").alias("revenue"),
+    )
+    inc = incremental_daily_rollup(spark, sf_dir)
+    full_m = {r["day"]: (r["n_orders"], r["revenue"]) for r in full.collect()}
+    inc_m = {r["day"]: (r["n_orders"], r["revenue"]) for r in inc.collect()}
+    assert full_m == inc_m  # exact float equality — the whole point
+
+
+def test_curation_funnel_consistent_with_curate_corpus(spark, sf_dir):
+    """Counts must be monotone non-increasing through the stages and the
+    final stage must equal curate_corpus's surviving row count."""
+    qs = all_queries()
+    funnel = {r["stage"]: r["n_docs"] for r in qs["curation_funnel"].fn(spark, sf_dir).collect()}
+    assert (
+        funnel["raw"]
+        >= funnel["quality"]
+        >= funnel["exact_dedup"]
+        >= funnel["near_dup_keepers"]
+    ), funnel
+    assert funnel["near_dup_keepers"] == qs["curate_corpus"].fn(spark, sf_dir).count()
+
+
+def test_streaming_rolling_distinct_matches_batch(spark, sf_dir, tmp_path):
+    """Multi-batch replay of the events table into the day-sketch store:
+    the trailing-window estimates must match the batch sketch path within
+    HLL merge-order tolerance (2%), and a replayed batch must be a
+    convergent no-op."""
+    from timedf_spark.functions.sketches import rolling_distinct_estimate
+    from timedf_spark.streaming import rolling_distinct as rd
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    store = str(tmp_path / "sketch_store")
+    rd.seed_sketch_store(spark, store)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        # several source files -> several micro-batches with maxFilesPerTrigger
+        events.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            rd.rolling_distinct_sink(
+                stream, store, os.path.join(d, "ckpt"), "ts", "user_id"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {r["day"]: r["estimate"] for r in rd.read_rolling_estimates(spark, store, 7).collect()}
+    want = {
+        r["day"]: r["estimate"]
+        for r in rolling_distinct_estimate(events, "ts", "user_id", 7).collect()
+    }
+    assert set(got) == set(want)
+    for day, w in want.items():
+        assert abs(got[day] - w) <= max(1.0, 0.02 * w), (day, got[day], w)
+
+    # replay convergence: re-applying an already-published batch id is a no-op
+    from timedf_spark.streaming.cdc_apply import _current_version
+
+    v = _current_version(store)
+    rd.apply_sketch_batch(events.limit(10), v, store, "ts", "user_id")
+    assert _current_version(store) == v
+    after = {r["day"]: r["estimate"] for r in rd.read_rolling_estimates(spark, store, 7).collect()}
+    assert after == got

@@ -6,7 +6,11 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.sampling import race_key_spark, weighted_bottomk
+from timedf_spark.operators.sampling import (
+    race_key_spark,
+    weighted_bottomk,
+    weighted_bottomk_float,
+)
 
 
 def _py_key(id_str: str, weight: int, salt: str = "") -> int:
@@ -52,3 +56,36 @@ def test_inclusion_probability_proportional_to_weight(spark):
     )
     rate_b = {r["winner"]: r["count"] for r in wins}.get("B", 0) / n_salts
     assert 0.68 <= rate_b <= 0.82, rate_b
+
+
+def test_float_tier_inclusion_law_and_float_weights(spark):
+    """The exponential-race tier must obey the SAME inclusion law with
+    real-valued weights (w_b/w_a = 3 → win rate 0.75 ± 3σ over 400
+    salts), and must be deterministic across repartitioning (hash keys,
+    not RNG)."""
+    n_salts = 400
+    grid = spark.createDataFrame(
+        [(s, item, w) for s in range(n_salts) for item, w in (("A", 0.5), ("B", 1.5))],
+        "salt long, item string, weight double",
+    ).withColumn("sid", F.expr("concat(item, '-', salt)"))
+    keyed = weighted_bottomk_float(grid, "sid", "weight", k=n_salts * 2)
+    wins = (
+        keyed.groupBy("salt")
+        .agg(F.min_by("item", F.struct("race_key", "item")).alias("winner"))
+        .groupBy("winner")
+        .count()
+        .collect()
+    )
+    rate_b = {r["winner"]: r["count"] for r in wins}.get("B", 0) / n_salts
+    assert 0.68 <= rate_b <= 0.82, rate_b
+
+    # determinism: a different physical partitioning picks the same rows
+    df = spark.createDataFrame(
+        [(i, 0.1 + (i % 7)) for i in range(200)], "item long, weight double"
+    )
+    a = {r["item"] for r in weighted_bottomk_float(df, "item", "weight", 20).collect()}
+    b = {
+        r["item"]
+        for r in weighted_bottomk_float(df.repartition(13), "item", "weight", 20).collect()
+    }
+    assert a == b and len(a) == 20

@@ -1,0 +1,189 @@
+"""Quantitative evidence for the no-oracle queries (VERDICT r03 item 7).
+
+Twelve registry entries are approximate or trained by construction — ANN
+tiers, HLL cardinalities, tree/linear model training, BPE, multimodal
+plumbing — so the driver's gate records only a rows-only check for them,
+while the *real* evidence (recall vs brute force, tolerance vs exact,
+held-out metrics, determinism invariants) lives in pytest. This module
+computes that evidence as one compact ``{query: {metric, value, bound,
+ok}}`` block that bench.py appends to its stdout tail, so each round's
+driver record carries the quantitative story, not just row counts.
+
+Every metric here is the SAME contract its pytest twin pins (bounds
+match the test assertions); the bench run just re-measures it at the
+bench scale factor. Each entry is individually exception-guarded — a
+failed metric reports ``{"error": ...}`` rather than sinking the block.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["collect_evidence"]
+
+
+def _pairs(df) -> set:
+    return {(r[0], r[1]) for r in df.select(df.columns[0], df.columns[1]).collect()}
+
+
+def _recall(exact: set, approx: set) -> float:
+    return round(len(exact & approx) / max(1, len(exact)), 4)
+
+
+def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, Any]]:
+    from timedf_spark.operators import bpe, quality_model as qm, similarity
+    from timedf_spark.queries import all_queries
+    from timedf_spark.sources import fan_out, load_table
+
+    qs = all_queries()
+    out: dict[str, dict[str, Any]] = {}
+
+    def guard(name: str, fn: Callable[[], dict[str, Any]]) -> None:
+        try:
+            e = fn()
+            bound, value = e.get("bound"), e.get("value")
+            if isinstance(bound, (int, float)) and isinstance(value, (int, float)):
+                e["ok"] = bool(
+                    value >= bound if e.get("dir", "ge") == "ge" else value <= bound
+                )
+            out[name] = e
+        except Exception as exc:  # noqa: BLE001 — evidence must not sink bench
+            out[name] = {"error": repr(exc)[:120]}
+
+    # --- ANN tiers: recall@k vs the exact brute-force baseline ------------
+    exact = _pairs(similarity.brute_force_topk(spark, sf_dir))
+    guard("ann_lsh_topk", lambda: {
+        "metric": "recall_at_10_vs_brute",
+        "value": _recall(exact, _pairs(similarity.lsh_topk(spark, sf_dir))),
+        "bound": 0.3,
+    })
+    guard("ann_ivf_topk", lambda: {
+        "metric": "recall_at_10_vs_brute",
+        "value": _recall(exact, _pairs(similarity.ivf_topk(spark, sf_dir))),
+        "bound": 0.5,
+    })
+    guard("ann_ivfpq_topk", lambda: {
+        "metric": "recall_at_10_vs_brute",
+        "value": _recall(exact, _pairs(similarity.ivfpq_topk(spark, sf_dir))),
+        "bound": 0.3,
+    })
+    exact_filtered = _pairs(
+        similarity.brute_force_topk(spark, sf_dir, corpus_filter="label = 3")
+    )
+    guard("ann_ivf_filtered", lambda: {
+        "metric": "recall_at_10_vs_filtered_brute",
+        "value": _recall(
+            exact_filtered,
+            _pairs(
+                similarity.ivf_topk(
+                    spark, sf_dir, corpus_filter="label = 3", probe_boost=3
+                )
+            ),
+        ),
+        "bound": 0.5,
+    })
+
+    # --- HLL cardinalities: max relative error vs the exact counts --------
+    def _cardinalities() -> dict[str, Any]:
+        ex = qs["column_cardinalities"].fn(spark, sf_dir).first()
+        ap = qs["approx_cardinalities"].fn(spark, sf_dir).first()
+        err = max(
+            abs(ap[c] - ex[c]) / max(1, ex[c]) for c in ex.asDict()
+        )
+        return {"metric": "max_rel_error_vs_exact", "value": round(err, 4),
+                "bound": 0.05, "dir": "le"}
+
+    guard("approx_cardinalities", _cardinalities)
+
+    # --- trained quality classifier: held-out accuracy --------------------
+    def _quality() -> dict[str, Any]:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        featured = qm.classifier_features(docs).cache()
+        theta = qm.train_quality_classifier(featured.filter("doc_id % 5 < 4"))
+        held = qm.score_documents(featured.filter("doc_id % 5 = 4"), theta)
+        r = held.select(
+            F.avg(
+                (
+                    (F.col("quality_prob") > 0.5)
+                    == (F.col("quality_score") >= F.lit(0.58))
+                ).cast("double")
+            ).alias("acc")
+        ).first()
+        featured.unpersist()
+        return {"metric": "heldout_accuracy", "value": round(float(r["acc"]), 4),
+                "bound": 0.9}
+
+    guard("quality_classifier", _quality)
+
+    # --- tree trainers: their own summary rows carry the metric -----------
+    def _gbt() -> dict[str, Any]:
+        # the query's own summary row carries both the model RMSE and the
+        # constant-mean baseline (stddev_pop of the target on the same
+        # test rows) — the model must beat predicting the mean
+        row = qs["gbt_taxi_train"].fn(spark, sf_dir).first()
+        return {"metric": "rmse_over_constant_baseline",
+                "value": round(float(row["rmse"]) / float(row["baseline_rmse"]), 4),
+                "bound": 1.0, "dir": "le"}
+
+    guard("gbt_taxi_train", _gbt)
+
+    def _forest() -> dict[str, Any]:
+        row = qs["plasticc_forest_train"].fn(spark, sf_dir).first()
+        return {"metric": "weighted_logloss_vs_uniform_ln4",
+                "value": round(float(row["logloss"]), 4),
+                "bound": round(math.log(4), 4), "dir": "le"}
+
+    guard("plasticc_forest_train", _forest)
+
+    # --- BPE: trained-state determinism + end-to-end encode volume --------
+    def _bpe_vocab() -> dict[str, Any]:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        m1 = bpe.train_bpe(docs, n_merges=50)
+        m2 = bpe.train_bpe(docs.repartition(7), n_merges=50)
+        return {"metric": "merge_table_partition_invariant",
+                "value": 1.0 if m1 == m2 else 0.0, "bound": 1.0,
+                "n_merges": len(m1)}
+
+    guard("bpe_vocab", _bpe_vocab)
+
+    def _bpe_counts() -> dict[str, Any]:
+        total = (
+            qs["bpe_token_counts"].fn(spark, sf_dir)
+            .agg(F.sum("total")).first()[0]
+        )
+        return {"metric": "top20_token_occurrences", "value": int(total),
+                "bound": 1}
+
+    guard("bpe_token_counts", _bpe_counts)
+
+    # --- multimodal plumbing: every input row produces typed features -----
+    def _multimodal() -> dict[str, Any]:
+        feats = qs["multimodal_features"].fn(spark, sf_dir)
+        r = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("entropy").isNull().cast("int")).alias("null_entropy"),
+        ).first()
+        return {"metric": "rows_with_nonnull_features",
+                "value": int(r["n"] - r["null_entropy"]), "bound": 1,
+                "rows": int(r["n"])}
+
+    guard("multimodal_features", _multimodal)
+
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import os
+    import sys
+
+    from timedf_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    print(json.dumps({"evidence": collect_evidence(get_spark(), sf)}))

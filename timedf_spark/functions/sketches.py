@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_sketches", "rollup_estimate", "rolling_distinct_estimate"]
+__all__ = [
+    "group_sketches",
+    "rollup_estimate",
+    "daily_sketches",
+    "rolling_from_daily",
+    "rolling_distinct_estimate",
+]
 
 
 def group_sketches(df: DataFrame, group_cols: list[str], id_col: str) -> DataFrame:
@@ -44,6 +50,34 @@ def rollup_estimate(sketches: DataFrame, parent_cols: list[str]) -> DataFrame:
     return sketches.agg(agg)
 
 
+def daily_sketches(df: DataFrame, ts_col: str, id_col: str) -> DataFrame:
+    """(day, sketch): one HLL sketch row per calendar day — the
+    persistable, mergeable representation both the batch and the
+    streaming rolling-distinct build on."""
+    return df.groupBy(
+        F.expr(f"cast(date_trunc('DAY', {ts_col}) as date)").alias("day")
+    ).agg(F.hll_sketch_agg(id_col).alias("sketch"))
+
+
+def rolling_from_daily(daily: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, estimate) from a (day, sketch) table: trailing-window union
+    of the day sketches — zero access to the original fact rows."""
+    from pyspark.sql import Window
+
+    # Timezone-free day index: datediff counts calendar days, so the
+    # trailing frame is exactly window_days rows of day-grain no matter
+    # the session timezone. (A day→timestamp→epoch-seconds index with
+    # fixed 86400-s multiples breaks in DST-observing session timezones,
+    # where day gaps are 82800/90000 s at transitions.)
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("estimate")
+    )
+
+
 def rolling_distinct_estimate(
     df: DataFrame, ts_col: str, id_col: str, window_days: int = 7
 ) -> DataFrame:
@@ -57,20 +91,4 @@ def rolling_distinct_estimate(
     — 365 sketch unions per year of data, zero further fact access. The
     window's single-ordering shuffle moves day-grain sketch rows only.
     """
-    from pyspark.sql import Window
-
-    daily = df.groupBy(
-        F.expr(f"cast(date_trunc('DAY', {ts_col}) as date)").alias("day")
-    ).agg(F.hll_sketch_agg(id_col).alias("sketch"))
-    # Timezone-free day index: datediff counts calendar days, so the
-    # trailing frame is exactly window_days rows of day-grain no matter
-    # the session timezone. (A day→timestamp→epoch-seconds index with
-    # fixed 86400-s multiples breaks in DST-observing session timezones,
-    # where day gaps are 82800/90000 s at transitions.)
-    w = (
-        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
-        .rangeBetween(-(window_days - 1), 0)
-    )
-    return daily.select(
-        "day", F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("estimate")
-    )
+    return rolling_from_daily(daily_sketches(df, ts_col, id_col), window_days)

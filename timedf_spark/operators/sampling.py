@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["weighted_bottomk", "race_key_spark", "race_key_duck"]
+__all__ = [
+    "weighted_bottomk",
+    "weighted_bottomk_float",
+    "race_key_spark",
+    "race_key_duck",
+]
 
 
 def race_key_spark(id_col: str, weight_col: str, salt: str = "") -> str:
@@ -69,6 +74,43 @@ def weighted_bottomk(
     hash collision — broken deterministically all the same)."""
     return (
         df.withColumn("race_key", F.expr(race_key_spark(id_col, weight_col, salt)))
+        .orderBy("race_key", id_col)
+        .limit(k)
+    )
+
+
+def weighted_bottomk_float(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """The unbounded-weight tier: Efraimidis–Spirakis via the exponential
+    race — key = -ln(u)/w with u a 53-bit hash-uniform in (0, 1], bottom-k
+    by key. Same without-replacement distribution as the integer race
+    (P(A beats B) = w_a/(w_a+w_b); an Exp(w) minimum IS the A-ES order),
+    but ONE hash per row regardless of weight, and ``weight_col`` may be
+    any positive DOUBLE — the tier to use when weights are token counts
+    in the billions or real-valued mixture scores.
+
+    Trade-off vs :func:`weighted_bottomk`: ln() is libm-dependent in the
+    last ulp, so this tier is NOT cross-engine oracle-exact — it is
+    pinned by the same ±3σ inclusion-law test instead. Still
+    deterministic and parallelism-independent (hash, not RNG).
+
+    Scale posture: one row-local projection (single md5 per row, no HOF
+    loop), TakeOrderedAndProject bottom-k — strictly cheaper than the
+    integer race's O(Σw) hashing."""
+    # 52-bit uniform (13 hex chars): exactly representable in a double,
+    # u = (h + 1) / 2^52 in (0, 1] — the +1 keeps u > 0 so ln(u) is finite.
+    u = (
+        f"(cast(conv(substring(md5(concat(cast({id_col} as string), "
+        f"'#{salt}#')), 1, 13), 16, 10) as double) + 1.0) / 4503599627370496.0"
+    )
+    key = f"(-ln({u}) / cast({weight_col} as double))"
+    return (
+        df.withColumn("race_key", F.expr(key))
         .orderBy("race_key", id_col)
         .limit(k)
     )

@@ -247,7 +247,12 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qx.join(keepers, "doc_id").select("doc_id", "n_tokens", "quality_score")
 
 
-def _curate_corpus_oracle() -> str:
+def _curate_ctes() -> str:
+    """The shared WITH-RECURSIVE body of the curation pipeline's DuckDB
+    twin (quality score → filter → exact-dedup keepers → MinHash-LSH
+    pairs → connected components). Both the curate_corpus oracle and the
+    curation_funnel oracle append their own final SELECT to this text, so
+    the two can never drift apart."""
     from timedf_spark.operators import text as _text
 
     toks = "string_split(text, ' ')"
@@ -277,9 +282,66 @@ walk(v, lbl) AS (
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v
 ),
-comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY v)
+comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY v)"""
+
+
+def _curate_corpus_oracle() -> str:
+    return _curate_ctes() + """
 SELECT qx.doc_id, qx.n_tokens, qx.quality_score
 FROM qx JOIN comp ON comp.doc_id = qx.doc_id AND comp.cluster_id = qx.doc_id
+"""
+
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the curation pipeline — the
+    observability report every production corpus build publishes next to
+    its output (how many docs each gate removed). Same stages, same
+    arithmetic as curate_corpus; the output is the 4-row funnel instead
+    of the surviving rows.
+
+    Scale posture: identical to curate_corpus (each stage's count is a
+    single partial+final aggregate of a frame the pipeline materializes
+    anyway); the stage frames union at 1 row each."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs).select("doc_id", "text", "quality_score")
+    q = scored.filter(F.col("quality_score") >= _CURATE_QUALITY_MIN)
+    keep_exact = (
+        q.groupBy(F.expr("md5(text)").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    qx = q.join(keep_exact, "doc_id").cache()
+    pairs = curate_near_dup_pairs(qx)
+    comp = cluster.connected_components(qx.select("doc_id"), pairs)
+    keepers = comp.filter(F.col("vertex") == F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(order).alias("stage_order"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage(1, "raw", docs)
+        .unionByName(stage(2, "quality", q))
+        .unionByName(stage(3, "exact_dedup", qx))
+        .unionByName(stage(4, "near_dup_keepers", qx.join(keepers, "doc_id")))
+        .orderBy("stage_order")
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    return _curate_ctes() + """
+SELECT 1 AS stage_order, 'raw' AS stage, count(*) AS n_docs FROM documents
+UNION ALL
+SELECT 2, 'quality', count(*) FROM q
+UNION ALL
+SELECT 3, 'exact_dedup', count(*) FROM qx
+UNION ALL
+SELECT 4, 'near_dup_keepers', count(*)
+FROM qx JOIN comp ON comp.doc_id = qx.doc_id AND comp.cluster_id = qx.doc_id
+ORDER BY stage_order
 """
 
 
@@ -523,6 +585,10 @@ SUITE = {
     "dedup_clusters": QuerySpec(
         "dedup_clusters", _dedup_clusters, DEDUP_CLUSTERS_ORACLE,
         "near-dup pairs → canonical clusters (iterative connected components)",
+    ),
+    "curation_funnel": QuerySpec(
+        "curation_funnel", _curation_funnel, _curation_funnel_oracle(),
+        "per-stage survivor counts of the curation pipeline (raw -> quality -> exact dedup -> near-dup keepers)",
     ),
     "curate_corpus": QuerySpec(
         "curate_corpus", _curate_corpus, _curate_corpus_oracle(),

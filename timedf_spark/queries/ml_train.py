@@ -22,25 +22,47 @@ from pyspark.sql import functions as F
 
 from timedf_spark import ml
 from timedf_spark.queries import QuerySpec
-from timedf_spark.queries.ml_etl import ml_features
 from timedf_spark.queries.plasticc import etl_features_join
 
 # taxi_ml regression: predict the euclidean `dist` feature from the other
-# engineered columns — nonlinear in price_k, so trees have real signal to
-# find (and measurably beat the linear baseline; pinned in tests).
-_TAXI_FEATURES = ("price_k", "o_day", "price_grid")
+# engineered columns. dist = sqrt((price_k-100)² + custkey²) is DOMINATED
+# by the custkey term, so cust_scaled must be in the basis — without it
+# the model can only explain the tiny price residual and never beats the
+# constant-mean baseline (measured: rmse/baseline = 1.00 at sf0.01 and
+# sf0.1). With it, dist is a genuinely nonlinear (root-of-sum-of-squares)
+# function of the features and the trees have real signal; the evidence
+# block reports rmse/baseline << 1.
+_TAXI_FEATURES = ("price_k", "o_day", "price_grid", "cust_scaled")
 _TAXI_TARGET = "dist"
+
+
+def _taxi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_features' shared projection + the cust_scaled column the target
+    actually depends on — same single scan, no join (the oracle-checked
+    ml_features query keeps its frozen schema)."""
+    from timedf_spark.queries.ml_etl import _FEATURES
+    from timedf_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        *[F.expr(sql).alias(name) for name, sql in _FEATURES.items()],
+        F.expr("o_custkey * 1.0").alias("cust_scaled"),
+    )
 
 
 def gbt_taxi_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 end-to-end: features → split → GBT train → predict → RMSE."""
-    feats = ml_features(spark, sf_dir).cache()
+    feats = _taxi_features(spark, sf_dir).cache()
     train, test = ml.random_split(feats, 0.2, seed=1, id_col="o_orderkey")
     model = ml.fit_gbt(train, _TAXI_FEATURES, _TAXI_TARGET, max_iter=10)
     pred = ml.predict_assembled(model, test, _TAXI_FEATURES)
     out = pred.agg(
         F.count(F.lit(1)).alias("n_test"),
         F.sqrt(F.avg((F.col("prediction") - F.col(_TAXI_TARGET)) ** 2)).alias("rmse"),
+        # constant-mean baseline on the SAME test rows: population stddev
+        # of the target = RMSE of predicting its mean. The evidence block
+        # reports rmse/baseline_rmse < 1 (model beats the constant).
+        F.stddev_pop(F.col(_TAXI_TARGET)).alias("baseline_rmse"),
     ).withColumn("n_trees", F.lit(model.getNumTrees).cast("int"))
     feats.unpersist()
     return out
