@@ -134,6 +134,16 @@ def test_context_pack_no_global_sort_window(spark):
     assert "hashpartitioning(lang" in plan, plan
 
 
+def test_pit_lookup_join_is_key_anchored(spark):
+    """The temporal lookup must plan as a hash/sort-merge join ON THE
+    user_id EQUI-KEY with the validity interval as a residual predicate —
+    a nested-loop over (facts × intervals) would be quadratic at scale."""
+    plan = _executed_plan(spark, "purchase_state_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "user_id" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan), plan
+
+
 def test_ngram_jaccard_hot_shingle_guard_in_plan(spark):
     """The standalone exact-Jaccard query must run WITH the hot-shingle
     guard (VERDICT r03 item 5): a broadcast anti-join strips df-heavy

@@ -42,6 +42,75 @@ def test_markov_transitions_stay_within_sessions(spark):
     assert got == {("view", "click"): 1}
 
 
+def test_expectations_count_violations_exactly(spark):
+    """Each rule kind must count its violations precisely on a frame
+    built to violate everything: NULL keys, out-of-range values, foreign
+    orphans, duplicate keys, unaccepted values. (The registered query
+    covers only the all-green contract on clean testdata.)"""
+    from timedf_spark.operators import expect as X
+
+    fact = spark.createDataFrame(
+        [
+            (1, 10.0, "O", 100),   # clean
+            (1, -5.0, "O", 100),   # duplicate key + below range
+            (None, 50.0, "X", 100),  # null key + bad status
+            (3, None, "F", 999),   # null price (range counts NULL) + orphan fk
+        ],
+        "k long, price double, status string, cust long",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "c long")
+    report = X.expectations_report(
+        fact,
+        [
+            X.not_null("k"),
+            X.in_range("price", 0, 100),
+            X.accepted_values("status", ["O", "F"]),
+            X.unique("k"),
+            X.foreign_key("cust", "c"),
+        ],
+        dims={"c": dim},
+    )
+    got = {r["rule"]: (r["n_violations"], r["ok"]) for r in report.collect()}
+    assert got == {
+        "not_null(k)": (1, False),
+        "in_range(price,0,100)": (2, False),  # -5 and the NULL price
+        "accepted_values(status)": (1, False),
+        "unique(k)": (1, False),  # 3 non-null key rows, 2 distinct (NULL
+        # keys are not uniqueness violations — standard SQL semantics)
+        "fk(cust->c)": (1, False),
+    }
+
+
+def test_pit_lookup_semantics(spark):
+    """Point-in-time contract on a hand-built timeline: a purchase takes
+    the state of the interval CONTAINING it, a purchase before the first
+    interval keeps NULL (left join), and the open current interval
+    (valid_to NULL) matches everything after its start."""
+    rows = [
+        (1, 1, "2024-01-01 08:00:00", "purchase", 1.0, "{}"),   # before any state
+        (1, 2, "2024-01-01 09:00:00", "view", 1.0, "{}"),
+        (1, 3, "2024-01-01 10:00:00", "purchase", 1.0, "{}"),   # during 'view'
+        (1, 4, "2024-01-01 11:00:00", "click", 1.0, "{}"),
+        (1, 5, "2024-01-01 12:00:00", "purchase", 1.0, "{}"),   # during open 'click'
+    ]
+    ev = spark.createDataFrame(
+        [(u, e, ts, t, v, p) for (u, e, ts, t, v, p) in rows],
+        "user_id long, event_id long, ts string, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import tempfile as _tf
+
+    from timedf_spark.queries.round6 import purchase_state_lookup
+
+    with _tf.TemporaryDirectory() as d:
+        ev.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["event_id"]: r["state"]
+            for r in purchase_state_lookup(spark, d).collect()
+        }
+    assert got == {1: None, 3: "view", 5: "click"}
+
+
 def test_incremental_rollup_equals_full_recompute_bitwise(spark, sf_dir):
     """The core claim: integer quantized accumulators are associative, so
     base + delta == full recompute EXACTLY (not approximately) — checked

@@ -257,7 +257,224 @@ GROUP BY lang, bin_id
 ORDER BY lang, bin_id
 """
 
+# --- point-in-time (temporal) dimension lookup ------------------------------
+
+_PIT_FACT = "purchase"
+
+
+def purchase_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event looks up the user's
+    BROWSING state (SCD2 validity intervals built from the non-purchase
+    events) as of the purchase timestamp — the classic temporal dimension
+    lookup every warehouse needs (fact.ts ∈ [valid_from, valid_to)).
+
+    Scale posture: the join is ANCHORED on the user_id equi-key — Spark
+    plans a hash/sort-merge join on the key with the interval predicate
+    as a residual filter, never a nested loop; per-key history runs are
+    short, so the residual is cheap. Intervals are disjoint per user by
+    construction (gaps-and-islands), so each fact row matches at most
+    one interval; purchases before the first interval keep NULL state
+    (left join — PIT lookups must not drop facts). At 100 TB: broadcast
+    the history if it fits, else both sides shuffle once on user_id.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type") != _PIT_FACT).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("state").over(order).isNull()
+        | (F.lag("state").over(order) != F.col("state")),
+        1,
+    ).otherwise(0)
+    islands = dim_src.withColumn("chg", changed).withColumn(
+        "island",
+        F.sum("chg").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.first("state").alias("state"),
+        F.min("ts").alias("valid_from"),
+    )
+    seq = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    hist = spans.select(
+        F.col("user_id").alias("h_user"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(seq).alias("valid_to"),
+    )
+    fact = ev.filter(F.col("event_type") == _PIT_FACT).select(
+        "event_id", "user_id", "ts"
+    )
+    joined = fact.join(
+        hist,
+        (fact.user_id == hist.h_user)
+        & (fact.ts >= hist.valid_from)
+        & (hist.valid_to.isNull() | (fact.ts < hist.valid_to)),
+        "left",
+    )
+    return joined.select("event_id", "user_id", "ts", "state").orderBy("event_id")
+
+
+PURCHASE_STATE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WHERE event_type <> '{_PIT_FACT}'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, island, first(state) AS state, min(ts) AS valid_from
+  FROM islands GROUP BY user_id, island
+),
+hist AS (
+  SELECT user_id AS h_user, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island) AS valid_to
+  FROM spans
+)
+SELECT f.event_id, f.user_id, f.ts, h.state
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = '{_PIT_FACT}') f
+LEFT JOIN hist h
+  ON f.user_id = h.h_user
+ AND f.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+ORDER BY f.event_id
+"""
+
+# --- near-dup tier evaluation report ----------------------------------------
+
+
+def near_dup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH tier against the exact
+    inverted-index Jaccard baseline — the evaluation a pipeline owner
+    runs before trusting the approximate tier at scale. Both tiers'
+    pair sets are cross-engine exact (md5 hash families), so even the
+    tier COMPARISON is oracle-checkable — unusual for an approximate
+    method, and exactly why the md5 construction was chosen.
+
+    LSH verifies candidates with the same exact Jaccard, so precision is
+    structurally 1.0; recall < 1 measures what banding misses. One-row
+    output: the three counts + the two ratios (single int divisions)."""
+    from timedf_spark.operators import dedup
+
+    exact = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nc = exact.join(lsh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            (F.col("n_common") / F.col("n_exact")).alias("recall"),
+            (F.col("n_common") / F.col("n_lsh")).alias("precision"),
+        )
+    )
+
+
+def _tier_report_oracle() -> str:
+    from timedf_spark.operators import dedup
+
+    return f"""
+WITH exact AS (SELECT doc_a, doc_b FROM ({dedup.ngram_jaccard_sql()})),
+lsh AS (SELECT doc_a, doc_b FROM ({dedup.minhash_lsh_sql()})),
+c AS (SELECT count(*) AS n_common FROM exact JOIN lsh USING (doc_a, doc_b)),
+e AS (SELECT count(*) AS n_exact FROM exact),
+l AS (SELECT count(*) AS n_lsh FROM lsh)
+SELECT n_exact, n_lsh, n_common,
+       n_common / n_exact AS recall,
+       n_common / n_lsh AS precision
+FROM e, l, c
+"""
+
+
+# --- declarative data-quality expectations ----------------------------------
+
+_PRICE_HI = 1_000_000
+
+
+def order_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table contract a production load validates on every run:
+    null-free keys, value domain, price range, key uniqueness, customer
+    FK — compiled by operators/expect.py into ONE aggregate pass plus
+    one broadcast anti-join (see its docstring for the 100 TB shape)."""
+    from timedf_spark.operators import expect as X
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = [
+        X.not_null("o_custkey"),
+        X.in_range("o_totalprice", 0, _PRICE_HI),
+        X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        X.unique("o_orderkey"),
+        X.foreign_key("o_custkey", "c_custkey"),
+    ]
+    return X.expectations_report(orders, rules, dims={"c_custkey": customer})
+
+
+ORDER_EXPECTATIONS_ORACLE = f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         cast(sum(CASE WHEN NOT COALESCE((o_custkey IS NOT NULL), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_notnull,
+         cast(sum(CASE WHEN NOT COALESCE((o_totalprice IS NOT NULL AND o_totalprice >= 0 AND o_totalprice <= {_PRICE_HI}), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         cast(sum(CASE WHEN NOT COALESCE((o_orderstatus IN ('F', 'O', 'P')), false) THEN 1 ELSE 0 END) AS BIGINT) AS v_vals,
+         count(DISTINCT o_orderkey) AS u,
+         count(o_orderkey) AS nn
+  FROM orders
+),
+fk AS (
+  SELECT count(*) AS orphans
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS rule, n AS n_rows,
+         v_notnull AS n_violations, v_notnull = 0 AS ok FROM s
+  UNION ALL
+  SELECT 'in_range(o_totalprice,0,{_PRICE_HI})', n, v_range, v_range = 0 FROM s
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)', n, v_vals, v_vals = 0 FROM s
+  UNION ALL
+  SELECT 'unique(o_orderkey)', n, nn - u, nn - u = 0 FROM s
+  UNION ALL
+  SELECT 'fk(o_custkey->c_custkey)', n, orphans, orphans = 0 FROM s, fk
+)
+ORDER BY rule
+"""
+
 SUITE = {
+    "order_expectations": QuerySpec(
+        "order_expectations",
+        order_expectations,
+        ORDER_EXPECTATIONS_ORACLE,
+        "declarative data-quality expectations: one-pass contract validation report",
+    ),
+    "near_dup_tier_report": QuerySpec(
+        "near_dup_tier_report",
+        near_dup_tier_report,
+        _tier_report_oracle(),
+        "LSH tier recall/precision vs the exact Jaccard baseline, oracle-checked end to end",
+    ),
+    "purchase_state_lookup": QuerySpec(
+        "purchase_state_lookup",
+        purchase_state_lookup,
+        PURCHASE_STATE_ORACLE,
+        "point-in-time temporal lookup: purchases join the SCD2 browsing-state history on key + validity interval",
+    ),
     "lang_confusion": QuerySpec(
         "lang_confusion",
         lang_confusion,
