@@ -122,8 +122,8 @@ def test_incremental_rollup_equals_full_recompute_bitwise(spark, sf_dir):
     )
     full = _day_rollup(orders).select(
         F.col("day"),
-        "n_orders",
-        F.expr("cast(rev_q as double) / 10000.0").alias("revenue"),
+        F.col("n_rows").alias("n_orders"),
+        F.expr("cast(sum_q as double) / 10000.0").alias("revenue"),
     )
     inc = incremental_daily_rollup(spark, sf_dir)
     full_m = {r["day"]: (r["n_orders"], r["revenue"]) for r in full.collect()}
@@ -143,6 +143,60 @@ def test_curation_funnel_consistent_with_curate_corpus(spark, sf_dir):
         >= funnel["near_dup_keepers"]
     ), funnel
     assert funnel["near_dup_keepers"] == qs["curate_corpus"].fn(spark, sf_dir).count()
+
+
+def test_streaming_rollup_store_equals_batch_recompute_exactly(spark, sf_dir, tmp_path):
+    """Multi-batch replay of orders into the rollup store: the published
+    aggregate must equal ONE aggregation of all rows BIT-FOR-BIT (integer
+    quantized accumulators are associative — this is the exactness the
+    sketch store can't offer), and a redelivered batch id must be a
+    no-op (double-merge would double-count)."""
+    from timedf_spark.operators.rollup import finish_rollup, quantized_rollup
+    from timedf_spark.streaming import rollup_apply as ra
+    from timedf_spark.streaming.cdc_apply import _current_version
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    fact = orders.select(F.col("o_orderdate").alias("day"), "o_totalprice")
+    store = str(tmp_path / "rollup_store")
+    ra.seed_rollup_store(spark, store, "day timestamp")
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "orders")
+        fact.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(fact.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ra.rollup_sink(
+                stream, store, os.path.join(d, "ckpt"),
+                ["day"], "day timestamp", "o_totalprice",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {
+        r["day"]: (r["n_rows"], r["value_sum"])
+        for r in finish_rollup(ra.read_rollup(spark, store, "day timestamp")).collect()
+    }
+    want = {
+        r["day"]: (r["n_rows"], r["value_sum"])
+        for r in finish_rollup(quantized_rollup(fact, ["day"], "o_totalprice")).collect()
+    }
+    assert got == want  # exact float equality, day for day
+
+    # redelivery guard: same batch id again must not double-count
+    v = _current_version(store)
+    ra.apply_rollup_batch(fact.limit(50), v, store, ["day"], "day timestamp", "o_totalprice")
+    assert _current_version(store) == v
+    after = {
+        r["day"]: (r["n_rows"], r["value_sum"])
+        for r in finish_rollup(ra.read_rollup(spark, store, "day timestamp")).collect()
+    }
+    assert after == got
 
 
 def test_streaming_rolling_distinct_matches_batch(spark, sf_dir, tmp_path):

@@ -85,44 +85,38 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact incremental aggregate maintenance -------------------------------
 
 # The "late-arriving quarter": 3/4 of orders form the standing aggregate,
-# the rest arrive as today's delta batch.
+# the rest arrive as today's delta batch. Representation + merge live in
+# operators/rollup.py, shared with the streaming maintenance sink
+# (streaming/rollup_apply.py).
 _DELTA_PRED = "o_orderkey % 4 = 0"
 _SCALE_MULT = "10000.0"
 _Q_EXPR = f"cast(floor(o_totalprice * {_SCALE_MULT} + 0.5) as bigint)"
 
 
 def _day_rollup(orders: DataFrame) -> DataFrame:
-    """Day-grain aggregate with the INTEGER quantized sum as the stored
-    accumulator — the mergeable representation (plain bigint adds)."""
-    return orders.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.expr(_Q_EXPR)).alias("rev_q"),
+    from timedf_spark.operators.rollup import quantized_rollup
+
+    return quantized_rollup(
+        orders.select(F.col("o_orderdate").alias("day"), "o_totalprice"),
+        ["day"],
+        "o_totalprice",
     )
 
 
 def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.operators.rollup import finish_rollup, merge_rollups
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     base = _day_rollup(orders.filter(f"NOT ({_DELTA_PRED})"))
     delta = _day_rollup(orders.filter(_DELTA_PRED))
-    b, d = base.alias("b"), delta.alias("d")
-    merged = b.join(d, F.col("b.day") == F.col("d.day"), "full_outer").select(
-        F.coalesce(F.col("b.day"), F.col("d.day")).alias("day"),
-        (
-            F.coalesce(F.col("b.n_orders"), F.lit(0))
-            + F.coalesce(F.col("d.n_orders"), F.lit(0))
-        ).alias("n_orders"),
-        (
-            F.coalesce(F.col("b.rev_q"), F.lit(0))
-            + F.coalesce(F.col("d.rev_q"), F.lit(0))
-        ).alias("rev_q"),
+    merged = merge_rollups(base, delta, ["day"])
+    return (
+        finish_rollup(merged, "revenue")
+        .select("day", F.col("n_rows").alias("n_orders"), "revenue")
+        .orderBy("day")
     )
-    return merged.select(
-        "day",
-        "n_orders",
-        F.expr(f"cast(rev_q as double) / {_SCALE_MULT}").alias("revenue"),
-    ).orderBy("day")
 
 
 # Full recompute over ALL orders — the incremental path must reach it
