@@ -199,6 +199,62 @@ def test_streaming_rollup_store_equals_batch_recompute_exactly(spark, sf_dir, tm
     assert after == got
 
 
+def test_streaming_ingest_dedup_reaches_batch_fixpoint(spark, sf_dir, tmp_path):
+    """The full streaming dedup loop: documents replayed in micro-batches
+    produce near-dup pairs (batch-internal + batch↔corpus probes) and
+    maintain the cluster assignment — the final published assignment must
+    equal from-scratch connected components over the LSH pairs of ALL
+    documents, and a replayed batch must converge."""
+    from timedf_spark.operators import cluster, dedup
+    from timedf_spark.streaming import cluster_apply as ca
+    from timedf_spark.streaming import ingest_dedup as idd
+    from timedf_spark.streaming.cdc_apply import _current_version
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_store = str(tmp_path / "docs_store")
+    assign_store = str(tmp_path / "assign_store")
+    idd.seed_empty_assignments(spark, assign_store)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            idd.ingest_dedup_sink(
+                stream, corpus_store, assign_store, os.path.join(d, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    got = {
+        (r["vertex"], r["component"])
+        for r in ca.read_assignments(spark, assign_store).collect()
+    }
+    want = {
+        (r["vertex"], r["component"])
+        for r in cluster.connected_components(
+            docs.select("doc_id"),
+            dedup.minhash_lsh_pairs_df(docs).select("doc_a", "doc_b"),
+        ).collect()
+    }
+    assert got == want
+
+    # replay convergence: re-applying the published batch id is a no-op
+    v = _current_version(assign_store)
+    idd.apply_ingest_batch(docs.limit(7), v, corpus_store, assign_store)
+    assert _current_version(assign_store) == v
+    assert {
+        (r["vertex"], r["component"])
+        for r in ca.read_assignments(spark, assign_store).collect()
+    } == got
+
+
 def test_streaming_rolling_distinct_matches_batch(spark, sf_dir, tmp_path):
     """Multi-batch replay of the events table into the day-sketch store:
     the trailing-window estimates must match the batch sketch path within
