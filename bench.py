@@ -168,22 +168,42 @@ def main() -> None:
     # partial aggregation, new exchange), which is a scale bug even while
     # results stay correct. Reported always; hard exit only under
     # SPARK_GRAFT_SHUFFLE_GATE=strict so driver runs never sink on noise.
+    # Baseline is PINNED and carried forward in the json (not the previous
+    # run's numbers, which this run overwrites): comparing run-over-run
+    # lets sub-2x drift compound across rounds undetected. First run at an
+    # sf seeds the baseline; new queries join it at their first measured
+    # value; existing entries never move (reset by deleting the key or the
+    # file). A gate skip (sf mismatch / unreadable file) is logged, never
+    # silent.
     bench_local = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
     shuffle_regressions: dict[str, dict] = {}
+    shuffle_baseline: dict[str, float] = {}
+    gate_skipped: str | None = None
     try:
         with open(bench_local) as f:
             prev = json.load(f)
-        if prev.get("sf") == sf:
-            for name, mb in shuffle_mb.items():
-                prev_mb = prev.get("shuffle_write_mb", {}).get(name)
-                # floor of 1 MB: tiny absolute volumes flap with AQE
-                # coalescing and aren't scale-relevant
-                if prev_mb is not None and mb > 2 * prev_mb and mb > 1.0:
-                    shuffle_regressions[name] = {"prev_mb": prev_mb, "now_mb": mb}
-    except (OSError, ValueError):
-        pass
+        prev_sf = prev.get("sf")
+        if isinstance(prev_sf, (int, float)) and float(prev_sf) == sf:
+            shuffle_baseline = dict(prev.get("shuffle_baseline_mb") or
+                                    prev.get("shuffle_write_mb") or {})
+        else:
+            gate_skipped = f"sf mismatch: baseline sf={prev_sf!r}, this run sf={sf!r}"
+    except FileNotFoundError:
+        gate_skipped = "no BENCH_local.json baseline (first run seeds it)"
+    except (OSError, ValueError) as exc:
+        gate_skipped = f"unreadable baseline: {exc!r:.120}"
+    if gate_skipped:
+        print(json.dumps({"shuffle_gate_skipped": gate_skipped}), file=sys.stderr)
+    for name, mb in shuffle_mb.items():
+        base_mb = shuffle_baseline.get(name)
+        if base_mb is None:
+            shuffle_baseline[name] = mb  # new query: first value is its pin
+        # floor of 1 MB: tiny absolute volumes flap with AQE
+        # coalescing and aren't scale-relevant
+        elif mb > 2 * base_mb and mb > 1.0:
+            shuffle_regressions[name] = {"baseline_mb": base_mb, "now_mb": mb}
 
     detail = {
         "metric": "sum_of_median_query_seconds",
@@ -195,6 +215,7 @@ def main() -> None:
         "scan_baseline_sec": scan_baseline,
         "evidence": evidence,
         "shuffle_regressions": shuffle_regressions,
+        "shuffle_baseline_mb": shuffle_baseline,
     }
     # The driver captures only the TAIL of stdout; the full detail line for
     # 85+ queries is ~3 KB and was truncated mid-stream in round 2

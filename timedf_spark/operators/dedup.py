@@ -592,6 +592,7 @@ def ngram_jaccard_prefix_pairs(
     sf_dir: str,
     k: int = _K,
     threshold: float = _JACCARD_THRESHOLD,
+    persist_mode: str = "cache",
 ) -> DataFrame:
     """EXACT Jaccard pairs via PPJoin-style prefix filtering — identical
     results to :func:`ngram_jaccard_pairs` (same oracle), structurally
@@ -636,11 +637,19 @@ def ngram_jaccard_prefix_pairs(
         "doc_id",
         F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
     ).select("doc_id", F.expr(_HASH60_SPARK).alias("sh"))
-    # feeds prefixes, sizes, and both verify sides; checkpointed (not
-    # cached) so the blocks can be released before returning — bench
-    # medians re-run each query and cached-but-never-unpersisted blocks
-    # accumulate in executor storage for the life of the session
-    sh, sh_ids = _checkpoint(sh)
+    # feeds prefixes, sizes, and both verify sides — persist so the
+    # explode runs once. persist_mode:
+    #   "cache" (default, the query path): lazy .cache(); block cleanup is
+    #     the harness's job (bench.py clearCache()s between queries). The
+    #     r04 in-band disk checkpoint cost 2.6x per iteration for hygiene
+    #     the harness already provides.
+    #   "checkpoint": eager localCheckpoint + release before return — for
+    #     long-lived sessions that run this outside a clearCache protocol.
+    if persist_mode == "checkpoint":
+        sh, sh_ids = _checkpoint(sh)
+    else:
+        sh = sh.cache()
+        sh_ids = None
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -695,8 +704,9 @@ def ngram_jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    # materialize the (small) pair set, then free the shingle blocks —
-    # same discipline as the iterative operators
-    result, _ = _checkpoint(result)
-    _release(sh, sh_ids)
+    if persist_mode == "checkpoint":
+        # materialize the (small) pair set, then free the shingle blocks —
+        # same discipline as the iterative operators
+        result, _ = _checkpoint(result)
+        _release(sh, sh_ids)
     return result

@@ -104,28 +104,33 @@ def all_queries() -> dict[str, QuerySpec]:
     # plumbing asserts) than the driver's rows-only check, and the freed
     # slots go to hash-checked queries instead.
     # r01-green queries unchanged since round 1 also rotate back (their
-    # CORRECTNESS_r01 rows stand). Deliberately KEPT in the window:
-    # json_props_stats + token_budget_pack (r01 FAILURES whose fixes the
-    # driver has never re-validated) and curate_corpus (recomposed onto
-    # the LSH tier in round 3 — semantics re-check warranted).
-    # dedup_ngram_jaccard left OUT: its round-4 hot-shingle guard changed
-    # the query's semantics (df cutoff on both engines), so its r01 green
-    # record is stale — back into the window for driver re-validation.
+    # CORRECTNESS_r01 rows stand).
     _R01_GREEN_UNCHANGED = {
         "funnel_counts", "text_stats", "lang_id", "doc_fingerprint",
         "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_clusters", "corpus_mix", "ann_brute_topk",
     }
-    # Round-4 window: the 14 never-driver-checked oracle queries
-    # (dedup_jaccard_prefix, charlm_score, doc_chunks, repetition_stats,
-    # pii_redact, contamination_probe, incremental_ingest,
-    # decontaminate_spans, cdc_merge_orders, salted_segment_spend,
-    # duplicate_paragraphs, lineitem_profile, semantic_dedup_keepers,
-    # incremental_near_dup) plus the four r03 hash-fails whose HUGEINT
-    # oracle casts were fixed this round (zscore_outliers,
-    # first_touch_attribution, temperature_mix, doc_length_histogram —
-    # NOT in _R03_DRIVER_GREEN so they stay front) plus new round-4 work.
-    rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | _R03_DRIVER_GREEN | {
+    # Round-5 window: every r04-checked oracle query hash-matched
+    # (CORRECTNESS_r04.json: 49/50 green, the 50th is the by-design
+    # no_oracle approx_cardinalities row). Fold the r04 greens into the
+    # cumulative rotation EXCEPT the four whose round-5 edits warrant
+    # driver re-validation: near_dup_tier_report (nullif zero-div guard
+    # changed the ratio expressions on both engines), charlm_score and
+    # dedup_jaccard_prefix (persistence moved off the timed path — same
+    # semantics, changed plan), curation_funnel (in-band eager
+    # checkpoint + cache release added). Those four stay front, alongside
+    # everything new this round.
+    _R04_DRIVER_GREEN = frozenset({
+        "zscore_outliers", "first_touch_attribution", "temperature_mix",
+        "doc_length_histogram", "salted_segment_spend", "duplicate_paragraphs",
+        "lineitem_profile", "order_expectations", "purchase_state_lookup",
+        "lang_confusion", "context_pack", "markov_transitions",
+        "incremental_daily_rollup", "dedup_ngram_jaccard",
+        "semantic_dedup_keepers", "doc_chunks", "repetition_stats",
+        "pii_redact", "contamination_probe", "incremental_ingest",
+        "incremental_near_dup", "decontaminate_spans", "cdc_merge_orders",
+    })
+    rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | _R03_DRIVER_GREEN | _R04_DRIVER_GREEN | {
         # no-oracle entries: each pinned by a stronger local test
         # (recall vs brute force, merge-table exactness, trained-model
         # metrics) than a rows-only driver check would add

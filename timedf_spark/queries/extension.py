@@ -322,13 +322,21 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(order).alias("stage_order"), F.lit(name).alias("stage"), "n_docs"
         )
 
-    return (
+    out = (
         stage(1, "raw", docs)
         .unionByName(stage(2, "quality", q))
         .unionByName(stage(3, "exact_dedup", qx))
         .unionByName(stage(4, "near_dup_keepers", qx.join(keepers, "doc_id")))
         .orderBy("stage_order")
     )
+    # The funnel is 4 rows: eagerly materialize it and release the qx
+    # cache in-band (unlike charlm_score, where the checkpointed frame is
+    # per-doc and the in-band release cost 3.5x — here it's free). Without
+    # this, each re-run parks another copy of qx's blocks until the next
+    # clearCache.
+    out = out.localCheckpoint(eager=True)
+    qx.unpersist()
+    return out
 
 
 def _curation_funnel_oracle() -> str:

@@ -358,7 +358,16 @@ def near_dup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     LSH verifies candidates with the same exact Jaccard, so precision is
     structurally 1.0; recall < 1 measures what banding misses. One-row
-    output: the three counts + the two ratios (single int divisions)."""
+    output: the three counts + the two ratios (single int divisions).
+
+    Scale posture: the baseline here is DELIBERATELY the unguarded
+    inverted-index tier (``max_doc_freq=None``) — an evaluation's ground
+    truth must be the true pair set. That tier is quadratic in per-shingle
+    document frequency, so at 100 TB this report is run on a bounded
+    random sample of the corpus (e.g. ``documents.sample(0.001)``), never
+    the full corpus; recall estimated on an unbiased sample transfers to
+    the population. The production dedup path itself never runs the
+    unguarded tier."""
     from timedf_spark.operators import dedup
 
     exact = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -373,8 +382,11 @@ def near_dup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_common",
-            (F.col("n_common") / F.col("n_exact")).alias("recall"),
-            (F.col("n_common") / F.col("n_lsh")).alias("precision"),
+            # nullif guard: a corpus/sf with zero near-dup pairs must
+            # yield NULL identically on both engines (Spark x/0 is NULL,
+            # DuckDB integer x/0 errors — the guard unifies them)
+            (F.col("n_common") / F.expr("nullif(n_exact, 0)")).alias("recall"),
+            (F.col("n_common") / F.expr("nullif(n_lsh, 0)")).alias("precision"),
         )
     )
 
@@ -389,8 +401,8 @@ c AS (SELECT count(*) AS n_common FROM exact JOIN lsh USING (doc_a, doc_b)),
 e AS (SELECT count(*) AS n_exact FROM exact),
 l AS (SELECT count(*) AS n_lsh FROM lsh)
 SELECT n_exact, n_lsh, n_common,
-       n_common / n_exact AS recall,
-       n_common / n_lsh AS precision
+       n_common / nullif(n_exact, 0) AS recall,
+       n_common / nullif(n_lsh, 0) AS precision
 FROM e, l, c
 """
 

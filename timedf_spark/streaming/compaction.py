@@ -171,7 +171,14 @@ def compact_sink(
     # Belt-and-braces: never advance covered past an EXISTING uncommitted
     # dir (can't occur with sequential micro-batches, but a corrupted or
     # manual write below max would otherwise be orphaned permanently).
-    uncommitted = sorted(set(all_live) - set(committed))
+    # Only dirs ABOVE current coverage count: a partially-deleted folded
+    # dir at/below covered (step-4 cleanup is best-effort — rmtree can
+    # remove _SUCCESS then crash) is already-folded debris, and letting it
+    # pin the ceiling would wedge compaction permanently (every future run
+    # returns compacted=False while batch dirs grow without bound).
+    uncommitted = sorted(
+        b for b in set(all_live) - set(committed) if b > covered
+    )
     ceiling = uncommitted[0] if uncommitted else max_live + (1 if include_max_live else 0)
     live = {
         bid: d for bid, d in committed.items()
