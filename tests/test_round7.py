@@ -115,3 +115,138 @@ def test_charlm_release_is_callers_choice(spark, sf_dir):
     released = _rows(lm.charlm_doc_scores(docs, release=True))
     assert kept == released
     spark.catalog.clearCache()
+
+
+def test_indexed_probe_equals_rehash_path(spark, sf_dir):
+    """The band-signature-index probe must produce bit-identical pairs to
+    the per-batch corpus re-hash (same deterministic hash family) — the
+    contract that lets a deployment swap the O(corpus-tokens) re-hash for
+    an index lookup without a semantics change."""
+    from timedf_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    rehash = dedup.incremental_near_dup_pairs(batch, corpus)
+    corpus_bands, _sh = dedup._minhash_bands(corpus)
+    indexed = dedup.incremental_near_dup_pairs_indexed(batch, corpus, corpus_bands)
+    assert _rows(rehash) == _rows(indexed)
+    assert len(_rows(indexed)) > 0  # non-vacuous: sf0.001 has near-dups
+    spark.catalog.clearCache()
+
+
+def test_indexed_probe_plan_skips_corpus_minhash(spark, sf_dir, tmp_path):
+    """With a persisted signature store, candidate generation reads the
+    index: the per-batch corpus minhash recomputation is GONE from the
+    plan. The analyzed plan re-expands each reference of a subtree, so
+    minhash aggregates are countable via their mh0 alias — the rehash
+    path signs batch AND corpus (2 aggregates x 3 references = 6), the
+    indexed path signs only the batch (3); corpus text survives only
+    under the candidate-verify, and the band store is scanned instead."""
+    import re
+
+    from timedf_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus_pq = str(tmp_path / "corpus_docs")
+    bands_pq = str(tmp_path / "corpus_bands")
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(corpus_pq)
+    corpus_bands, _sh = dedup._minhash_bands(spark.read.parquet(corpus_pq))
+    corpus_bands.write.parquet(bands_pq)
+    spark.catalog.clearCache()
+
+    corpus = spark.read.parquet(corpus_pq)
+    indexed = dedup.incremental_near_dup_pairs_indexed(
+        batch, corpus, spark.read.parquet(bands_pq)
+    )
+    rehash = dedup.incremental_near_dup_pairs(batch, corpus)
+    plan_i = indexed._jdf.queryExecution().analyzed().toString()
+    plan_r = rehash._jdf.queryExecution().analyzed().toString()
+    assert plan_i.count(" AS mh0#") * 2 == plan_r.count(" AS mh0#"), (
+        plan_i.count(" AS mh0#"), plan_r.count(" AS mh0#"))
+    # band-signature store scanned; corpus text only in the verify subtree
+    assert re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan_i)
+    n_corpus_text = len(re.findall(r"Relation \[doc_id#\d+L,text#\d+\]", plan_i))
+    assert 0 < n_corpus_text <= 2, plan_i
+    spark.catalog.clearCache()
+
+
+def test_streaming_ingest_dedup_signature_store(spark, sf_dir, tmp_path):
+    """ingest_dedup with sig_path: the loop maintains a per-batch band
+    signature store, probes it instead of re-hashing the corpus, and
+    still reaches the exact batch fixpoint (same assignment as
+    from-scratch CC over all-docs LSH pairs)."""
+    import glob
+    import tempfile
+
+    from timedf_spark.operators import cluster, dedup
+    from timedf_spark.streaming import cluster_apply as ca
+    from timedf_spark.streaming import ingest_dedup as idd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_store = str(tmp_path / "docs_store")
+    assign_store = str(tmp_path / "assign_store")
+    sig_store = str(tmp_path / "sig_store")
+    idd.seed_empty_assignments(spark, assign_store)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        docs.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            idd.ingest_dedup_sink(
+                stream, corpus_store, assign_store, os.path.join(d, "ckpt"),
+                sig_path=sig_store,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # one committed signature dir per document batch
+    sig_dirs = glob.glob(os.path.join(sig_store, "batch_id=*"))
+    doc_dirs = glob.glob(os.path.join(corpus_store, "batch_id=*"))
+    assert len(sig_dirs) == len(doc_dirs) >= 3
+
+    got = {
+        (r["vertex"], r["component"])
+        for r in ca.read_assignments(spark, assign_store).collect()
+    }
+    want = {
+        (r["vertex"], r["component"])
+        for r in cluster.connected_components(
+            docs.select("doc_id"),
+            dedup.minhash_lsh_pairs_df(docs).select("doc_a", "doc_b"),
+        ).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_incremental_components_hybrid_paths_agree(spark):
+    """The driver union-find fast path and the distributed pointer-
+    jumping path must produce identical assignments (small_graph_edges=0
+    forces distributed)."""
+    from timedf_spark.operators.cluster import incremental_components
+
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 5), (9, 9)],
+        "vertex long, component long",
+    )
+    edges = spark.createDataFrame(
+        [(2, 3), (4, 5), (7, 8), (8, 1)], "src long, dst long"
+    )
+    fast = _rows(incremental_components(asg, edges))
+    dist = _rows(incremental_components(asg, edges, small_graph_edges=0))
+    assert fast == dist
+    # spot-check semantics: 7-8-1-2-3 all collapse to min id 1; 4-5 to 4
+    # (_rows sorts columns alphabetically: tuples are (component, vertex))
+    d = {v: c for c, v in fast}
+    assert d[7] == d[8] == d[1] == d[2] == d[3] == 1
+    assert d[4] == d[5] == 4 and d[9] == 9

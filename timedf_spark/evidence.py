@@ -173,6 +173,69 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
 
     guard("multimodal_features", _multimodal)
 
+    # --- streaming end-to-end latency: median foreachBatch wall-time ------
+    # The equivalence tests pin WHAT the streaming loops compute; these
+    # numbers pin HOW FAST a micro-batch clears them. Timing wraps the
+    # foreachBatch body itself (apply_*_batch) — the part that scales with
+    # data; Structured Streaming's trigger overhead is engine-constant.
+    # Bounds are sanity ceilings, not targets.
+    def _streaming_ingest_latency() -> dict[str, Any]:
+        import statistics
+        import tempfile
+        import time
+
+        from timedf_spark.streaming import ingest_dedup as idd
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_batches = 4
+        with tempfile.TemporaryDirectory() as d:
+            corpus = f"{d}/corpus"
+            assign = f"{d}/assign"
+            sig = f"{d}/sig"
+            idd.seed_empty_assignments(spark, assign)
+            lat = []
+            for b in range(n_batches):
+                part = docs.filter(F.col("doc_id") % n_batches == b)
+                t0 = time.perf_counter()
+                idd.apply_ingest_batch(part, b, corpus, assign, sig_path=sig)
+                lat.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        return {"metric": "median_batch_sec_ingest_dedup_with_sig_index",
+                "value": round(statistics.median(lat), 3), "bound": 30.0,
+                "dir": "le", "batches": n_batches,
+                "max_batch_sec": round(max(lat), 3)}
+
+    guard("streaming_ingest_dedup", _streaming_ingest_latency)
+
+    def _streaming_rollup_latency() -> dict[str, Any]:
+        import statistics
+        import tempfile
+        import time
+
+        from timedf_spark.streaming import rollup_apply as ra
+
+        fact = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderdate").alias("day"), "o_totalprice"
+        )
+        n_batches = 5
+        with tempfile.TemporaryDirectory() as d:
+            store = f"{d}/rollup"
+            ra.seed_rollup_store(spark, store, "day timestamp")
+            lat = []
+            for b in range(n_batches):
+                part = fact.filter(F.col("o_totalprice").cast("long") % n_batches == b)
+                t0 = time.perf_counter()
+                ra.apply_rollup_batch(
+                    part, b, store, ["day"], "day timestamp", "o_totalprice"
+                )
+                lat.append(time.perf_counter() - t0)
+        return {"metric": "median_batch_sec_exact_rollup_maintenance",
+                "value": round(statistics.median(lat), 3), "bound": 10.0,
+                "dir": "le", "batches": n_batches,
+                "max_batch_sec": round(max(lat), 3)}
+
+    guard("streaming_rollup", _streaming_rollup_latency)
+
     return out
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_df",
     "minhash_lsh_sql",
+    "incremental_near_dup_pairs",
+    "incremental_near_dup_pairs_indexed",
     "simhash64",
 ]
 
@@ -508,6 +510,20 @@ def incremental_near_dup_pairs(
     corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
         F.broadcast(candidates.select("corpus_id").distinct()), "corpus_id", "left_semi"
     )
+    return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
+
+
+def _verify_batch_corpus(
+    batch_sh: DataFrame,
+    corpus_cand_sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of batch↔corpus candidate pairs —
+    shared by the rehash path (incremental_near_dup_pairs) and the
+    signature-index path (incremental_near_dup_pairs_indexed). Inputs:
+    batch shingles (doc_id, sh), corpus shingles already reduced to
+    candidate docs (corpus_id, sh), candidates (batch_id, corpus_id)."""
     common = (
         batch_sh.withColumnRenamed("doc_id", "batch_id")
         .join(F.broadcast(candidates), "batch_id")
@@ -527,6 +543,51 @@ def incremental_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def incremental_near_dup_pairs_indexed(
+    new_batch: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """incremental_near_dup_pairs with a PRECOMPUTED corpus band-signature
+    index — the deployment shape the rehash path's docstring promises.
+
+    ``corpus_bands`` is the persisted (doc_id, band, band_key) store
+    (written once per ingest batch, ~16 bytes × bands per doc). Candidate
+    generation probes that index with a broadcast of the batch's band set
+    — the corpus TEXT is never shingled or minhashed per batch. Only the
+    candidate docs (a broadcast semi-join of ``corpus_docs``) are
+    re-shingled for the exact-Jaccard verify, so per-batch corpus cost
+    drops from O(corpus tokens) to O(index rows scanned + candidate-doc
+    tokens). Same hash family, bit-identical pairs to the rehash path
+    (pinned by test)."""
+    batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
+    candidates = (
+        corpus_bands.join(F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
+                          ["band", "band_key"])
+        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    # only candidate docs get shingled — the full corpus text stays cold
+    cand_docs = corpus_docs.join(
+        F.broadcast(
+            candidates.select(F.col("corpus_id").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    corpus_cand_sh = cand_docs.select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
+    ).select(
+        F.col("doc_id").alias("corpus_id"), F.expr(_HASH60_SPARK).alias("sh")
+    )
+    return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
 
 
 def incremental_near_dup_sql(

@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 
 from timedf_spark.operators.cluster import incremental_components
 from timedf_spark.operators.dedup import (
+    _minhash_bands,
     incremental_near_dup_pairs,
+    incremental_near_dup_pairs_indexed,
     minhash_lsh_pairs_df,
 )
 from timedf_spark.streaming.cdc_apply import _current_version, _publish
@@ -56,9 +58,20 @@ def seed_empty_assignments(spark: SparkSession, path: str) -> None:
 
 
 def apply_ingest_batch(
-    batch: DataFrame, batch_id: int, corpus_path: str, assign_path: str
+    batch: DataFrame, batch_id: int, corpus_path: str, assign_path: str,
+    sig_path: str | None = None,
 ) -> None:
-    """One foreachBatch body over a (doc_id, text) document batch."""
+    """One foreachBatch body over a (doc_id, text) document batch.
+
+    With ``sig_path`` set, each batch also persists its MinHash band rows
+    (doc_id, band, band_key) to an idempotent per-batch signature store,
+    and the batch↔corpus probe reads THAT index instead of re-hashing the
+    corpus text every micro-batch — corpus text is touched only for the
+    few candidate docs' exact-Jaccard verify. Probe-path equality with
+    the re-hash path is pinned by test (same deterministic hash family).
+    Signature rows follow the identical idempotent-overwrite + replay
+    rules as the document rows, so the convergence argument in the module
+    docstring carries over unchanged."""
     import os
     import shutil
 
@@ -83,19 +96,42 @@ def apply_ingest_batch(
     # 2. pairs: batch-internal ∪ batch↔corpus
     pairs = minhash_lsh_pairs_df(docs).select("doc_a", "doc_b")
     if have_corpus:
-        cross = incremental_near_dup_pairs(docs, corpus).select(
-            F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+        corpus_bands = None
+        if sig_path is not None:
+            try:
+                corpus_bands = (
+                    read_sink(spark, sig_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("doc_id", "band", "band_key")
+                )
+                if corpus_bands.isEmpty():
+                    corpus_bands = None
+            except FileNotFoundError:
+                corpus_bands = None
+        if corpus_bands is not None:
+            cross = incremental_near_dup_pairs_indexed(docs, corpus, corpus_bands)
+        else:
+            cross = incremental_near_dup_pairs(docs, corpus)
+        pairs = pairs.unionByName(
+            cross.select(
+                F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+            )
         )
-        pairs = pairs.unionByName(cross)
 
     # 3. document store append (idempotent), then assignment fold + publish
     write_batch_idempotent(docs, batch_id, corpus_path)
+    if sig_path is not None:
+        bands_df, _sh = _minhash_bands(docs)
+        write_batch_idempotent(bands_df, batch_id, sig_path)
     base = read_assignments(spark, assign_path)
     singles = docs.select(
         F.col("doc_id").alias("vertex"), F.col("doc_id").alias("component")
     ).join(base.select("vertex"), "vertex", "left_anti")
     base = base.unionByName(singles)
-    nxt = base if pairs.isEmpty() else incremental_components(base, pairs)
+    # no isEmpty pre-check: incremental_components checkpoints the edge
+    # union once and handles the empty case for free — a separate
+    # isEmpty() would compute the LSH pair work a second time
+    nxt = incremental_components(base, pairs)
     nxt.selectExpr("vertex", "component").write.mode("overwrite").parquet(
         os.path.join(assign_path, f"v={batch_id}")
     )
@@ -105,10 +141,13 @@ def apply_ingest_batch(
 
 
 def ingest_dedup_sink(
-    doc_stream: DataFrame, corpus_path: str, assign_path: str, checkpoint: str
+    doc_stream: DataFrame, corpus_path: str, assign_path: str, checkpoint: str,
+    sig_path: str | None = None,
 ):
     """DataStreamWriter running the ingest-dedup loop (caller picks the
-    trigger and calls .start())."""
+    trigger and calls .start()). Pass ``sig_path`` to maintain and probe
+    the persisted band-signature index instead of re-hashing the corpus
+    per batch."""
     return doc_stream.writeStream.foreachBatch(
-        lambda df, bid: apply_ingest_batch(df, bid, corpus_path, assign_path)
+        lambda df, bid: apply_ingest_batch(df, bid, corpus_path, assign_path, sig_path)
     ).option("checkpointLocation", checkpoint)
