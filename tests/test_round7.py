@@ -250,3 +250,101 @@ def test_incremental_components_hybrid_paths_agree(spark):
     d = {v: c for c, v in fast}
     assert d[7] == d[8] == d[1] == d[2] == d[3] == 1
     assert d[4] == d[5] == 4 and d[9] == 9
+
+
+def test_streaming_equidepth_from_rollup_counts_equals_batch(spark, sf_dir, tmp_path):
+    """Equi-depth over a LIVING table: the per-value count store (exact
+    rollup store, keys=['v']) maintained through micro-batches, finished
+    by the same boundary pass — bit-for-bit equal to the one-shot batch
+    histogram."""
+    import tempfile
+
+    from timedf_spark.operators import summaries
+    from timedf_spark.queries.round7 import _EQUIDEPTH_K, _PRICE_EXPR
+    from timedf_spark.streaming import rollup_apply as ra
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(F.expr(_PRICE_EXPR).alias("v"))
+    store = str(tmp_path / "counts_store")
+    ra.seed_rollup_store(spark, store, "v bigint")
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "vals")
+        vals.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(vals.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ra.rollup_sink(stream, store, os.path.join(d, "ckpt"),
+                           ["v"], "v bigint", "v")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    counts = ra.read_rollup(spark, store, "v bigint").select(
+        "v", F.col("n_rows").alias("n")
+    )
+    got = _rows(summaries.equidepth_from_counts(counts, _EQUIDEPTH_K))
+    want = _rows(summaries.equidepth_histogram(orders, _PRICE_EXPR, _EQUIDEPTH_K))
+    assert got == want
+
+
+def test_streaming_mg_guarantee_and_replay(spark, sf_dir, tmp_path):
+    """Multi-batch MG maintenance: every estimate undercounts by at most
+    n_total/(k+1), every true heavy hitter above that bound is present,
+    the summary never exceeds k counters, and a redelivered batch id is
+    a no-op."""
+    import tempfile
+
+    from timedf_spark.streaming import mg_apply as mg
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    store = str(tmp_path / "mg_store")
+    mg.seed_mg_store(spark, store)
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "tokens")
+        tokens.repartition(5).write.parquet(src)
+        stream = (
+            spark.readStream.schema(tokens.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            mg.mg_sink(stream, store, os.path.join(d, "ckpt"), "item", k)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    summary = {r["item"]: r["est_count"] for r in mg.read_mg(spark, store).collect()}
+    exact = {
+        r["item"]: r["cnt"]
+        for r in tokens.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / (k + 1)
+    assert 0 < len(summary) <= k
+    for item, est in summary.items():
+        assert est <= exact[item], (item, est, exact[item])          # undercount only
+        assert exact[item] - est <= bound, (item, est, exact[item])  # error bound
+    for item, cnt in exact.items():  # true HH above the bound must survive
+        if cnt > bound:
+            assert item in summary, (item, cnt, bound)
+
+    # redelivery: same (or lower) batch id must be a no-op
+    from timedf_spark.streaming.cdc_apply import _current_version
+
+    v = _current_version(store)
+    mg.apply_mg_batch(tokens.limit(100), v, store, "item", k)
+    assert _current_version(store) == v
+    after = {r["item"]: r["est_count"] for r in mg.read_mg(spark, store).collect()}
+    assert after == summary
