@@ -348,3 +348,41 @@ def test_streaming_mg_guarantee_and_replay(spark, sf_dir, tmp_path):
     assert _current_version(store) == v
     after = {r["item"]: r["est_count"] for r in mg.read_mg(spark, store).collect()}
     assert after == summary
+
+
+def test_cc_long_iteration_stays_flat(spark):
+    """High-diameter graphs need 20+ pointer-jumping rounds; pre-fix,
+    planner metadata compounded through the checkpoint chain and round
+    cost grew ~2.4x/round from round ~16 (never converging on the
+    10x-scale graph). With the metadata strip in _checkpoint, a
+    phase-transition random graph converges in bounded wall-clock.
+    Deterministic graph (xxhash), exact component count pinned against
+    driver-side union-find."""
+    import time
+
+    from timedf_spark.operators.cluster import (
+        _unionfind_components,
+        connected_components,
+    )
+
+    n = 2000
+    edges = (
+        spark.range(1100)
+        .select(
+            (F.abs(F.xxhash64(F.col("id"), F.lit(1))) % n).alias("src"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(2))) % n).alias("dst"),
+        )
+        .filter("src != dst")
+    )
+    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    want = sorted(_unionfind_components(rows))
+
+    t0 = time.perf_counter()
+    got = sorted(
+        (r["vertex"], r["component"])
+        for r in connected_components(None, edges).collect()
+    )
+    wall = time.perf_counter() - t0
+    assert got == want
+    assert wall < 120, f"CC took {wall:.0f}s — iteration blowup regressed"
+    spark.catalog.clearCache()

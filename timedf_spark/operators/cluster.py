@@ -43,11 +43,43 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "connected_components_star", "incremental_components"]
 
-_MAX_ROUNDS = 50  # diameter bound; raise for adversarial chain graphs
+_MAX_ROUNDS = 100  # round bound; raise for adversarial chain graphs.
+# Converged runs exit early so the bound is free headroom; random graphs
+# near the connectivity phase transition (the 10x-scale dup graph) took
+# 43 rounds — 50 was uncomfortably tight, and exhausting the bound now
+# raises instead of returning a truncated labelling.
 
 
 def _persistent_ids(sc) -> set[int]:
     return {int(str(i)) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _strip_plan_metadata(df: DataFrame) -> DataFrame:
+    """Rebuild a (checkpointed) frame as a BARE LogicalRDD over its own
+    block-backed InternalRow RDD, dropping the origin stats/constraints
+    metadata Dataset.checkpoint carries over from the source plan.
+
+    Why this exists (round-5 root cause, measured): in this Spark build
+    the carried origin metadata COMPOUNDS through iterative checkpoint
+    chains whose round plan references the previous round more than once
+    (the path-halving self-join does). On a 13k-vertex near-dup graph the
+    per-round driver planning cost grew ~2.4x per round from round ~16
+    (1 s -> 161 s by round 21; run never converged) while every stage
+    stayed under 100 ms; AQE off, constraint propagation off, and
+    RELIABLE checkpoints all reproduced it — only rebuilding the frame
+    without the origin metadata flattens it (0.5 s/round through
+    convergence at round 43). JVM-only: reads the checkpoint's cached
+    blocks, no Python serialization. Falls back to a Python-RDD
+    round-trip if the internal API is unavailable."""
+    spark = df.sparkSession
+    try:
+        jdf = df._jdf
+        out_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(out_jdf, spark)
+    except Exception:  # noqa: BLE001 — private API moved: slow-path strip
+        return spark.createDataFrame(df.rdd, df.schema)
 
 
 def _checkpoint(df: DataFrame):
@@ -55,11 +87,14 @@ def _checkpoint(df: DataFrame):
     caller can release them once the next round is materialized. Without
     this, every round's checkpoint blocks stay in the block manager for
     the life of the session — on a long-running cluster job the iterative
-    operator slowly eats executor storage memory it no longer needs."""
+    operator slowly eats executor storage memory it no longer needs.
+    The returned frame is metadata-stripped (see _strip_plan_metadata) so
+    iterative chains cannot compound planner metadata round over round."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = df.localCheckpoint()  # eager: materialized here
-    return out, _persistent_ids(sc) - before
+    ids = _persistent_ids(sc) - before
+    return _strip_plan_metadata(out), ids
 
 
 def _release(df: DataFrame, ids: set[int]) -> None:
@@ -102,6 +137,7 @@ def connected_components(
         vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl"))
     )
 
+    converged = False
     for _ in range(max_rounds):
         # (1) neighbour step: min label over incident edges
         nbr = (
@@ -137,8 +173,19 @@ def connected_components(
         _release(labels, label_ids)
         labels, label_ids = jumped, jumped_ids
         if changed == 0:
+            converged = True
             break
     _release(e, e_ids)
+    if not converged:
+        # Returning an unconverged labelling would silently split true
+        # components — a correctness bug no caller can detect. High-
+        # diameter graphs (random graphs at the connectivity phase
+        # transition take ~40 rounds at 13k vertices) need a larger
+        # max_rounds, not a truncated answer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (graph diameter exceeds the bound)"
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("lbl").alias("component"))
 
 

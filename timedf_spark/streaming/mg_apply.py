@@ -13,6 +13,15 @@ undercounts (est <= true) and the undercount is bounded by
 above that bound is present in the summary. Pinned against the exact
 counts in tests.
 
+Relation to ``streaming/heavy_hitters.py`` (the other MG surface):
+that module keeps per-bucket summaries in Spark's in-memory state store
+(``applyInPandasWithState``) — lowest latency, but state dies with the
+query. THIS module is the persisted-store variant of the same sketch:
+the summary lives in versioned parquet under the atomic-manifest
+protocol, survives restarts and engine upgrades, is readable by any
+batch consumer mid-stream, and merges by the explicit PODS'12 rule —
+the same store-vs-state split as rollup_apply vs stateful.py.
+
 The replay guard is correctness-bearing (same as the rollup store):
 merging a redelivered batch twice would double-count. Batch ids are
 totally ordered and the manifest survives restarts, so an

@@ -1,0 +1,122 @@
+"""Generate an N-times-sf0.1 synthetic dataset for the scale shakeout
+(VERDICT r04 item 2): same generative statistics as the driver's
+testdata — empirical vocab / length / lang / source distributions
+bootstrapped from sf0.1, ~5% of documents emitted as mutated near-dup
+copies (matches the observed linear pair density: 25 pairs / 500 docs at
+sf0.01, 256 / 5000 at sf0.1), unit-norm random embeddings with labels
+0..9, and a uniform price orders table.
+
+Usage:  python tools/gen_scale.py [FACTOR] [OUT_DIR]
+        (defaults: 10  /tmp/scale10x)
+
+The output layout mirrors /root/testdata/sf*/: {table}.parquet dirs
+readable by timedf_spark.sources.load_table. This is a TEST-DATA
+generator, deliberately driver-side numpy (50k docs ~ 15 MB of text);
+the engine's own distributed synthetic source is
+sources/readers.synthetic_frame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.1"
+DUP_RATE = 0.05
+MUTATE_RATE = 0.10
+
+
+def _empirical(rng: np.random.Generator, values: list, n: int) -> list:
+    vals, counts = np.unique(np.asarray(values, dtype=object), return_counts=True)
+    return list(rng.choice(vals, size=n, p=counts / counts.sum()))
+
+
+def gen_documents(n: int, seed: int = 7) -> pa.Table:
+    base = pq.read_table(os.path.join(BASE, "documents.parquet"))
+    texts = base["text"].to_pylist()
+    vocab_words, vocab_counts = np.unique(
+        [w for t in texts for w in t.split()], return_counts=True
+    )
+    p_word = vocab_counts / vocab_counts.sum()
+    lengths = [len(t.split()) for t in texts]
+    rng = np.random.default_rng(seed)
+    langs = _empirical(rng, base["lang"].to_pylist(), n)
+    sources = _empirical(rng, base["source"].to_pylist(), n)
+
+    out_texts: list[str] = []
+    for i in range(n):
+        if i > 0 and rng.random() < DUP_RATE:
+            words = out_texts[rng.integers(0, i)].split()
+            words = [
+                (rng.choice(vocab_words) if rng.random() < MUTATE_RATE else w)
+                for w in words
+            ]
+        else:
+            ln = lengths[rng.integers(0, len(lengths))]
+            words = list(rng.choice(vocab_words, size=ln, p=p_word))
+        out_texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in out_texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, dim: int = 64, seed: int = 11) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n), pa.int32()),
+        }
+    )
+
+
+def gen_orders(n: int, seed: int = 13) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    prices = np.round(rng.uniform(1000.0, 500000.0, n), 2)
+    days = rng.integers(0, 2557, n)  # 1992-01-01 .. ~1999
+    dates = (np.datetime64("1992-01-01") + days.astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    )
+    status = np.where(rng.random(n) < 0.5, "O", np.where(rng.random(n) < 0.5, "F", "P"))
+    return pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(rng.integers(1, n // 10 + 2, n), pa.int64()),
+            "o_orderstatus": pa.array(status, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        }
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale{factor}x"
+    os.makedirs(out, exist_ok=True)
+    specs = {
+        "documents": gen_documents(5000 * factor),
+        "embeddings": gen_embeddings(2000 * factor),
+        "orders": gen_orders(150000 * factor),
+    }
+    for name, table in specs.items():
+        d = os.path.join(out, f"{name}.parquet")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "part-0.parquet"))
+        print(name, table.num_rows, "->", d)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Scale shakeout (VERDICT r04 item 2): measure the headline extension
+tier at sf0.1 (1x) vs a generated N-x dataset (tools/gen_scale.py) and
+report per-query wall-times plus the observed scaling exponent
+``log(tN/t1) / log(N)`` — ~1.0 is linear, values well above the query's
+documented complexity flag a scale bug.
+
+Usage: python tools/scale_shakeout.py [NX_DIR] [FACTOR]
+       (defaults: /tmp/scale10x  10)
+
+Prints one JSON line and writes SCALE_SHAKEOUT.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from timedf_spark.queries import all_queries  # noqa: E402
+from timedf_spark.session import get_spark  # noqa: E402
+from timedf_spark.sources import trigger  # noqa: E402
+
+# The tier that carries the 100 TB claims (VERDICT r04 names the first
+# seven; the rest are round-5 additions that fit the same lens).
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "incremental_dedup_clusters",
+    "curate_corpus",
+    "ann_ivf_topk",
+    "context_pack",
+    "dedup_exact",
+    "semantic_dedup_keepers",
+    "charlm_score",
+    "mg_token_summary",
+    "equidepth_prices",
+]
+
+ITERS = int(os.environ.get("SHAKEOUT_ITERS", "2"))
+
+
+def _median_time(spark, fn, sf_dir: str) -> float:
+    trigger(fn(spark, sf_dir))  # warm-up
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        trigger(fn(spark, sf_dir))
+        times.append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    for rdd_id in list(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()):
+        try:
+            jsc.unpersistRDD(int(str(rdd_id)), False)
+        except Exception:  # noqa: BLE001
+            pass
+    return round(statistics.median(times), 3)
+
+
+def main() -> None:
+    nx_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10x"
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    base_dir = "/root/testdata/sf0.1"
+    spark = get_spark(
+        app_name="scale_shakeout",
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "30s",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=2g",
+        },
+    )
+    qs = all_queries()
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        spec = qs[name]
+        try:
+            t1 = _median_time(spark, spec.fn, base_dir)
+            tn = _median_time(spark, spec.fn, nx_dir)
+            exp = round(math.log(max(tn, 1e-3) / max(t1, 1e-3)) / math.log(factor), 2)
+            out[name] = {"t1_sec": t1, f"t{int(factor)}_sec": tn, "exponent": exp}
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": repr(exc)[:160]}
+        print(name, out[name], flush=True)
+    result = {"factor": factor, "nx_dir": nx_dir, "queries": out}
+    print(json.dumps(result))
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "SCALE_SHAKEOUT.json"), "w"
+    ) as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
