@@ -71,6 +71,121 @@ MG_TOKENS_ORACLE = summaries.mg_summary_sql(
 )
 
 
+_MG_GROUP_K = 5
+_ROLL_W = 6  # rows preceding: window = 7 most recent events per user
+
+
+def mg_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Misra-Gries: the k=5 heavy tokens per language — the
+    grouped form of mg_token_summary (per-language stopword discovery).
+
+    Scale posture: counts reduce distributed at (lang, token) grain with
+    map-side combine; both windows partition BY LANG (rank and the
+    (k+1)-th-count threshold), so no global sort and no single-partition
+    window — each language's count table ranks independently."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("item"))
+        .filter(F.col("item") != "")
+        .groupBy("lang", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("item"))
+    w_lang = Window.partitionBy("lang")
+    ranked = counts.withColumn("rk", F.row_number().over(w_rank)).withColumn(
+        "thr",
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _MG_GROUP_K + 1, F.col("cnt"))).over(w_lang),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return ranked.filter(F.col("cnt") > F.col("thr")).select(
+        "lang", "item", (F.col("cnt") - F.col("thr")).alias("est_count")
+    )
+
+
+MG_PER_LANG_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS item FROM documents
+),
+c AS (SELECT lang, item, count(*) AS cnt FROM tok WHERE item <> '' GROUP BY 1, 2),
+r AS (
+  SELECT lang, item, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item) AS rk
+  FROM c
+),
+t AS (
+  SELECT lang, item, cnt,
+         coalesce(max(CASE WHEN rk = {_MG_GROUP_K + 1} THEN cnt END)
+                  OVER (PARTITION BY lang), 0) AS thr
+  FROM r
+)
+SELECT lang, item, cast(cnt - thr AS bigint) AS est_count
+FROM t WHERE cnt > thr
+"""
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of event value over each user's last
+    {w+1} events — the robust-baseline smoother of an anomaly pipeline
+    (Spark has no exact median window function; percentile_approx is not
+    an oracle-checkable substitute).
+
+    Implementation: sort_array(collect_list) over a BOUNDED row frame +
+    1-based element_at — both engines evaluate the identical
+    middle-element formula on the identical sorted 7-element array, so
+    even-count interpolation is IEEE-identical. Scale posture: the frame
+    is bounded (7 rows), so per-row state is O(w) regardless of history
+    length, and the only exchange is the per-user window partition.
+    Rows with NULL value are excluded up front (Spark collect_list skips
+    NULLs, DuckDB list() keeps them — filtering unifies the engines)."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-_ROLL_W, 0)
+    arr = F.sort_array(F.collect_list("value").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        arr.alias("a"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN size(a) % 2 = 1 "
+            "THEN element_at(a, cast((size(a)+1) div 2 as int)) "
+            "ELSE (element_at(a, cast(size(a) div 2 as int)) "
+            "      + element_at(a, cast(size(a) div 2 + 1 as int))) / 2.0e0 "
+            "END"
+        ).alias("rolling_median"),
+    )
+
+
+ROLLING_MEDIAN_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {_ROLL_W} PRECEDING AND CURRENT ROW)) AS a
+  FROM base
+)
+SELECT event_id, user_id,
+       CASE WHEN len(a) % 2 = 1 THEN a[(len(a)+1)//2]
+            ELSE (a[len(a)//2] + a[len(a)//2 + 1]) / 2.0
+       END AS rolling_median
+FROM w
+"""
+
+
 SUITE = {
     "equidepth_prices": QuerySpec(
         "equidepth_prices",
@@ -83,5 +198,17 @@ SUITE = {
         mg_token_summary,
         MG_TOKENS_ORACLE,
         "Misra-Gries k=20 heavy-hitter token summary (TakeOrdered + threshold, no global sort)",
+    ),
+    "mg_tokens_per_lang": QuerySpec(
+        "mg_tokens_per_lang",
+        mg_tokens_per_lang,
+        MG_PER_LANG_ORACLE,
+        "per-language Misra-Gries heavy tokens (lang-partitioned windows, no global sort)",
+    ),
+    "rolling_median_value": QuerySpec(
+        "rolling_median_value",
+        rolling_median_value,
+        ROLLING_MEDIAN_ORACLE,
+        "exact rolling median over a bounded per-user event window",
     ),
 }
