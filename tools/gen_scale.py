@@ -83,6 +83,31 @@ def gen_embeddings(n: int, dim: int = 64, seed: int = 11) -> pa.Table:
     )
 
 
+def gen_events(n: int, n_users: int, seed: int = 17) -> pa.Table:
+    """Same shape as the driver's events table: 30-day span of ascending
+    µs timestamps, empirical event-type mix, uniform value, {"k": int}
+    props JSON."""
+    base = pq.read_table(os.path.join(BASE, "events.parquet"), columns=["event_type"])
+    rng = np.random.default_rng(seed)
+    types = _empirical(rng, base["event_type"].to_pylist(), n)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(rng.integers(0, span_us, n)) + np.int64(
+        np.datetime64("2024-01-01", "us").astype("int64")
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.round(rng.uniform(0.0, 500.0, n), 2), pa.float64()),
+            "props": pa.array(
+                ['{"k": %d}' % k for k in rng.integers(0, 100, n)], pa.string()
+            ),
+        }
+    )
+
+
 def gen_orders(n: int, seed: int = 13) -> pa.Table:
     rng = np.random.default_rng(seed)
     prices = np.round(rng.uniform(1000.0, 500000.0, n), 2)
@@ -110,6 +135,7 @@ def main() -> None:
         "documents": gen_documents(5000 * factor),
         "embeddings": gen_embeddings(2000 * factor),
         "orders": gen_orders(150000 * factor),
+        "events": gen_events(100000 * factor, 1500 * factor),
     }
     for name, table in specs.items():
         d = os.path.join(out, f"{name}.parquet")

@@ -40,7 +40,21 @@ QUERIES = [
     "charlm_score",
     "mg_token_summary",
     "equidepth_prices",
+    # events tier (windows / sessions / temporal joins)
+    "sessionize",
+    "session_paths",
+    "markov_transitions",
+    "first_touch_attribution",
+    "purchase_state_lookup",
+    "overlapping_sessions",
+    "rolling_median_value",
+    "interpolate_hourly",
 ]
+
+# Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
+_sel = os.environ.get("SHAKEOUT_QUERIES")
+if _sel:
+    QUERIES = [q.strip() for q in _sel.split(",") if q.strip()]
 
 ITERS = int(os.environ.get("SHAKEOUT_ITERS", "2"))
 
@@ -85,13 +99,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             out[name] = {"error": repr(exc)[:160]}
         print(name, out[name], flush=True)
-    result = {"factor": factor, "nx_dir": nx_dir, "queries": out}
-    print(json.dumps(result))
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "SCALE_SHAKEOUT.json"), "w"
-    ) as f:
-        json.dump(result, f, indent=1)
+    # merge into the existing report so subset runs (SHAKEOUT_QUERIES)
+    # extend rather than clobber prior results
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SHAKEOUT.json",
+    )
+    merged = {"factor": factor, "nx_dir": nx_dir, "queries": {}}
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+        if prev.get("factor") == factor:
+            merged["queries"].update(prev.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    merged["queries"].update(out)
+    print(json.dumps(merged))
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
