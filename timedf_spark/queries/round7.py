@@ -186,7 +186,49 @@ FROM w
 """
 
 
+# --- TPC-H Q6: forecasting revenue change ----------------------------------
+# The last of the 22 TPC-H shapes (the other 21 live in tpch*.py): a
+# pure filter-aggregate whose entire value at scale is PUSHDOWN — the
+# date/discount/quantity predicates must reach the parquet scan
+# (row-group min/max skipping) and the single global aggregate is one
+# partial+final pass with no grouping exchange. Window shifted to 1996
+# (this dataset's shipdates span 1995-2001). l_discount literals parse
+# to identical doubles on both engines, so the BETWEEN is cross-engine
+# exact.
+_Q6_PRED = (
+    "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.functions.deterministic import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    return li.filter(_Q6_PRED).agg(
+        F.expr(dsum("l_extendedprice * l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _forecast_revenue_oracle() -> str:
+    from timedf_spark.functions.deterministic import dsum
+
+    return f"""
+SELECT {dsum('l_extendedprice * l_discount')} AS revenue, count(*) AS n_lines
+FROM lineitem WHERE {_Q6_PRED}
+"""
+
+
 SUITE = {
+    "forecast_revenue": QuerySpec(
+        "forecast_revenue",
+        forecast_revenue,
+        _forecast_revenue_oracle(),
+        "TPC-H Q6 shape: pushdown filter + single global aggregate (completes all 22 TPC-H shapes)",
+    ),
     "equidepth_prices": QuerySpec(
         "equidepth_prices",
         equidepth_prices,
