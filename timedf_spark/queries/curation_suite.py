@@ -144,6 +144,29 @@ SUITE["incremental_near_dup"] = QuerySpec(
 )
 
 
+def _incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment shape of the same probe: candidate generation reads
+    a PRECOMPUTED corpus band-signature index (here built in-query so the
+    query stays a pure function of the tables; in the streaming loop it
+    is the persisted sig store), and corpus TEXT is shingled only for the
+    few candidate docs. Same hash family, bit-identical pairs — so it
+    shares the rehash path's oracle verbatim, making the driver gate
+    itself the probe-path-equality proof."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(_INGEST_PRED).select("doc_id", "text")
+    corpus = docs.filter(f"NOT ({_INGEST_PRED})").select("doc_id", "text")
+    corpus_bands, _sh = dedup._minhash_bands(corpus)
+    return dedup.incremental_near_dup_pairs_indexed(new_batch, corpus, corpus_bands)
+
+
+SUITE["incremental_near_dup_indexed"] = QuerySpec(
+    "incremental_near_dup_indexed",
+    _incremental_near_dup_indexed,
+    dedup.incremental_near_dup_sql(_INGEST_PRED),
+    "same pairs via the band-signature index: corpus text touched only for candidate verify",
+)
+
+
 def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     return curation.decontaminate_spans(spark, docs)
