@@ -40,6 +40,7 @@ __all__ = [
     "weighted_bottomk_float",
     "race_key_spark",
     "race_key_duck",
+    "cap_per_group",
 ]
 
 
@@ -114,3 +115,65 @@ def weighted_bottomk_float(
         .orderBy("race_key", id_col)
         .limit(k)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by,
+    n: int,
+    skew_spread: bool = True,
+    broadcast_groups: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group under a deterministic total order
+    — the per-domain document cap of a corpus-curation pipeline (cap docs
+    per crawl domain / per source so no single origin dominates the mix).
+
+    ``order_by`` is a list of Spark Columns forming a TOTAL order (caller
+    must include a tiebreaker); the kept set is then a pure function of
+    the data, independent of parallelism.
+
+    Scale posture: the naive form — row_number over (PARTITION BY group)
+    on the whole table — global-sorts every group and lands each hot
+    domain on ONE reducer. This form instead:
+
+    1. counts rows per group (partial-agg scan, group-grain result);
+    2. groups already under the cap bypass the window entirely via a
+       broadcast semi-join (no sort, no exchange of their rows beyond
+       the join itself — at web scale most domains are under any cap);
+    3. over-cap groups go through a TWO-STAGE top-n: a pre-window keyed
+       by (group, input partition id) keeps <= n rows per partition —
+       spreading a hot domain across the whole cluster instead of one
+       reducer — then the final per-group window ranks at most
+       n * num_partitions survivors per group. Exact because any row in
+       the global top-n of its group is in the top-n of whatever
+       partition it sits in.
+
+    Set ``broadcast_groups=False`` when group cardinality is too large to
+    broadcast (the semi-joins then shuffle); ``skew_spread=False`` skips
+    the pre-window when groups are known near-uniform.
+    """
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    under = cnt.filter(F.col("_cnt") <= n).select(*group_cols)
+    over = cnt.filter(F.col("_cnt") > n).select(*group_cols)
+    if broadcast_groups:
+        under, over = F.broadcast(under), F.broadcast(over)
+    small = df.join(under, group_cols, "left_semi")
+    big = df.join(over, group_cols, "left_semi")
+    if skew_spread:
+        pre = Window.partitionBy(*group_cols, "_pid").orderBy(*order_by)
+        big = (
+            big.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(pre))
+            .filter(F.col("_rn") <= n)
+            .drop("_pid", "_rn")
+        )
+    final = Window.partitionBy(*group_cols).orderBy(*order_by)
+    capped = (
+        big.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+    return small.unionByName(capped)

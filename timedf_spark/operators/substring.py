@@ -1,0 +1,275 @@
+"""Exact duplicated-substring detection and removal (character level).
+
+The corpus-dedup tier so far works at document granularity (exact digest,
+MinHash/SimHash/Jaccard near-dup) or at token-chunk granularity against a
+probe set (curation.decontaminate_spans). This module adds the remaining
+Lee-et-al capability ("Deduplicating Training Data Makes Language Models
+Better", ACL 2022, §ExactSubstr): find every CHARACTER span of length
+>= k that occurs verbatim in more than one document, and optionally cut
+those spans out of the text — boilerplate headers, license blocks,
+templated navigation, quoted reposts.
+
+Algorithm (suffix-array-free, shuffle-friendly): every doc emits its
+length-k character windows as (doc_id, pos, hash60(gram)); one exchange
+on the gram hash marks windows whose gram also appears in ANOTHER doc
+(min(doc_id) != max(doc_id) over the hash partition — no distinct-count
+expansion); one exchange on doc_id merges overlapping duplicated windows
+into maximal spans by gaps-and-islands (running max of window end).
+A span of length L >= k duplicated across docs covers L-k+1 duplicated
+windows, so the merged islands recover exactly the maximal duplicated
+regions.
+
+Scale posture (the 100 TB lens): the window stream is O(total_chars)
+rows of 24 bytes (doc_id, pos, 60-bit gram hash) — ~2.4x the corpus
+bytes through ONE hash exchange, the honest cost of EXACT substring
+dedup (the suffix-array formulation is also O(total_chars) but needs a
+global sort; the hash formulation needs only hash partitioning, no
+order). Both downstream exchanges partition by doc_id and Catalyst
+reuses the first for the island groupBy. Nothing is quadratic: a gram
+duplicated across D docs costs D rows in one hash partition, and
+hot-gram skew (the empty-string-of-spaces pathology) spreads because
+windows of a hot gram from many docs hash to ONE partition only for the
+min/max reduction, which is a constant-size aggregate state. At 60 bits
+a hash collision can mark a unique window as duplicated; at corpus scale
+(>2^30 windows) widen to the full md5 (two 60-bit columns) — for an
+EXACT guarantee group by the gram string itself and pay k bytes/row of
+shuffle instead of 8.
+
+No counterpart exists in intel-ai/timedf (extension row; SURVEY.md §2
+has no substring surface — closest is the digest dedup the reference
+also lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "duplicate_span_report",
+    "duplicate_span_sql",
+    "strip_duplicate_spans",
+    "strip_duplicate_spans_sql",
+]
+
+DEFAULT_K = 20
+
+
+def _gram_hash_spark(text_col: str, k: int) -> str:
+    # 60-bit md5 prefix of the k-char window at 0-based `pos` (15 hex
+    # chars fit int64) — same family as dedup._HASH60_SPARK, inlined on
+    # the substring so both engines hash identical bytes.
+    return (
+        f"cast(conv(substring(md5(substring({text_col}, pos + 1, {k})), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+
+
+def _gram_hash_duck(text_col: str, k: int) -> str:
+    return f"(('0x' || substr(md5(substr({text_col}, pos + 1, {k})), 1, 15))::BIGINT)"
+
+
+def duplicate_span_report(
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    """Maximal cross-document duplicated character spans.
+
+    Returns (doc_id, span_start, span_end, span_len): 0-based start
+    inclusive, end exclusive — every maximal region of ``text`` whose
+    k-char windows all occur verbatim in at least one OTHER document.
+    """
+    grams = (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
+            text_col,
+        )
+        .select("doc_id", "pos", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
+    )
+    # one exchange on gh: a window is duplicated iff its gram appears in
+    # another doc (min/max over the hash partition, no count-distinct)
+    wg = Window.partitionBy("gh")
+    dup_pos = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "pos")
+    )
+    # gaps-and-islands on doc_id: merge overlapping [pos, pos+k) windows
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_pos.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(wd))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
+        )
+    )
+
+
+def _span_ctes(table: str, text_col: str, k: int) -> str:
+    """Shared DuckDB CTE chain ending in `spans` (same shape as the
+    Spark plan: unnest windows -> hash-partition min/max -> islands)."""
+    return f"""
+g AS (
+  SELECT doc_id, unnest(range(0, length({text_col}) - {k} + 1)) AS pos, {text_col}
+  FROM {table} WHERE length({text_col}) >= {k}
+),
+h AS (SELECT doc_id, pos, {_gram_hash_duck(text_col, k)} AS gh FROM g),
+p AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY gh) AS mn,
+           max(doc_id) OVER (PARTITION BY gh) AS mx
+    FROM h
+  ) WHERE mn <> mx
+),
+m AS (
+  SELECT doc_id, pos,
+         max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM p
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id,
+         cast(min(pos) AS BIGINT) AS span_start,
+         cast(max(pos) + {k} AS BIGINT) AS span_end
+  FROM i GROUP BY doc_id, island
+)"""
+
+
+def duplicate_span_sql(
+    table: str = "documents", text_col: str = "text", k: int = DEFAULT_K
+) -> str:
+    return f"""
+WITH {_span_ctes(table, text_col, k)}
+SELECT doc_id, span_start, span_end,
+       cast(span_end - span_start AS BIGINT) AS span_len
+FROM spans
+"""
+
+
+def strip_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K
+) -> DataFrame:
+    """Per doc: cut every cross-document duplicated span out of the text.
+
+    Returns (doc_id, n_spans, removed_chars, clean_text) for EVERY doc —
+    spanless docs (including those shorter than k) pass through with
+    their text intact. Keep-segments are the complement of the sorted
+    disjoint spans: [prev_span_end, span_start) per span plus the tail
+    [last_span_end, len); reassembly is an order-defined string
+    aggregate, one exchange on doc_id (shared with the span frame's
+    island exchange).
+    """
+    spans = duplicate_span_report(docs, text_col, k)
+    wd = Window.partitionBy("doc_id").orderBy("span_start")
+    heads = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("span_end").over(wd), F.lit(0)).alias("ks"),
+        F.col("span_start").alias("ke"),
+    )
+    tails = spans.groupBy("doc_id").agg(F.max("span_end").alias("ks")).withColumn(
+        "ke", F.lit(None).cast("long")  # NULL = end of text, resolved after join
+    )
+    base = docs.select("doc_id", text_col, F.length(text_col).cast("long").alias("doc_len"))
+    segs = (
+        heads.unionByName(tails)
+        .join(base, "doc_id")
+        .withColumn("ke", F.coalesce("ke", "doc_len"))
+        .filter(F.col("ke") > F.col("ks"))
+        .select(
+            "doc_id",
+            "ks",
+            F.expr(f"substring({text_col}, ks + 1, ke - ks)").alias("seg"),
+        )
+    )
+    cleaned = segs.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ks, seg))),"
+            " x -> x.seg), '')"
+        ).alias("clean_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("removed_chars"),
+    )
+    return (
+        base.join(stats, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+            # a doc whose ENTIRE text is duplicated has stats but no
+            # keep-segments -> clean_text '', not the original
+            F.when(F.col("n_spans").isNull(), F.col(text_col))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
+        )
+    )
+
+
+def strip_duplicate_spans_sql(
+    table: str = "documents", text_col: str = "text", k: int = DEFAULT_K
+) -> str:
+    return f"""
+WITH {_span_ctes(table, text_col, k)},
+heads AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+                  0) AS ks,
+         span_start AS ke
+  FROM spans
+),
+tails AS (
+  SELECT doc_id, max(span_end) AS ks, cast(NULL AS BIGINT) AS ke
+  FROM spans GROUP BY doc_id
+),
+base AS (SELECT doc_id, {text_col}, cast(length({text_col}) AS BIGINT) AS doc_len FROM {table}),
+segs AS (
+  SELECT s.doc_id, s.ks,
+         substr(b.{text_col}, cast(s.ks + 1 AS INT),
+                cast(coalesce(s.ke, b.doc_len) - s.ks AS INT)) AS seg
+  FROM (SELECT * FROM heads UNION ALL SELECT * FROM tails) s
+  JOIN base b USING (doc_id)
+  WHERE coalesce(s.ke, b.doc_len) > s.ks
+),
+cleaned AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS clean_text
+  FROM segs GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(span_end - span_start) AS removed_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       cast(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       cast(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+       CASE WHEN st.n_spans IS NULL THEN b.{text_col}
+            ELSE coalesce(c.clean_text, '') END AS clean_text
+FROM base b
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN cleaned c USING (doc_id)
+"""

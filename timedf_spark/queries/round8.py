@@ -1,0 +1,132 @@
+"""Round-8 queries: exact substring-level dedup (operators/substring.py)
+and training-export primitives — per-source document caps and a
+deterministic shard plan.
+
+Scale posture (the 100 TB lens, per query):
+
+- ``duplicate_substring_spans`` / ``strip_duplicate_spans``: the exact
+  Lee-et-al substring tier. One hash exchange over the k-gram window
+  stream (~24 bytes per corpus character — the honest cost of EXACT
+  substring dedup; the approximate tiers in operators/dedup.py are the
+  cheap path), then doc_id-partitioned islands/reassembly with the
+  exchange reused across the window, the span groupBy, and the segment
+  aggregate. No global sort anywhere (the suffix-array formulation
+  needs one; this doesn't).
+
+- ``source_cap_sample``: per-origin cap via sampling.cap_per_group —
+  under-cap sources bypass the window through a broadcast semi-join,
+  over-cap sources run a two-stage top-n keyed first by (source,
+  input-partition) so one hot domain spreads across the cluster rather
+  than landing on a single reducer. The oracle is the naive one-window
+  form: same rows, different physics.
+
+- ``corpus_shard_plan``: deterministic shard assignment for training
+  export. Shard = 60-bit md5(doc_id) mod N — hash partitioning, NOT a
+  global sort; within-shard sequence is a shard-partitioned window.
+  The (shard, seq) pair is a reproducible global shuffle of the corpus:
+  any two runs at any parallelism emit identical shard files, which is
+  what makes a 100 TB training run resumable and its data order
+  auditable.
+
+Reference parity: none of these exist in intel-ai/timedf (the reference
+has no text surface at all — SURVEY.md §2 extension rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from timedf_spark.functions.hashing import DOC_HASH_DUCK, DOC_HASH_SPARK
+from timedf_spark.operators import substring as substr_ops
+from timedf_spark.operators.sampling import cap_per_group
+from timedf_spark.queries import QuerySpec
+from timedf_spark.sources import load_table
+
+_SPAN_K = 20
+_CAP_N = 10
+_N_SHARDS = 16
+
+
+def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substr_ops.duplicate_span_report(docs, "text", _SPAN_K)
+
+
+def strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substr_ops.strip_duplicate_spans(docs, "text", _SPAN_K)
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_group(
+        docs,
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        _CAP_N,
+    )
+    return kept.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, cast(n_chars AS BIGINT) AS n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_CAP_N}
+"""
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.expr(DOC_HASH_SPARK).alias("h")
+    ).withColumn("shard", F.expr(f"pmod(h, {_N_SHARDS})").cast("long"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+SHARD_PLAN_ORACLE = f"""
+SELECT doc_id,
+       cast({DOC_HASH_DUCK} % {_N_SHARDS} AS BIGINT) AS shard,
+       cast(row_number() OVER (
+           PARTITION BY {DOC_HASH_DUCK} % {_N_SHARDS}
+           ORDER BY {DOC_HASH_DUCK}, doc_id) AS BIGINT) AS seq
+FROM documents
+"""
+
+
+SUITE = {
+    "duplicate_substring_spans": QuerySpec(
+        "duplicate_substring_spans",
+        duplicate_substring_spans,
+        substr_ops.duplicate_span_sql("documents", "text", _SPAN_K),
+        "maximal cross-doc duplicated character spans (exact substring tier, hash exchange not suffix sort)",
+    ),
+    "strip_duplicate_spans": QuerySpec(
+        "strip_duplicate_spans",
+        strip_duplicate_spans,
+        substr_ops.strip_duplicate_spans_sql("documents", "text", _SPAN_K),
+        "cut duplicated spans out of every doc; order-defined reassembly on the reused doc_id exchange",
+    ),
+    "source_cap_sample": QuerySpec(
+        "source_cap_sample",
+        source_cap_sample,
+        SOURCE_CAP_ORACLE,
+        "per-source doc cap: broadcast bypass for under-cap sources, two-stage skew-spread top-n for hot ones",
+    ),
+    "corpus_shard_plan": QuerySpec(
+        "corpus_shard_plan",
+        corpus_shard_plan,
+        SHARD_PLAN_ORACLE,
+        "deterministic hash-shard + in-shard sequence: reproducible global shuffle without a global sort",
+    ),
+}
