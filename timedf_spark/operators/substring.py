@@ -51,6 +51,8 @@ __all__ = [
     "duplicate_span_sql",
     "strip_duplicate_spans",
     "strip_duplicate_spans_sql",
+    "fingerprint_candidate_pairs",
+    "fingerprint_candidates_sql",
 ]
 
 DEFAULT_K = 20
@@ -272,4 +274,103 @@ SELECT b.doc_id,
 FROM base b
 LEFT JOIN stats st USING (doc_id)
 LEFT JOIN cleaned c USING (doc_id)
+"""
+
+
+# ---- sampled-fingerprint tier (the 100 TB path) ----------------------------
+#
+# The exact tier above pays ~24 bytes of shuffle per corpus character.
+# The scalable companion is 0-mod-p fingerprinting (Schleimer, Wilkerson
+# & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+# SIGMOD 2003, §2): keep only k-gram windows whose hash is divisible by
+# p — every run is sampled at the SAME positions (content-defined, so a
+# shared substring yields shared fingerprints regardless of where it
+# sits in each doc), expected density 1/p, shuffle cut by p. Docs
+# sharing >= min_shared sampled grams become candidate pairs for the
+# exact verifier — the same generate-cheap/verify-exact two-tier shape
+# as MinHash-LSH, but at substring (not whole-doc) granularity.
+
+FP_P = 8  # sampling modulus: expected 1/8 of windows survive
+
+
+def fingerprint_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    p: int = FP_P,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Candidate doc pairs sharing >= min_shared sampled k-gram
+    fingerprints -> (doc_a, doc_b, n_shared).
+
+    Scale posture: the fingerprint stream is 1/p of the exact tier's,
+    distinct-ed to (doc_id, gh) grain before the self-join; the
+    candidate join is equi on gh (no cross product) and ``max_doc_freq``
+    drops degenerate grams shared by more than that many docs — the
+    same hot-key guard as the n-gram Jaccard tier, without which one
+    boilerplate gram shared by D docs costs D^2 pairs."""
+    grams = (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
+            text_col,
+        )
+        .select("doc_id", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
+        .filter(F.col("gh") % p == 0)
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        wg = Window.partitionBy("gh")
+        grams = grams.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
+            F.col("df") <= max_doc_freq
+        ).drop("df")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )
+
+
+def fingerprint_candidates_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    p: int = FP_P,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 64,
+) -> str:
+    guard = (
+        f"""
+,fpg AS (
+  SELECT doc_id, gh FROM (
+    SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM fp
+  ) WHERE df <= {max_doc_freq}
+)"""
+        if max_doc_freq is not None
+        else ",fpg AS (SELECT doc_id, gh FROM fp)"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(range(0, length({text_col}) - {k} + 1)) AS pos, {text_col}
+  FROM {table} WHERE length({text_col}) >= {k}
+),
+fp AS (
+  SELECT DISTINCT doc_id, gh FROM (
+    SELECT doc_id, {_gram_hash_duck(text_col, k)} AS gh FROM g
+  ) WHERE gh % {p} = 0
+){guard}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(count(*) AS BIGINT) AS n_shared
+FROM fpg a JOIN fpg b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
 """

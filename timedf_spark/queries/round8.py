@@ -46,6 +46,12 @@ from timedf_spark.sources import load_table
 _SPAN_K = 20
 _CAP_N = 10
 _N_SHARDS = 16
+# sampled-substring tier: density 1/4 catches the short-span regime
+# (typical dup spans here are 20-60 chars -> 1-40 windows); min_shared=1
+# is principled because one shared 60-bit gram hash IS a real shared
+# k-char substring - the threshold only trades candidate volume.
+_FP_P = 4
+_FP_MIN_SHARED = 1
 
 
 def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +110,70 @@ FROM documents
 """
 
 
+def substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substr_ops.fingerprint_candidate_pairs(docs, "text", _SPAN_K, _FP_P, _FP_MIN_SHARED)
+
+
+def substring_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level recall of the sampled-fingerprint tier against the exact
+    span tier, as a 1-row report (the same self-evaluating-tier shape as
+    near_dup_tier_report). At 100 TB: run on a bounded sample — the
+    exact baseline is the expensive side, the mod-p tier is the cheap
+    one; the ratio is what transfers."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        substr_ops.duplicate_span_report(docs, "text", _SPAN_K)
+        .select("doc_id")
+        .distinct()
+    )
+    pairs = substr_ops.fingerprint_candidate_pairs(docs, "text", _SPAN_K, _FP_P, _FP_MIN_SHARED)
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_docs"))
+    n_both = exact.join(cand, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_both)  # 1-row x 1-row scalar assembly
+        .select(
+            "n_exact_docs",
+            "n_candidate_docs",
+            "n_overlap",
+            F.expr(
+                "cast(n_overlap as double) / nullif(cast(n_exact_docs as double), 0.0)"
+            ).alias("doc_recall"),
+        )
+    )
+
+
+TIER_REPORT_ORACLE = f"""
+WITH {{span_ctes}},
+exact AS (SELECT DISTINCT doc_id FROM spans),
+pairs AS ({{cand_sql}}),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+  )
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact_docs,
+       (SELECT count(*) FROM cand) AS n_candidate_docs,
+       (SELECT count(*) FROM exact WHERE doc_id IN (SELECT doc_id FROM cand))
+         AS n_overlap,
+       cast((SELECT count(*) FROM exact WHERE doc_id IN (SELECT doc_id FROM cand))
+            AS DOUBLE)
+         / nullif(cast((SELECT count(*) FROM exact) AS DOUBLE), 0.0) AS doc_recall
+""".format(
+    span_ctes=substr_ops._span_ctes("documents", "text", _SPAN_K),
+    cand_sql=substr_ops.fingerprint_candidates_sql("documents", "text", _SPAN_K, _FP_P, _FP_MIN_SHARED).strip(),
+)
+
+
 SUITE = {
     "duplicate_substring_spans": QuerySpec(
         "duplicate_substring_spans",
@@ -128,5 +198,17 @@ SUITE = {
         corpus_shard_plan,
         SHARD_PLAN_ORACLE,
         "deterministic hash-shard + in-shard sequence: reproducible global shuffle without a global sort",
+    ),
+    "substring_candidates": QuerySpec(
+        "substring_candidates",
+        substring_candidates,
+        substr_ops.fingerprint_candidates_sql("documents", "text", _SPAN_K, _FP_P, _FP_MIN_SHARED),
+        "0-mod-p fingerprint candidate pairs: 1/p of the exact tier's shuffle, hot-gram guarded",
+    ),
+    "substring_tier_report": QuerySpec(
+        "substring_tier_report",
+        substring_tier_report,
+        TIER_REPORT_ORACLE,
+        "doc-level recall of the sampled tier vs the exact span tier (self-evaluating approximate tier)",
     ),
 }
