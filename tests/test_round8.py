@@ -207,3 +207,33 @@ def test_fingerprint_join_is_equi_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_incremental_probe_equals_full_filtered(spark):
+    """Probe-path equivalence: the index probe must emit exactly the
+    full-batch candidate pairs that touch the batch — Spark vs Spark,
+    independent of the DuckDB oracle that pins the same fact."""
+    from timedf_spark.operators.substring import (
+        corpus_fingerprints,
+        fingerprint_candidate_pairs,
+        incremental_fingerprint_probe,
+    )
+    from timedf_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    pred = "doc_id % 10 = 7"
+    new = docs.filter(pred).select("doc_id", "text")
+    corpus = docs.filter(f"NOT ({pred})").select("doc_id", "text")
+    fps = corpus_fingerprints(corpus, "text", 20, 4)
+    probe = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in incremental_fingerprint_probe(new, fps, "text", 20, 4, 1).collect()
+    }
+    batch_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in fingerprint_candidate_pairs(docs, "text", 20, 4, 1).collect()
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    assert probe == full and len(probe) > 0

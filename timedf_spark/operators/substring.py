@@ -374,3 +374,93 @@ FROM fpg a JOIN fpg b ON a.gh = b.gh AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def corpus_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    p: int = FP_P,
+) -> DataFrame:
+    """The persistable fingerprint index: distinct (doc_id, gh) for the
+    0-mod-p sampled k-grams — what a streaming ingest loop keeps in its
+    store so arriving batches probe an index instead of re-shingling the
+    corpus (the substring-tier analogue of the MinHash band-signature
+    store in streaming/ingest_dedup.py)."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
+            text_col,
+        )
+        .select("doc_id", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
+        .filter(F.col("gh") % p == 0)
+        .distinct()
+    )
+
+
+def incremental_fingerprint_probe(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    p: int = FP_P,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Candidate pairs TOUCHING the new batch — batch-internal plus
+    batch-vs-corpus — via the fingerprint index; corpus text is never
+    re-shingled. Bit-identical to the full-batch candidate set filtered
+    to new-doc pairs, because the hash family is deterministic and the
+    doc-frequency guard is evaluated over the union (deployment note: a
+    real store keeps per-gram doc counts materialized, so the guard is
+    an index lookup, not a recount).
+
+    Scale posture: the corpus side contributes only its index rows
+    (1/p-sampled, 16 bytes/row) to ONE equi-join exchange on gh; batch
+    rows are the only text shingled. No corpus scan, no cross product.
+    """
+    new_fps = corpus_fingerprints(new_docs, text_col, k, p).withColumn(
+        "is_new", F.lit(True)
+    )
+    allfps = new_fps.unionByName(corpus_fps.withColumn("is_new", F.lit(False)))
+    if max_doc_freq is not None:
+        wg = Window.partitionBy("gh")
+        allfps = (
+            allfps.withColumn("df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("df") <= max_doc_freq)
+            .drop("df")
+        )
+    a = allfps.alias("a")
+    b = allfps.alias("b")
+    return (
+        a.join(b, "gh")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_new") | F.col("b.is_new"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )
+
+
+def incremental_fingerprint_sql(
+    batch_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    p: int = FP_P,
+    min_shared: int = 1,
+    max_doc_freq: int | None = 64,
+) -> str:
+    """DuckDB oracle: the FULL candidate set filtered to pairs touching
+    the batch — the equivalence the probe path must reproduce."""
+    full = fingerprint_candidates_sql(table, text_col, k, p, min_shared, max_doc_freq)
+    return f"""
+SELECT * FROM ({full})
+WHERE doc_a IN (SELECT doc_id FROM {table} WHERE {batch_pred})
+   OR doc_b IN (SELECT doc_id FROM {table} WHERE {batch_pred})
+"""

@@ -174,6 +174,25 @@ SELECT (SELECT count(*) FROM exact) AS n_exact_docs,
 )
 
 
+_BATCH_PRED = "doc_id % 10 = 7"  # same ingest split as curation_suite
+
+
+def incremental_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving batch probed against the persisted fingerprint index
+    (built in-query from the corpus split so the query stays a pure
+    function of the tables; in a streaming loop it is the stored index).
+    Oracle = the FULL candidate set filtered to batch-touching pairs, so
+    the driver gate doubles as the probe-path-equivalence proof — the
+    same pattern as incremental_near_dup_indexed."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(_BATCH_PRED).select("doc_id", "text")
+    corpus = docs.filter(f"NOT ({_BATCH_PRED})").select("doc_id", "text")
+    fps = substr_ops.corpus_fingerprints(corpus, "text", _SPAN_K, _FP_P)
+    return substr_ops.incremental_fingerprint_probe(
+        new_batch, fps, "text", _SPAN_K, _FP_P, _FP_MIN_SHARED
+    )
+
+
 SUITE = {
     "duplicate_substring_spans": QuerySpec(
         "duplicate_substring_spans",
@@ -210,5 +229,13 @@ SUITE = {
         substring_tier_report,
         TIER_REPORT_ORACLE,
         "doc-level recall of the sampled tier vs the exact span tier (self-evaluating approximate tier)",
+    ),
+    "incremental_substring_probe": QuerySpec(
+        "incremental_substring_probe",
+        incremental_substring_probe,
+        substr_ops.incremental_fingerprint_sql(
+            _BATCH_PRED, "documents", "text", _SPAN_K, _FP_P, _FP_MIN_SHARED
+        ),
+        "batch probes the substring fingerprint index; corpus never re-shingled (probe == full-batch filtered)",
     ),
 }
