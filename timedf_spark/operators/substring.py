@@ -61,7 +61,9 @@ DEFAULT_K = 20
 def _gram_hash_spark(text_col: str, k: int) -> str:
     # 60-bit md5 prefix of the k-char window at 0-based `pos` (15 hex
     # chars fit int64) — same family as dedup._HASH60_SPARK, inlined on
-    # the substring so both engines hash identical bytes.
+    # the substring so both engines hash identical bytes. Used where the
+    # hash VALUE must agree across engines (the 0-mod-p sampled tier:
+    # the value decides which windows are kept).
     return (
         f"cast(conv(substring(md5(substring({text_col}, pos + 1, {k})), 1, 15), 16, 10)"
         " as bigint)"
@@ -70,6 +72,18 @@ def _gram_hash_spark(text_col: str, k: int) -> str:
 
 def _gram_hash_duck(text_col: str, k: int) -> str:
     return f"(('0x' || substr(md5(substr({text_col}, pos + 1, {k})), 1, 15))::BIGINT)"
+
+
+def _gram_hash_fast_spark(text_col: str, k: int) -> str:
+    # The EXACT tier only consumes gram EQUALITY (duplicated-or-not), so
+    # each engine may use its own fastest 64-bit hash — xxhash64 here,
+    # DuckDB's native hash() in the oracle. ~10x cheaper than
+    # md5+hex-conv per window, identical spans (collisions aside).
+    return f"xxhash64(substring({text_col}, pos + 1, {k}))"
+
+
+def _gram_hash_fast_duck(text_col: str, k: int) -> str:
+    return f"cast(hash(substr({text_col}, pos + 1, {k})) as hugeint)"
 
 
 def duplicate_span_report(
@@ -88,7 +102,7 @@ def duplicate_span_report(
             F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
             text_col,
         )
-        .select("doc_id", "pos", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
+        .select("doc_id", "pos", F.expr(_gram_hash_fast_spark(text_col, k)).alias("gh"))
     )
     # one exchange on gh: a window is duplicated iff its gram appears in
     # another doc (min/max over the hash partition, no count-distinct)
@@ -131,7 +145,7 @@ g AS (
   SELECT doc_id, unnest(range(0, length({text_col}) - {k} + 1)) AS pos, {text_col}
   FROM {table} WHERE length({text_col}) >= {k}
 ),
-h AS (SELECT doc_id, pos, {_gram_hash_duck(text_col, k)} AS gh FROM g),
+h AS (SELECT doc_id, pos, {_gram_hash_fast_duck(text_col, k)} AS gh FROM g),
 p AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos,
