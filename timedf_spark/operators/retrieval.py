@@ -1,0 +1,196 @@
+"""BM25 top-k document retrieval — query-driven corpus search.
+
+Training-data pipelines retrieve documents against reference queries
+constantly: benchmark decontamination (find corpus docs that *answer*
+eval questions, not just ones sharing n-grams), targeted data selection
+("more docs like these"), and quality probes. TF-IDF ranks a document's
+own terms (queries/analytics_round3.py::tfidf_top_terms); this operator
+answers the transposed question — given a QUERY, which documents score
+highest — which needs document-length normalization and term saturation,
+i.e. BM25 (Robertson & Spärck Jones; the Okapi formulation).
+
+Scoring: the standard BM25 shape with one deliberate substitution —
+*rational* idf, ``(N - df + 0.5)/(df + 0.5) + 1.0``, instead of its
+logarithm. ln() is not required by IEEE 754 to be correctly rounded and
+differs between libm implementations, so any log-based score would drift
+between engines and break the value-hash gate; the rational form is a
+per-term monotone transform of Robertson idf (same per-term document
+ranking; cross-term aggregation weights rare terms more sharply). Same
+precedent as operators/lm.py (probabilities, not log-probs).
+
+Determinism: every input to the score is an exact integer (tf, df, dl,
+N, total token count); the score is a fixed tree of IEEE +,-,*,/ on
+doubles (each exactly rounded, so bit-identical across engines on
+identical inputs); the per-(query, doc) total is a quantized-bigint sum
+(functions/deterministic.py pattern) — order-independent, so Spark's
+partitioned aggregation and DuckDB agree exactly, and ranking happens on
+the integer total with a doc_id tie-break.
+
+Plan shape (the 100 TB lens):
+- tokens are exploded once per consumer; the per-doc length table is a
+  map-side-combined count keyed by doc_id (one small exchange);
+- the corpus token stream is filtered to QUERY TERMS by a broadcast
+  isin BEFORE any exchange — the big shuffle carries only postings for
+  the handful of query terms, not the corpus vocabulary;
+- df and the global totals are aggregates of those small tables; the
+  scoring join broadcasts the (qid, term, df) side onto the postings;
+- top-k is a per-qid window over scored postings (rows ≈ Σ_t df(t),
+  bounded by the query terms' document frequencies, not the corpus).
+
+Quantization bound (LOUD): per-term quantized scores are
+≤ (N + 1.5) * (k1 + 1) * 10^scale; with scale=6 the per-(query, doc)
+bigint total stays < 2^53 while N * qlen < ~4e9 — far past any test SF
+but NOT past a 100 TB corpus. :func:`bm25_topk` raises past the bound
+rather than silently wrapping; at that scale drop ``quant_scale`` (the
+score keeps 6+ significant digits regardless, since ranking only needs
+relative order within a query).
+
+Reference parity: no retrieval surface exists in intel-ai/timedf
+(SURVEY.md §2 extension rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["bm25_topk", "bm25_topk_sql", "QUERY_SET"]
+
+K1 = "1.2"
+B = "0.75"
+_SCALE = 6
+
+# The literal evaluation query set: (qid, term) pairs over the testdata
+# vocabulary. Multi-term so score summation and partial-match docs are
+# exercised; terms chosen with a spread of document frequencies.
+QUERY_SET: tuple[tuple[int, str], ...] = (
+    (1, "spark"), (1, "join"), (1, "window"),
+    (2, "hash"), (2, "table"), (2, "scan"),
+    (3, "stream"), (3, "batch"), (3, "filter"),
+    (4, "customer"), (4, "order"), (4, "value"),
+    (5, "slow"), (5, "fast"), (5, "query"),
+)
+
+
+def _score_sql(scale: int) -> str:
+    """Shared Spark-SQL/DuckDB text: quantized per-(query, doc, term) BM25
+    partial score over exact-integer columns tf, df, dl, n_docs, tot_tokens.
+
+    dl/avgdl is computed as dl * n_docs / tot_tokens — one multiply and one
+    divide in a fixed left-associative order, avoiding a separately-rounded
+    avgdl column. All literals are written so at least one operand of every
+    node is double (a bare decimal literal is DECIMAL in Spark SQL).
+    """
+    idf = (
+        "((cast(n_docs as double) - cast(df as double) + 0.5)"
+        " / (cast(df as double) + 0.5) + 1.0)"
+    )
+    dl_norm = (
+        f"(1.0 - {B} + {B} * (cast(dl as double) * cast(n_docs as double)"
+        " / cast(tot_tokens as double)))"
+    )
+    tf_sat = (
+        f"(cast(tf as double) * ({K1} + 1.0)"
+        f" / (cast(tf as double) + {K1} * {dl_norm}))"
+    )
+    return (
+        f"cast(floor({idf} * {tf_sat} * {10.0 ** scale:.1f} + 0.5) as bigint)"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (rational idf, module docstring).
+
+    ``query_terms`` is a tiny (qid, term) frame — broadcast throughout.
+    Returns (qid, rank, doc_id, score) with rank 1..k decided on the exact
+    integer score total (doc_id tie-break).
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    ).filter("term <> ''")
+    # per-doc length over ALL tokens: map-side combine, doc_id-keyed counts
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_tokens"),
+    )
+    # postings restricted to query terms BEFORE the (doc, term) exchange
+    qt = F.broadcast(query_terms.select("qid", "term").distinct())
+    tf = (
+        tokens.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(qt, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .withColumn("qscore", F.expr(_score_sql(_SCALE)))
+    )
+    per_doc = scored.groupBy("qid", "doc_id").agg(F.sum("qscore").alias("stotal"))
+    w = Window.partitionBy("qid").orderBy(F.desc("stotal"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.expr(f"cast(stotal as double) / {10.0 ** _SCALE:.1f}").alias("score"),
+        )
+    )
+
+
+def _query_values_sql() -> str:
+    rows = ", ".join(f"({qid}, '{t}')" for qid, t in QUERY_SET)
+    return f"(VALUES {rows}) AS q(qid, term)"
+
+
+def bm25_topk_sql(table: str = "documents", text_col: str = "text", k: int = 5) -> str:
+    """DuckDB twin — identical score expression text (shared _score_sql)."""
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split({text_col}, ' ')) AS term FROM {table}
+), toks AS (
+  SELECT doc_id, term FROM tokens WHERE term <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), totals AS (
+  SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl
+), qset AS (
+  SELECT DISTINCT qid, term FROM {_query_values_sql()}
+), tfreq AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qset)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tfreq GROUP BY term
+), scored AS (
+  SELECT qset.qid, tfreq.doc_id,
+         {_score_sql(_SCALE)} AS qscore
+  FROM tfreq
+  JOIN dfreq USING (term)
+  JOIN qset USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN totals
+), per_doc AS (
+  SELECT qid, doc_id, sum(qscore) AS stotal FROM scored GROUP BY qid, doc_id
+)
+SELECT qid, cast(rank AS BIGINT) AS rank, doc_id,
+       cast(stotal AS DOUBLE) / {10.0 ** _SCALE:.1f} AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY stotal DESC, doc_id)
+           AS rank
+  FROM per_doc
+) WHERE rank <= {k}
+"""

@@ -1,0 +1,162 @@
+"""Hashed n-gram importance weighting for targeted data selection
+(the DSIR shape: Xie et al., "Data Selection for Language Models via
+Importance Resampling", NeurIPS 2023).
+
+Given a small TARGET subset (the distribution you want more of — a
+trusted domain, a language, a quality tier) and the raw corpus, weight
+every document by how target-like its token distribution is:
+
+    pass 1: hash each token into one of ``n_buckets`` feature buckets
+        (60-bit md5 → pmod — the cross-engine hash family from
+        functions/hashing.py) and count buckets twice: over the target
+        subset and over the whole corpus. Both count tables are
+        bucket-sized (≤ n_buckets rows), shuffled with map-side combine.
+    pass 2: per-bucket weight = ratio of add-one-smoothed probabilities,
+        target over corpus, quantized to a bigint; the weight table is
+        tiny → broadcast onto the token stream; per-doc importance is
+        the exact integer weight sum over the doc's tokens divided by
+        its token count.
+
+Determinism: the published DSIR weight is a LOG-likelihood ratio; ln()
+is libm-dependent (operators/lm.py precedent), so the weight here is the
+*probability ratio itself*, quantized — per-bucket monotone in the log
+form; the per-doc aggregation averages ratios instead of summing logs
+(geometric → arithmetic mean swap; same high/low-importance tails, and
+the oracle comparison is exact). All inputs are exact integers; every
+float op is one fixed tree of IEEE +,/,* — bit-identical across engines;
+the per-doc sum is an order-independent bigint sum.
+
+At 100 TB: two corpus scans (count pass, score pass — fuse with any
+other full-pass stats), two bucket-sized shuffles, one broadcast join,
+one doc_id-keyed aggregate with map-side combine. The weight table is
+O(n_buckets) regardless of corpus size — this is the property that made
+DSIR practical at CommonCrawl scale, preserved here.
+
+Quantization bound (LOUD): quantized weights are ≤ ratio_max * 10^6
+where ratio_max ≈ (tot_corpus + n_buckets)/(tot_target + n_buckets);
+per-doc totals then must stay < 2^53 — holds while doc_len * ratio_max
+< ~9e9. A 100 TB run with a tiny target should cap ratio_max (clip the
+weight table) or drop the quantization scale; the clip is one
+``least()`` on the broadcast side.
+
+Reference parity: no data-selection surface exists in intel-ai/timedf
+(SURVEY.md §2 extension rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["importance_weights", "importance_weights_sql"]
+
+N_BUCKETS = 1024
+_SCALE = 6
+
+_BUCKET_SPARK = (
+    f"pmod(cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint), {N_BUCKETS})"
+)
+_BUCKET_DUCK = f"((('0x' || substr(md5(term), 1, 15))::BIGINT) % {N_BUCKETS})"
+
+# shared Spark-SQL/DuckDB text over exact-integer columns nt, nc, tot_t,
+# tot_c: quantized smoothed-probability ratio (target / corpus)
+_QW_SQL = (
+    "cast(floor(((cast(nt as double) + 1.0)"
+    f" / (cast(tot_t as double) + {float(N_BUCKETS):.1f}))"
+    " / ((cast(nc as double) + 1.0)"
+    f" / (cast(tot_c as double) + {float(N_BUCKETS):.1f}))"
+    f" * {10.0 ** _SCALE:.1f} + 0.5) as bigint)"
+)
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, importance) for every document; importance is the
+    mean quantized target/corpus probability ratio over the doc's hashed
+    token buckets (module docstring). ``target_pred`` is a SQL predicate
+    over ``docs`` selecting the target subset."""
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.expr(f"({target_pred})").alias("is_target"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.split("_t", " ")).alias("term"),
+        )
+        .filter("term <> ''")
+        .withColumn("bucket", F.expr(_BUCKET_SPARK))
+    )
+    corpus_counts = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
+    target_counts = (
+        tok.filter("is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    totals = (
+        corpus_counts.agg(F.sum("nc").alias("tot_c"))
+        .crossJoin(target_counts.agg(F.sum("nt").alias("tot_t")))
+    )
+    weights = (
+        corpus_counts.join(target_counts, "bucket", "left")
+        .withColumn("nt", F.coalesce("nt", F.lit(0)))
+        .join(F.broadcast(totals))
+        .withColumn("qw", F.expr(_QW_SQL))
+        .select("bucket", "qw")
+    )
+    per_doc = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("qw").alias("sw"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(cast(sw as double) / cast(n_tokens as double)) / {10.0 ** _SCALE:.1f}"
+        ).alias("importance"),
+    )
+
+
+def importance_weights_sql(
+    table: str = "documents",
+    target_pred: str = "lang = 'en'",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin — identical weight expression text (_QW_SQL)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, is_target, term, {_BUCKET_DUCK} AS bucket FROM (
+    SELECT doc_id, ({target_pred}) AS is_target,
+           unnest(string_split({text_col}, ' ')) AS term
+    FROM {table}
+  ) WHERE term <> ''
+), corpus_counts AS (
+  SELECT bucket, count(*) AS nc FROM tok GROUP BY bucket
+), target_counts AS (
+  SELECT bucket, count(*) AS nt FROM tok WHERE is_target GROUP BY bucket
+), totals AS (
+  SELECT (SELECT sum(nc) FROM corpus_counts) AS tot_c,
+         (SELECT sum(nt) FROM target_counts) AS tot_t
+), weights AS (
+  SELECT bucket, {_QW_SQL} AS qw
+  FROM (
+    SELECT c.bucket, c.nc, coalesce(t.nt, 0) AS nt
+    FROM corpus_counts c LEFT JOIN target_counts t USING (bucket)
+  ) CROSS JOIN totals
+), per_doc AS (
+  SELECT doc_id, sum(qw) AS sw, count(*) AS n_tokens
+  FROM tok JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       (cast(sw AS DOUBLE) / cast(n_tokens AS DOUBLE)) / {10.0 ** _SCALE:.1f}
+         AS importance
+FROM per_doc
+"""
