@@ -135,6 +135,204 @@ def test_dsir_importance_of_uniform_corpus_is_one(spark):
     assert all(abs(r["importance"] - 1.0) < 1e-6 for r in out)
 
 
+# ---- exact Lloyd k-means ----------------------------------------------------
+
+
+def test_kmeans_distance_decreases_with_iterations(spark):
+    """Lloyd monotonicity survives the integer quantization: 3 rounds must
+    cut total squared distance well below the seed assignment."""
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    d0 = kmeans.lloyd_assignments(emb, 8, 0).agg(F.sum("qdist")).first()[0]
+    d3 = kmeans.lloyd_assignments(emb, 8, 3).agg(F.sum("qdist")).first()[0]
+    assert d3 < 0.9 * d0, (d0, d3)
+
+
+def test_kmeans_parallelism_invariance(spark):
+    """Identical assignments at any input partitioning — the property the
+    integer min/sum arithmetic buys (run-to-run reproducibility on a
+    cluster)."""
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a1 = kmeans.lloyd_assignments(emb.repartition(1), 6, 2).collect()
+    a7 = kmeans.lloyd_assignments(emb.repartition(7), 6, 2).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a7))
+
+
+def test_kmeans_persist_vectors_path_equal_and_released(spark):
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plain = kmeans.lloyd_assignments(emb, 5, 2).collect()
+    persisted = kmeans.lloyd_assignments(emb, 5, 2, persist_vectors=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, persisted))
+
+
+def test_kmeans_assign_to_centroids_matches_final_assignment(spark):
+    """The probe half (frozen centroids) must reproduce the fit's own
+    final assignment bit-for-bit — the contract the streaming twin and
+    any offline re-scorer rely on."""
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    full = kmeans.lloyd_assignments(emb, 6, 2).collect()
+    cent = kmeans.lloyd_centroids(emb, 6, 2)
+    probe = kmeans.assign_to_centroids(emb, cent, 6).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, probe))
+
+
+def test_kmeans_streaming_store_probe_equals_batch(spark, tmp_path):
+    """Persisted-store round trip: publish the fit, assign two
+    'micro-batches' through the foreachBatch body, compare the union to
+    one-shot batch assignment. Also pins refit atomicity: publishing a
+    new version switches the NEXT batch, and idempotent redelivery
+    rewrites identical content."""
+    from timedf_spark.operators import kmeans
+    from timedf_spark.streaming import kmeans_apply
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = str(tmp_path / "cent")
+    out = str(tmp_path / "assigned")
+    kmeans_apply.publish_centroids(kmeans.lloyd_centroids(emb, 6, 2), store)
+
+    b0 = emb.where("vec_id % 2 = 0")
+    b1 = emb.where("vec_id % 2 = 1")
+    kmeans_apply.assign_batch(b0, 0, store, out, 6)
+    kmeans_apply.assign_batch(b1, 1, store, out, 6)
+    streamed = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch=0", f"{out}/batch=1").collect())
+    )
+    cent = kmeans_apply.read_centroids(spark, store)
+    batch = sorted(map(tuple, kmeans.assign_to_centroids(emb, cent, 6).collect()))
+    assert streamed == batch
+
+    # redelivery of batch 1 is a byte-identical overwrite (idempotent)
+    kmeans_apply.assign_batch(b1, 1, store, out, 6)
+    again = sorted(
+        map(tuple, spark.read.parquet(f"{out}/batch=0", f"{out}/batch=1").collect())
+    )
+    assert again == streamed
+
+    # refit: a later version switches the next read atomically
+    kmeans_apply.publish_centroids(kmeans.lloyd_centroids(emb, 4, 1), store, version=1)
+    assert kmeans_apply.read_centroids(spark, store).count() == 4
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    qs = all_queries()
+    rows = qs["cluster_balanced_sample"].fn(spark, SF_SMALL).collect()
+    per = {}
+    for r in rows:
+        per[r["cid"]] = per.get(r["cid"], 0) + 1
+        assert 1 <= r["rnk"] <= 40
+    assert all(n <= 40 for n in per.values())
+    again = qs["cluster_balanced_sample"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cluster_label_purity_counts_consistent(spark):
+    rows = all_queries()["cluster_label_purity"].fn(spark, SF_SMALL).collect()
+    emb_n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == emb_n
+    for r in rows:
+        assert 1 <= r["majority_n"] <= r["n_members"]
+
+
+def test_kmeans_no_cartesian_no_corpus_shuffle_per_round(spark):
+    """Centroids broadcast onto the vector scan (BroadcastNestedLoopJoin of
+    a k-row side is the intended physical shape); the corpus must never hit
+    a SortMergeJoin or an unbroadcast CartesianProduct."""
+    plan = _executed_plan(spark, "kmeans_assign")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---- triangle counting ------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles, 4 choose 2 = 6 edges), plus a pendant edge and a
+    disconnected triangle; duplicates/reversals/self-loops must not count."""
+    from timedf_spark.operators import triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9), (10, 11), (11, 12), (12, 10)]
+    noisy = edges + [(b, a) for a, b in edges] + [(5, 5)] + edges[:3]
+    df = spark.createDataFrame(noisy, "a long, b long")
+    row = triangles.triangle_stats(df, "a", "b").first()
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == 4 + 1
+    # wedge count: sum over nodes of C(out_deg, 2) >= triangles
+    assert row["n_wedges"] >= row["n_triangles"]
+    assert row["n_nodes"] == 8
+
+
+def test_triangle_count_hot_node_star(spark):
+    """A pure star has zero triangles and — thanks to the orientation —
+    zero wedges centered on the hub (every edge points INTO the hub)."""
+    from timedf_spark.operators import triangles
+
+    star = [(0, i) for i in range(1, 200)]
+    df = spark.createDataFrame(star, "a long, b long")
+    row = triangles.triangle_stats(df, "a", "b").first()
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 0  # leaves have out-degree 1; hub has 0
+
+
+def test_copurchase_triangles_plan_no_cartesian(spark):
+    plan = _executed_plan(spark, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+
+
+# ---- count-min sketch -------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_respects_bound(spark):
+    """est >= true for every item (CMS one-sided error), and the report's
+    overcount stays within the d-row min bound on real data."""
+    rows = all_queries()["cms_term_estimates"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["overcount"] == r["cms_est"] - r["exact_n"]
+
+
+def test_cms_merge_equals_one_shot(spark):
+    """Cell-wise addition of per-batch sketches is bit-identical to the
+    one-shot sketch — the equality the streaming store relies on."""
+    from timedf_spark.operators import cms
+
+    items = spark.createDataFrame(
+        [(f"w{i % 17}",) for i in range(300)], "item string"
+    )
+    full = sorted(map(tuple, cms.cms_build(items, "item", 3, 64).collect()))
+    a = cms.cms_build(items.where("length(item) = 2"), "item", 3, 64)
+    b = cms.cms_build(items.where("length(item) = 3"), "item", 3, 64)
+    merged = sorted(map(tuple, cms.cms_merge(a, b).collect()))
+    assert merged == full
+
+
+def test_cms_streaming_store_equals_batch_sketch(spark, tmp_path):
+    """Folding micro-batches through the persisted store reproduces the
+    one-shot corpus sketch exactly; redelivery is a no-op."""
+    from timedf_spark.operators import cms
+    from timedf_spark.streaming import cms_apply
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tok = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS item")
+    store = str(tmp_path / "cms")
+    cms_apply.seed_cms_store(spark, store)
+    for bid, pred in enumerate(["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]):
+        cms_apply.apply_cms_batch(tok.where(pred), bid, store, "item", 4, 128)
+    cms_apply.apply_cms_batch(tok.where("doc_id % 3 = 1"), 1, store, "item", 4, 128)  # replay
+    stored = sorted(map(tuple, cms_apply.read_cms(spark, store).collect()))
+    oneshot = sorted(map(tuple, cms.cms_build(tok, "item", 4, 128).collect()))
+    assert stored == oneshot
+
+
 # ---- vocab growth ---------------------------------------------------------
 
 

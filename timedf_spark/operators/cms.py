@@ -1,0 +1,122 @@
+"""Count-min sketch (Cormode & Muthukrishnan, J. Algorithms '05) —
+deterministic, mergeable, and (unusually) ORACLE-CHECKABLE.
+
+The d hash rows use md5 60-bit prefixes of ``row || '|' || item`` —
+the same engine-portable construction as the MinHash/SimHash lanes —
+so Spark and DuckDB build BIT-IDENTICAL sketches and the driver's
+value-hash gate can check the sketch and its estimates exactly, not
+just within tolerance. Every count is an exact integer.
+
+Guarantees (pinned in tests): ``est >= true`` always (counts only ever
+add), and ``est <= true + N/w`` in expectation per row, taken as a min
+over d rows — the classical CMS bound.
+
+Mergeability: sketches merge by cell-wise ADDITION — so the persisted
+store (``streaming/cms_apply.py``) folds per-batch sketches and the
+result is bit-identical to the one-shot corpus sketch (an EQUALITY
+guarantee, stronger than the MG store's bounded-undercount). Addition
+is not idempotent, so the store carries the same replay guard as the
+rollup store.
+
+Scale posture: the build is one pass over the exploded items with
+map-side combine into at most d*w cells (the shuffle is d*w rows
+regardless of corpus size); estimation joins a broadcast probe set
+against the d*w-row sketch. Nothing is proportional to the corpus but
+the scan. At 100 TB, w scales with the error budget (eps = e/w of
+total mass), not with the data.
+
+No reference counterpart: intel-ai/timedf has no sketch surface
+(SURVEY.md §2 D9 extension row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "cms_estimates_sql"]
+
+
+def _hash_spark(item_sql: str) -> str:
+    return (
+        "cast(conv(substring(md5(concat(cast(r as string), '|', "
+        f"{item_sql})), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def _hash_duck(item_sql: str) -> str:
+    return (
+        "(('0x' || substr(md5(cast(r as varchar) || '|' || "
+        f"{item_sql}), 1, 15))::BIGINT)"
+    )
+
+
+def cms_build(items: DataFrame, item_col: str, d: int, w: int) -> DataFrame:
+    """(r, c, cnt) sketch cells over the ``item_col`` column — at most
+    d*w rows, built in one scan with map-side combine."""
+    assert d >= 1 and w >= 1
+    return (
+        items.select(
+            F.col(item_col).alias("item"),
+            F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r"),
+        )
+        .withColumn("c", F.expr(f"{_hash_spark('item')} % {w}"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition — the PODS'12 mergeable-summary rule for CMS.
+    Folding batch sketches this way is bit-identical to sketching the
+    concatenated corpus."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, d: int, w: int) -> DataFrame:
+    """(item, cms_est) for each probe item: min over the d cells, with
+    absent cells counting 0. The probe side is exploded to d rows and
+    broadcast; the sketch is at most d*w rows."""
+    cells = probes.select(
+        "item", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r")
+    ).withColumn("c", F.expr(f"{_hash_spark('item')} % {w}"))
+    return (
+        F.broadcast(cells)
+        .join(sketch, ["r", "c"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_estimates_sql(
+    d: int, w: int, items_sql: str, probe_limit: int
+) -> str:
+    """DuckDB twin of build + estimate over the exact top-``probe_limit``
+    items of ``items_sql`` (a subquery yielding one ``item`` column):
+    returns (item, exact_n, cms_est, overcount) — the self-evaluating
+    report shape. Identical md5 lanes, identical integer arithmetic."""
+    h = _hash_duck("item")
+    return f"""
+WITH tok AS ({items_sql}),
+rows_ AS (SELECT unnest(range(0, {d})) AS r),
+cells AS (
+  SELECT r, {h} % {w} AS c, count(*) AS cnt
+  FROM tok CROSS JOIN rows_ GROUP BY r, c
+),
+probes AS (
+  SELECT item, count(*) AS exact_n FROM tok
+  GROUP BY item ORDER BY exact_n DESC, item LIMIT {probe_limit}
+),
+pcells AS (
+  SELECT item, exact_n, r, {h} % {w} AS c FROM probes CROSS JOIN rows_
+)
+SELECT item, exact_n,
+       min(coalesce(cells.cnt, 0)) AS cms_est,
+       min(coalesce(cells.cnt, 0)) - exact_n AS overcount
+FROM pcells LEFT JOIN cells USING (r, c)
+GROUP BY item, exact_n
+"""

@@ -29,13 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timedf_spark.operators import retrieval, selection
+from timedf_spark.operators import cms, kmeans, retrieval, selection, triangles
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import load_table
 
 _TOPK = 5
 _DSIR_TARGET = "lang = 'en'"
 _N_PREFIXES = 10
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+_SAMPLE_PER_CLUSTER = 40
+_HASH_DUCK_SAMPLE = kmeans._HASH_DUCK
+_CMS_D = 4
+_CMS_W = 512
+_CMS_PROBES = 30
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +143,191 @@ WINDOW cum AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Lloyd over the embeddings table — the full
+    assignment table (vec_id, cid, qdist) after 3 rounds is hash-checked
+    against DuckDB running the identical integer arithmetic unrolled.
+    An ITERATIVE algorithm under the value-hash gate, like the
+    connected-components recursive-CTE twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.lloyd_assignments(emb, _KM_K, _KM_ITERS)
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection (the SemDeDup/diversity-mixing
+    move): cap every k-means cluster at ``_SAMPLE_PER_CLUSTER`` members,
+    chosen by a deterministic md5 rank — over-represented regions of
+    embedding space are downsampled to the cap, thin regions survive
+    whole. Exact end-to-end: the Lloyd fit is integer (kmeans_assign),
+    the draw is a hash rank, so the oracle hash-checks the SAMPLE itself,
+    not just its size.
+
+    Plan: the per-cluster rank is a window partitioned by cid — one
+    exchange keyed on 8 values over the assignment table (not the
+    corpus); no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans.lloyd_assignments(emb, _KM_K, _KM_ITERS)
+    w = Window.partitionBy("cid").orderBy("h", "vec_id")
+    return (
+        assign.withColumn("h", F.expr(kmeans._HASH_SPARK))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _SAMPLE_PER_CLUSTER)
+        .select("vec_id", "cid", "rnk")
+    )
+
+
+def _cluster_sample_oracle() -> str:
+    inner = kmeans.lloyd_sql("embeddings", _KM_K, _KM_ITERS, _KM_DIM)
+    return f"""
+SELECT vec_id, cid, rnk FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY cid ORDER BY {_HASH_DUCK_SAMPLE}, vec_id) AS rnk
+  FROM ({inner}) assign
+) WHERE rnk <= {_SAMPLE_PER_CLUSTER}
+"""
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster evaluation against the ground-truth ``label`` column:
+    size, majority label (ties to the smaller label), majority count —
+    the integer core of a purity/NMI report, exact on both engines.
+
+    Plan: counts at (cid, label) grain (at most k x |labels| rows), then
+    a row_number over that tiny table — the corpus is touched once by
+    the Lloyd assignment itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans.lloyd_assignments(emb, _KM_K, _KM_ITERS)
+    counts = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("label_n"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("label_n"), F.asc("label"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.sum("label_n").over(Window.partitionBy("cid")))
+        .where(F.col("rn") == 1)
+        .select(
+            "cid",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("label_n").alias("majority_n"),
+        )
+    )
+
+
+def _cluster_purity_oracle() -> str:
+    inner = kmeans.lloyd_sql("embeddings", _KM_K, _KM_ITERS, _KM_DIM)
+    return f"""
+SELECT cid, n_members, majority_label, majority_n FROM (
+  SELECT cid, label AS majority_label, label_n AS majority_n,
+         row_number() OVER (PARTITION BY cid ORDER BY label_n DESC, label ASC) AS rn,
+         cast(sum(label_n) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+  FROM (
+    SELECT a.cid, e.label, count(*) AS label_n
+    FROM ({inner}) a JOIN embeddings e USING (vec_id)
+    GROUP BY a.cid, e.label
+  )
+) WHERE rn = 1
+"""
+
+
+def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating count-min report: sketch the corpus token stream
+    (d=4 md5 rows, w=512 cells), then estimate the exact top-30 terms
+    and report the overcount. Both the sketch and the estimates are
+    deterministic integers, so the DuckDB oracle checks the SKETCH
+    itself — an approximate structure under an exact gate (the
+    near_dup_tier_report precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    sketch = cms.cms_build(tok, "item", _CMS_D, _CMS_W)
+    probes = (
+        tok.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("item"))
+        .limit(_CMS_PROBES)
+    )
+    est = cms.cms_estimate(sketch, probes, _CMS_D, _CMS_W)
+    return probes.join(est, "item").select(
+        "item",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-purchase graph (parts joined
+    by appearing in the same order) — the graph-cohesion summary a
+    recommender/basket pipeline reads. Degree-ordered orientation keeps
+    the wedge table ~C(d/2, 2) per node instead of C(d, 2) on hot parts.
+
+    The gated query restricts to the deterministic 1/4 part sample
+    (``l_partkey % 4 = 0``): the co-purchase graph's wedge volume grows
+    with avg-degree^2, so the full graph belongs in the scale shakeout,
+    not a per-round bench query (same bounding precedent as
+    near_dup_tier_report's sampled deployment note)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where("l_partkey % 4 = 0")
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.expr("l1.l_partkey < l2.l_partkey"))
+        .select(
+            F.expr("l1.l_partkey").alias("a"), F.expr("l2.l_partkey").alias("b")
+        )
+    )
+    return triangles.triangle_stats(pairs, "a", "b")
+
+
+_TRIANGLES_ORACLE = triangles.triangle_stats_sql(
+    "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
+    "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey "
+    "AND l1.l_partkey < l2.l_partkey "
+    "WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0"
+)
+
+
 SUITE = {
+    "copurchase_triangles": QuerySpec(
+        "copurchase_triangles",
+        copurchase_triangles,
+        _TRIANGLES_ORACLE,
+        "exact triangle census via degree-ordered orientation: equi-keyed wedge join bounded O(m^1.5), no cartesian, hash-exact integers",
+    ),
+    "cms_term_estimates": QuerySpec(
+        "cms_term_estimates",
+        cms_term_estimates,
+        cms.cms_estimates_sql(
+            _CMS_D,
+            _CMS_W,
+            "SELECT unnest(string_split(text, ' ')) AS item FROM documents",
+            _CMS_PROBES,
+        ),
+        "count-min sketch + top-30 estimate report: d*w-cell shuffle regardless of corpus size, broadcast probe join, exact-integer oracle",
+    ),
+    "kmeans_assign": QuerySpec(
+        "kmeans_assign",
+        kmeans_assign,
+        kmeans.lloyd_sql("embeddings", _KM_K, _KM_ITERS, _KM_DIM),
+        "exact quantized Lloyd k-means: broadcast k-row centroids per round, integer argmin/means, flat plans via k-row checkpoints",
+    ),
+    "cluster_balanced_sample": QuerySpec(
+        "cluster_balanced_sample",
+        cluster_balanced_sample,
+        _cluster_sample_oracle(),
+        "cluster-balanced corpus selection: per-cluster hash-rank cap over the exact Lloyd assignment; k-key window exchange, no global sort",
+    ),
+    "cluster_label_purity": QuerySpec(
+        "cluster_label_purity",
+        cluster_label_purity,
+        _cluster_purity_oracle(),
+        "per-cluster majority-label purity vs ground truth: (cid,label)-grain counts then a k-row window",
+    ),
     "bm25_search": QuerySpec(
         "bm25_search",
         bm25_search,
