@@ -250,6 +250,51 @@ def test_kmeans_no_cartesian_no_corpus_shuffle_per_round(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+# ---- snapshot diff ----------------------------------------------------------
+
+
+def test_snapshot_diff_ops_and_round_trip(spark):
+    """Known I/U/D classification, unchanged rows omitted, and the
+    round-trip law: merge_changes(old, snapshot_diff(old, new)) == new."""
+    from timedf_spark.operators.merge import merge_changes, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    diff = snapshot_diff(old, new, "k")
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 4: "D", 5: "I"}  # 1 and 3 (null-safe) omitted
+    merged = merge_changes(old, diff, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_orders_snapshot_diff_round_trip(spark):
+    """The gated query's diff, applied back to the real orders table,
+    reproduces the mutated snapshot exactly."""
+    from timedf_spark.operators.merge import merge_changes
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    diff = all_queries()["orders_snapshot_diff"].fn(spark, SF_SMALL)
+    merged = merge_changes(orders, diff, "o_orderkey")
+    n_del = orders.where("o_orderkey % 97 = 0").count()
+    n_ins = orders.where("o_orderkey % 113 = 0").count()
+    assert merged.count() == orders.count() - n_del + n_ins
+    # spot the semantics: every %31 surviving key is repriced by +10
+    probe = (
+        merged.alias("m")
+        .join(orders.alias("o"), "o_orderkey")
+        .where("o_orderkey % 31 = 0 AND o_orderkey % 97 <> 0")
+        .selectExpr("max(abs(m.o_totalprice - o.o_totalprice - 10)) AS d")
+        .first()["d"]
+    )
+    assert probe == 0.0
+
+
 # ---- triangle counting ------------------------------------------------------
 
 
@@ -285,6 +330,50 @@ def test_triangle_count_hot_node_star(spark):
 def test_copurchase_triangles_plan_no_cartesian(spark):
     plan = _executed_plan(spark, "copurchase_triangles")
     assert "CartesianProduct" not in plan
+
+
+# ---- k-core -----------------------------------------------------------------
+
+
+def test_kcore_peel_cascade_and_fixpoint(spark):
+    """A K5 with a pendant chain: round 1 drops the chain tail, the
+    cascade eats the whole chain, K5 survives any number of 3-core
+    peels. Converged == fixed-rounds once stable."""
+    from timedf_spark.operators import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, "a long, b long")
+    core = kcore.kcore_converged(df, "a", "b", 3)
+    rows = {r["node"]: r["deg"] for r in core.collect()}
+    assert rows == {i: 4 for i in range(5)}  # K5 only, all deg 4
+    fixed = kcore.kcore_peel(df, "a", "b", 3, 5)
+    assert sorted(map(tuple, fixed.collect())) == sorted(
+        map(tuple, core.collect())
+    )
+
+
+def test_kcore_converged_every_node_meets_k(spark):
+    """Fixpoint invariant on real data: every surviving node has deg >= k
+    within the surviving subgraph. Uses the FULL co-purchase graph —
+    at sf0.001 the gated query's 1/4 part sample is too sparse for a
+    20-core, the full graph is not."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from timedf_spark.operators import kcore
+    from timedf_spark.queries.round9 import _KCORE_K
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.expr("l1.l_partkey < l2.l_partkey"))
+        .select(F.expr("l1.l_partkey").alias("a"), F.expr("l2.l_partkey").alias("b"))
+    )
+    core = kcore.kcore_converged(pairs, "a", "b", _KCORE_K)
+    assert core.where(f"deg < {_KCORE_K}").count() == 0
+    assert core.count() > 0
 
 
 # ---- count-min sketch -------------------------------------------------------

@@ -29,10 +29,12 @@ every engine (Delta raises; so do we, cheaply, via a count check when
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_changes"]
+__all__ = ["merge_changes", "snapshot_diff"]
 
 
 def merge_changes(
@@ -72,3 +74,48 @@ def merge_changes(
     )
     inserts = changes.filter(F.col(op_col) == "I").select(key, *payload)
     return kept.unionByName(inserts)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """The inverse of :func:`merge_changes`: derive the minimal CDC batch
+    (op, key, payload) that transforms ``old`` into ``new`` — the
+    snapshot-diff every table format exposes as incremental/changelog
+    read, expressed over plain frames. I = key only in new, D = key only
+    in old, U = key in both with any payload difference (null-safe
+    per-column compare). Unchanged rows are omitted, so
+    ``merge_changes(old, snapshot_diff(old, new), key)`` reproduces
+    ``new`` exactly — the round-trip law pinned in tests.
+
+    Scale posture: ONE full-outer equi-join on the key (co-located and
+    shuffle-free when both snapshots are bucketed on it), a codegen'd
+    per-column compare, no window or sort. D rows carry the OLD payload
+    (merge ignores it; auditors want what was deleted)."""
+    payload = [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key).alias("__ok"), *[F.col(c).alias(f"__o_{c}") for c in payload]
+    )
+    n = new.select(
+        F.col(key).alias("__nk"), *[F.col(c).alias(f"__n_{c}") for c in payload]
+    )
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in payload],
+    )
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer").withColumn(
+        op_col,
+        F.when(F.col("__ok").isNull(), F.lit("I"))
+        .when(F.col("__nk").isNull(), F.lit("D"))
+        .when(~same, F.lit("U")),
+    )
+    return j.where(F.col(op_col).isNotNull()).select(
+        op_col,
+        F.coalesce("__nk", "__ok").alias(key),
+        *[
+            F.when(F.col(op_col) == "D", F.col(f"__o_{c}"))
+            .otherwise(F.col(f"__n_{c}"))
+            .alias(c)
+            for c in payload
+        ],
+    )

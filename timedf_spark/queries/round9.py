@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from timedf_spark.operators import cms, kmeans, retrieval, selection, triangles
+from timedf_spark.operators import (
+    cms,
+    kcore,
+    kmeans,
+    merge,
+    retrieval,
+    selection,
+    triangles,
+)
 from timedf_spark.queries import QuerySpec
 from timedf_spark.sources import load_table
 
@@ -257,6 +265,32 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 20
+_KCORE_ROUNDS = 4
+_COPURCHASE_PAIRS_SQL = (
+    "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
+    "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey "
+    "AND l1.l_partkey < l2.l_partkey "
+    "WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0"
+)
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where("l_partkey % 4 = 0")
+        .select("l_orderkey", "l_partkey")
+    )
+    return (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .where(F.expr("l1.l_partkey < l2.l_partkey"))
+        .select(
+            F.expr("l1.l_partkey").alias("a"), F.expr("l2.l_partkey").alias("b")
+        )
+    )
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the part co-purchase graph (parts joined
     by appearing in the same order) — the graph-cohesion summary a
@@ -268,36 +302,110 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with avg-degree^2, so the full graph belongs in the scale shakeout,
     not a per-round bench query (same bounding precedent as
     near_dup_tier_report's sampled deployment note)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where("l_partkey % 4 = 0")
-        .select("l_orderkey", "l_partkey")
+    return triangles.triangle_stats(
+        _copurchase_pairs(spark, sf_dir), "a", "b"
     )
-    pairs = (
-        li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .where(F.expr("l1.l_partkey < l2.l_partkey"))
-        .select(
-            F.expr("l1.l_partkey").alias("a"), F.expr("l2.l_partkey").alias("b")
-        )
-    )
-    return triangles.triangle_stats(pairs, "a", "b")
 
 
-_TRIANGLES_ORACLE = triangles.triangle_stats_sql(
-    "SELECT l1.l_partkey AS a, l2.l_partkey AS b "
-    "FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey "
-    "AND l1.l_partkey < l2.l_partkey "
-    "WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0"
+_TRIANGLES_ORACLE = triangles.triangle_stats_sql(_COPURCHASE_PAIRS_SQL)
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four peel rounds of the k=20 core over the sampled co-purchase
+    graph — the dense mutually-reinforcing region a graph-curation pass
+    keeps. Deterministic integer state per round, so the unrolled-CTE
+    DuckDB twin hash-checks the surviving (node, deg) table exactly
+    (full convergence here needs ~8-10 rounds; the gated query pins a
+    fixed prefix, the operator's converged form is test-pinned)."""
+    return kcore.kcore_peel(
+        _copurchase_pairs(spark, sf_dir), "a", "b", _KCORE_K, _KCORE_ROUNDS
+    )
+
+
+_ORDER_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog derivation between two table versions (the incremental /
+    CDF read every lakehouse format exposes): old = orders, new = orders
+    with deterministic mutations (keys %97 deleted, %31 repriced, %113
+    re-inserted under shifted keys). The emitted (op, key, payload) batch
+    is hash-checked in full, and ``merge_changes`` applied to it
+    reproduces ``new`` exactly (round-trip law, pinned in tests)."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxk = orders.agg(F.max("o_orderkey").alias("mk"))
+    surviving = orders.where("o_orderkey % 97 <> 0").withColumn(
+        "o_totalprice",
+        F.expr(
+            "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10 "
+            "ELSE o_totalprice END"
+        ),
+    )
+    inserts = (
+        orders.where("o_orderkey % 113 = 0")
+        .join(F.broadcast(maxk))
+        .select((F.col("o_orderkey") + F.col("mk") + 1).alias("o_orderkey"), *_ORDER_COLS)
+    )
+    new = surviving.unionByName(inserts)
+    return merge.snapshot_diff(orders, new, "o_orderkey")
+
+
+def _snapshot_diff_oracle() -> str:
+    same = " AND ".join(
+        f"(o.{c} IS NOT DISTINCT FROM n.{c})" for c in _ORDER_COLS
+    )
+    pick = ",\n       ".join(
+        f"CASE WHEN n.o_orderkey IS NULL THEN o.{c} ELSE n.{c} END AS {c}"
+        for c in _ORDER_COLS
+    )
+    return f"""
+WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+new_ AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 10
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o.o_orderkey + mk.mk + 1, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders o CROSS JOIN mk WHERE o.o_orderkey % 113 = 0
 )
+SELECT op, o_orderkey, {', '.join(_ORDER_COLS)} FROM (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN NOT ({same}) THEN 'U' END AS op,
+         coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         {pick}
+  FROM orders o FULL OUTER JOIN new_ n ON o.o_orderkey = n.o_orderkey
+) WHERE op IS NOT NULL
+"""
 
 
 SUITE = {
+    "orders_snapshot_diff": QuerySpec(
+        "orders_snapshot_diff",
+        orders_snapshot_diff,
+        _snapshot_diff_oracle(),
+        "snapshot diff / changelog derivation: one full-outer equi-join + null-safe compare; merge(old, diff) == new round-trip law",
+    ),
     "copurchase_triangles": QuerySpec(
         "copurchase_triangles",
         copurchase_triangles,
         _TRIANGLES_ORACLE,
         "exact triangle census via degree-ordered orientation: equi-keyed wedge join bounded O(m^1.5), no cartesian, hash-exact integers",
+    ),
+    "copurchase_kcore": QuerySpec(
+        "copurchase_kcore",
+        copurchase_kcore,
+        kcore.kcore_peel_sql(_COPURCHASE_PAIRS_SQL, _KCORE_K, _KCORE_ROUNDS),
+        "k-core peeling, 4 unrolled rounds: per-round degree aggregate + endpoint semi-joins, flat plans via metadata-stripped checkpoints",
     ),
     "cms_term_estimates": QuerySpec(
         "cms_term_estimates",

@@ -49,6 +49,13 @@ QUERIES = [
     "overlapping_sessions",
     "rolling_median_value",
     "interpolate_hourly",
+    # round-9 tier (retrieval / selection / clustering / sketches)
+    "bm25_search",
+    "dsir_importance",
+    "vocab_growth",
+    "kmeans_assign",
+    "cluster_balanced_sample",
+    "cms_term_estimates",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
