@@ -250,6 +250,73 @@ def test_kmeans_no_cartesian_no_corpus_shuffle_per_round(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+# ---- per-group OLS trend ----------------------------------------------------
+
+
+def test_group_ols_known_line_and_degenerate(spark):
+    """A perfect line recovers its slope exactly (num/den reduces to it);
+    a single-x group yields NULL slope fields."""
+    from timedf_spark.operators import trend
+
+    pts = [("a", x, 7 * x + 3) for x in range(10)] + [("b", 5, 100), ("b", 5, 200)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    rows = {r["g"]: r for r in trend.group_ols(df, ["g"], "x", "y").collect()}
+    a = rows["a"]
+    assert a["slope_num"] / a["slope_den"] == 7.0
+    assert a["slope_scaled"] == 7 * 10_000
+    b = rows["b"]
+    assert b["slope_num"] is not None  # numerator is 0 here, defined
+    assert b["slope_den"] is None and b["slope_scaled"] is None
+
+
+def test_group_ols_negative_slope_floor_semantics(spark):
+    """Negative slopes floor toward -inf on both engines: y = -3x + 1
+    with a half-step wobble lands between grid points."""
+    from timedf_spark.operators import trend
+
+    pts = [("g", x, -3 * x + (x % 2)) for x in range(9)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = trend.group_ols(df, ["g"], "x", "y").first()
+    exact = r["slope_num"] / r["slope_den"]
+    import math
+
+    assert r["slope_scaled"] == math.floor(exact * 10_000)
+    assert r["slope_scaled"] < 0
+
+
+# ---- governance audits ------------------------------------------------------
+
+
+def test_anonymity_report_flags_small_and_uniform_groups(spark):
+    from timedf_spark.operators import privacy
+
+    rows = (
+        [("n1", "A", float(i)) for i in range(10)]          # big, diverse: clean
+        + [("n2", "B", 1.0), ("n2", "B", 2.0)]              # k-violation (n=2)
+        + [("n3", "C", 5.0)] * 12                            # l-violation (1 value)
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, bal double")
+    rep = {
+        (r["nat"], r["seg"]): (r["n_rows"], r["n_sensitive"])
+        for r in privacy.anonymity_report(df, ["nat", "seg"], "bal", 5, 3).collect()
+    }
+    assert rep == {("n2", "B"): (2, 2), ("n3", "C"): (12, 1)}
+
+
+def test_price_decile_bin_depth_and_total(spark):
+    """Every order binned exactly once; decile populations are balanced
+    up to value multiplicity (max bucket <= min bucket + largest tie)."""
+    rows = all_queries()["price_decile_bin"].fn(spark, SF_SMALL).collect()
+    n_orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert len(rows) == n_orders
+    per = {}
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        per[r["bucket"]] = per.get(r["bucket"], 0) + 1
+    assert len(per) == 10
+    assert max(per.values()) - min(per.values()) <= n_orders // 10
+
+
 # ---- snapshot diff ----------------------------------------------------------
 
 

@@ -11,8 +11,9 @@ This operator makes the full Lloyd iteration *exact*:
   ``min(dist * k + cid)`` so ties break toward the lower cid with no
   struct comparisons (portable to any engine);
 - centroid updates are exact integer floor-division means,
-  ``(s - (((s % n) + n) % n)) DIV n`` — the explicit mod-subtract makes
-  Spark's truncating DIV and DuckDB's flooring // agree on negatives;
+  ``(s - (((s % n) + n) % n)) DIV n`` — both Spark's DIV and DuckDB's
+  integer // truncate toward zero, so the explicit mod-subtract makes
+  the numerator exactly divisible and truncation equals floor on both;
 - init is deterministic: the k vectors with the smallest 60-bit
   md5(vec_id) prefix (a reproducible pseudo-random draw, no RNG state).
 

@@ -34,8 +34,10 @@ from timedf_spark.operators import (
     kcore,
     kmeans,
     merge,
+    privacy,
     retrieval,
     selection,
+    trend,
     triangles,
 )
 from timedf_spark.queries import QuerySpec
@@ -265,6 +267,47 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue OLS slope as an exact integer fraction
+    (operators/trend.py): monthly whole-dollar revenue points, month
+    index from the 1995 epoch, slope in scaled dollars/month. Two
+    aggregation passes (point grain, then the five sufficient
+    statistics), one broadcast dimension chain, no window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("(year(l_shipdate) - 1995) * 12 + month(l_shipdate)").alias("x"),
+            F.expr("cast(floor(l_extendedprice) as bigint)").alias("yd"),
+        )
+        .groupBy("nation", "x")
+        .agg(F.sum("yd").alias("y"))
+    )
+    return trend.group_ols(
+        pts, ["nation"], "x", "y", x_bound=100, y_bound=10**8, n_bound=100
+    )
+
+
+_TREND_ORACLE = trend.group_ols_sql(
+    "SELECT n.n_name AS nation, "
+    "(year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) AS x, "
+    "cast(sum(floor(l.l_extendedprice)) AS BIGINT) AS y "
+    "FROM lineitem l "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "GROUP BY nation, x",
+    ["nation"],
+    "x",
+    "y",
+)
+
+
 _KCORE_K = 20
 _KCORE_ROUNDS = 4
 _COPURCHASE_PAIRS_SQL = (
@@ -388,7 +431,92 @@ SELECT op, o_orderkey, {', '.join(_ORDER_COLS)} FROM (
 """
 
 
+_KANON_K = 8
+_KANON_L = 3
+
+
+def customer_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification screen before releasing customer-derived
+    training data: every (nation, segment) quasi-identifier group
+    violating k-anonymity (< 8 rows) or l-diversity (< 3 distinct
+    account balances). One aggregation pass; output bounded by the
+    violating groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    return privacy.anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", _KANON_K, _KANON_L
+    )
+
+
+_BIN_K = 10
+
+
+def price_decile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile discretizer (the ML-prep QuantileDiscretizer, made
+    engine-exact): assign every order its whole-dollar-price equi-depth
+    decile. Bucket boundaries come from exact cumulative counts at VALUE
+    grain — every duplicate value shares a bucket, so the assignment is
+    deterministic on both engines (the summaries.py equi-depth rule,
+    applied back to rows via a value-grain join).
+
+    Plan: one value-grain count aggregate, a single-partition window
+    over the (bounded) distinct-value table, one equi-join back to rows
+    — the row scan never sorts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr("cast(floor(o_totalprice) as bigint)").alias("v")
+    )
+    counts = orders.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    vb = counts.select(
+        "v",
+        F.expr(
+            f"(coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING), 0) * {_BIN_K}) DIV "
+            f"(sum(n) OVER ())"
+        ).alias("bucket"),
+    )
+    return orders.join(vb, "v").select("o_orderkey", "v", "bucket")
+
+
+_BIN_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, cast(floor(o_totalprice) AS BIGINT) AS v FROM orders
+), c AS (
+  SELECT v, count(*) AS n FROM o GROUP BY v
+), b AS (
+  SELECT v,
+         cast((coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) * {_BIN_K}) // (sum(n) OVER ())
+          AS BIGINT) AS bucket
+  FROM c
+)
+SELECT o.o_orderkey, o.v, b.bucket FROM o JOIN b USING (v)
+"""
+
+
 SUITE = {
+    "nation_revenue_trend": QuerySpec(
+        "nation_revenue_trend",
+        nation_revenue_trend,
+        _TREND_ORACLE,
+        "per-group OLS slope as an exact integer fraction: five sufficient statistics in one pass, no window, broadcast dims",
+    ),
+    "customer_anonymity_audit": QuerySpec(
+        "customer_anonymity_audit",
+        customer_anonymity_audit,
+        privacy.anonymity_report_sql(
+            "customer",
+            ["c_nationkey", "c_mktsegment"],
+            "c_acctbal",
+            _KANON_K,
+            _KANON_L,
+        ),
+        "k-anonymity + l-diversity audit: one quasi-identifier-grain aggregate, output bounded by violating groups",
+    ),
+    "price_decile_bin": QuerySpec(
+        "price_decile_bin",
+        price_decile_bin,
+        _BIN_ORACLE,
+        "exact quantile discretizer: value-grain boundaries, row assignment via equi-join, row scan never sorts",
+    ),
     "orders_snapshot_diff": QuerySpec(
         "orders_snapshot_diff",
         orders_snapshot_diff,
