@@ -240,6 +240,72 @@ def test_cluster_label_purity_counts_consistent(spark):
         assert 1 <= r["majority_n"] <= r["n_members"]
 
 
+def test_kmeans_stats_derive_equals_next_lloyd_round(spark):
+    """centroids_from_stats(assignment_stats(corpus, cent_T)) must equal
+    lloyd_centroids(corpus, T+1) exactly — the identity that lets the
+    streaming stats store start where the offline fit left off."""
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cent2 = kmeans.lloyd_centroids(emb, 6, 2)
+    derived = kmeans.centroids_from_stats(kmeans.assignment_stats(emb, cent2, 6))
+    cent3 = kmeans.lloyd_centroids(emb, 6, 3)
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, cent3.collect())
+    )
+
+
+def test_kmeans_stats_additive_over_batches(spark):
+    """assignment_stats against FROZEN centroids folds over disjoint
+    batches by (cid, i)-wise addition — the mergeability the stats store
+    relies on."""
+    from timedf_spark.operators import kmeans
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cent = kmeans.lloyd_centroids(emb, 5, 1)
+    full = kmeans.assignment_stats(emb, cent, 5)
+    parts = [
+        kmeans.assignment_stats(emb.where(f"vec_id % 2 = {m}"), cent, 5)
+        for m in (0, 1)
+    ]
+    folded = (
+        parts[0].unionByName(parts[1])
+        .groupBy("cid", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_kmeans_stats_store_batches_and_replay(spark, tmp_path):
+    """Store round trip: seed from the fit, fold two mini-batches,
+    replayed batch is a no-op, and the derived centroids change only
+    through published versions."""
+    from timedf_spark.operators import kmeans
+    from timedf_spark.streaming import kmeans_apply
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cent = kmeans.lloyd_centroids(emb, 4, 1)
+    seed = kmeans.assignment_stats(emb, cent, 4)
+    store = str(tmp_path / "kstats")
+    kmeans_apply.seed_stats_store(seed, store)
+
+    b1 = emb.where("vec_id % 3 = 0")
+    b2 = emb.where("vec_id % 3 = 1")
+    kmeans_apply.apply_stats_batch(b1, 1, store, 4)
+    s_after_1 = sorted(map(tuple, kmeans_apply.read_stats(spark, store).collect()))
+    kmeans_apply.apply_stats_batch(b1, 1, store, 4)  # replay: no-op
+    assert sorted(map(tuple, kmeans_apply.read_stats(spark, store).collect())) == s_after_1
+    kmeans_apply.apply_stats_batch(b2, 2, store, 4)
+
+    # total mass conservation: n summed over store == corpus + b1 + b2 members
+    per_dim_n = (
+        kmeans_apply.read_stats(spark, store).where("i = 0").agg(F.sum("n")).first()[0]
+    )
+    assert per_dim_n == emb.count() + b1.count() + b2.count()
+
+
 def test_kmeans_no_cartesian_no_corpus_shuffle_per_round(spark):
     """Centroids broadcast onto the vector scan (BroadcastNestedLoopJoin of
     a k-row side is the intended physical shape); the corpus must never hit

@@ -59,6 +59,8 @@ __all__ = [
     "lloyd_assignments",
     "lloyd_centroids",
     "assign_to_centroids",
+    "assignment_stats",
+    "centroids_from_stats",
     "lloyd_sql",
 ]
 
@@ -130,6 +132,50 @@ def assign_to_centroids(
     )
 
 
+def _stats_from_quantized(qv: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
+    """(cid, i, s, n): per-cluster per-dimension member sums and counts
+    of ``qv`` assigned against ``centroids`` — the sufficient statistics
+    of one Lloyd update. Mergeable by (cid, i)-wise addition of s and n,
+    which is what the streaming stats store exploits."""
+    members = _argmin_keys(qv, centroids, k).withColumn("cid", F.expr(f"mk % {k}"))
+    return (
+        members.join(qv, "vec_id")
+        .select("cid", F.posexplode("q").alias("i", "val"))
+        .groupBy("cid", "i")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def assignment_stats(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = _SCALE,
+) -> DataFrame:
+    """Public wrapper of :func:`_stats_from_quantized` over raw vectors."""
+    return _stats_from_quantized(
+        _quantized(vectors, vec_col, id_col, scale), centroids, k
+    )
+
+
+def centroids_from_stats(stats: DataFrame) -> DataFrame:
+    """(cid, c) derived from (cid, i, s, n) by the exact floor-division
+    mean — identical arithmetic to a Lloyd update round, so seeding a
+    store with :func:`assignment_stats` against round-T centroids and
+    deriving yields EXACTLY round T+1's centroids (test-pinned)."""
+    return (
+        stats.withColumn("v", F.expr("(s - (((s % n) + n) % n)) DIV n"))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, v))), x -> x.v)"
+            ).alias("c")
+        )
+    )
+
+
 def _fit(qv: DataFrame, k: int, iterations: int) -> tuple[DataFrame, set[int]]:
     """Run the Lloyd loop; returns the final (cid, c) frame plus its
     pinned localCheckpoint block ids (k rows — negligible)."""
@@ -146,24 +192,7 @@ def _fit(qv: DataFrame, k: int, iterations: int) -> tuple[DataFrame, set[int]]:
     )
     cent_ids: set[int] = set()
     for _ in range(iterations):
-        members = _argmin_keys(qv, cent, k).withColumn(
-            "cid", F.expr(f"mk % {k}")
-        )
-        sums = (
-            members.join(qv, "vec_id")
-            .select("cid", F.posexplode("q").alias("i", "val"))
-            .groupBy("cid", "i")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        )
-        new_cent = (
-            sums.withColumn("v", F.expr("(s - (((s % n) + n) % n)) DIV n"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, v))), x -> x.v)"
-                ).alias("c")
-            )
-        )
+        new_cent = centroids_from_stats(_stats_from_quantized(qv, cent, k))
         new_cent, new_ids = _checkpoint(new_cent)  # k rows: flat plans for any T
         _release(new_cent, cent_ids)
         cent, cent_ids = new_cent, new_ids

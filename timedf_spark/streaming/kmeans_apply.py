@@ -23,6 +23,18 @@ Equality pin (tests/test_round9.py): the streaming probe path produces
 bit-identical assignments to ``assign_to_centroids`` run as one batch —
 same integer argmin, same tie-break.
 
+Two stores live here:
+
+- the CENTROID store (below) — frozen fit, assignment-only; refit is a
+  new version.
+- the STATS store — mini-batch k-means maintenance in exact-accumulation
+  form: state is the (cid, i, s, n) sufficient statistics, mergeable by
+  addition like the rollup/CMS stores; centroids are DERIVED by the
+  exact floor-division mean, so seeding with ``assignment_stats``
+  against round-T centroids derives exactly round T+1 (pinned against
+  the oracle-checked Lloyd fit). Batches then shift the running mean
+  with no corpus rescans.
+
 Scale posture: per batch, one k-row broadcast + one map-side argmin
 aggregate keyed by vec_id; cost is O(batch x k x dim) with nothing
 proportional to the corpus. The store holds k x dim bigints.
@@ -31,11 +43,16 @@ proportional to the corpus. The store holds k x dim bigints.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.kmeans import assign_to_centroids
+from timedf_spark.operators.kmeans import (
+    assign_to_centroids,
+    assignment_stats,
+    centroids_from_stats,
+)
 from timedf_spark.streaming.cdc_apply import _current_version, _publish
 
 __all__ = [
@@ -43,6 +60,10 @@ __all__ = [
     "read_centroids",
     "assign_batch",
     "kmeans_assign_sink",
+    "seed_stats_store",
+    "read_stats",
+    "apply_stats_batch",
+    "kmeans_stats_sink",
 ]
 
 _SCHEMA = "cid int, c array<bigint>"
@@ -84,6 +105,82 @@ def assign_batch(
     assigned.write.mode("overwrite").parquet(
         os.path.join(out_path, f"batch={batch_id}")
     )
+
+
+_STATS_SCHEMA = "cid bigint, i int, s bigint, n bigint"
+
+
+def seed_stats_store(stats: DataFrame, path: str, version: int = 0) -> None:
+    """Publish (cid, i, s, n) sufficient statistics (from
+    ``operators/kmeans.assignment_stats`` over the fitting corpus) as
+    store version ``version``. Deriving centroids from the seed yields
+    exactly the NEXT Lloyd round's centroids — the store starts where
+    the offline fit left off."""
+    stats.selectExpr(
+        "cast(cid as bigint) cid", "cast(i as int) i",
+        "cast(s as bigint) s", "cast(n as bigint) n",
+    ).write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    _publish(path, version)
+
+
+def read_stats(spark: SparkSession, path: str) -> DataFrame:
+    v = _current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no published k-means stats store at {path}")
+    return spark.read.schema(_STATS_SCHEMA).parquet(os.path.join(path, f"v={v}"))
+
+
+def apply_stats_batch(
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Mini-batch k-means maintenance, exact-accumulation form: assign
+    the batch against the centroids DERIVED from the current statistics,
+    then fold the batch's (cid, i)-wise sums and counts into the store
+    by addition (mergeable — the CMS/rollup rule). Semantics: a running
+    mean over all history, each batch classified by the centroids of its
+    time; a periodic offline refit re-seeds the store. Addition is not
+    idempotent, so the rollup-store replay guard applies."""
+    spark = batch.sparkSession
+    cur = _current_version(path)
+    if cur is not None and cur >= batch_id:
+        return  # redelivered batch: adding again would double-count
+    stats = read_stats(spark, path)
+    cent = centroids_from_stats(stats)
+    delta = assignment_stats(batch, cent, k, vec_col=vec_col, id_col=id_col)
+    merged = (
+        stats.unionByName(delta.selectExpr(
+            "cast(cid as bigint) cid", "cast(i as int) i",
+            "cast(s as bigint) s", "cast(n as bigint) n",
+        ))
+        .groupBy("cid", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"v={batch_id}"))
+    _publish(path, batch_id)
+    if cur is not None:
+        shutil.rmtree(os.path.join(path, f"v={cur}"), ignore_errors=True)
+
+
+def kmeans_stats_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """DataStreamWriter maintaining the stats store (caller picks the
+    trigger and calls .start())."""
+    return stream.writeStream.foreachBatch(
+        lambda df, bid: apply_stats_batch(
+            df, bid, path, k, vec_col=vec_col, id_col=id_col
+        )
+    ).option("checkpointLocation", checkpoint)
 
 
 def kmeans_assign_sink(
