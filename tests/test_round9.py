@@ -350,6 +350,45 @@ def test_group_ols_negative_slope_floor_semantics(spark):
     assert r["slope_scaled"] < 0
 
 
+def test_trend_store_equals_one_shot_and_replay(spark, tmp_path):
+    """Folding month-slices through the trend store reproduces the
+    one-shot sufficient statistics bit-exactly, derived slopes match
+    group_ols on the union, and a replayed batch is a no-op."""
+    from timedf_spark.operators import trend
+    from timedf_spark.streaming import trend_apply
+
+    pts = spark.createDataFrame(
+        [("g1", x, 5 * x + (x % 3)) for x in range(30)]
+        + [("g2", x, 1000 - 4 * x) for x in range(30)],
+        "g string, x long, y long",
+    )
+    store = str(tmp_path / "trend")
+    b0, b1, b2 = (pts.where(f"x % 3 = {m}") for m in (0, 1, 2))
+    trend_apply.seed_trend_store(trend.sufficient_stats(b0, ["g"], "x", "y"), store)
+    trend_apply.apply_trend_batch(b1, 1, store, ["g"], "x", "y")
+    trend_apply.apply_trend_batch(b1, 1, store, ["g"], "x", "y")  # replay
+    trend_apply.apply_trend_batch(b2, 2, store, ["g"], "x", "y")
+
+    stored = sorted(
+        map(tuple, trend_apply.read_trend_stats(spark, store).collect())
+    )
+    oneshot = sorted(
+        map(tuple, trend.sufficient_stats(pts, ["g"], "x", "y").collect())
+    )
+    assert stored == oneshot
+
+    derived = sorted(
+        map(
+            tuple,
+            trend_apply.derive_slopes(
+                trend_apply.read_trend_stats(spark, store), ["g"]
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, trend.group_ols(pts, ["g"], "x", "y").collect()))
+    assert derived == direct
+
+
 # ---- governance audits ------------------------------------------------------
 
 

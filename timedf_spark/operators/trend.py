@@ -35,7 +35,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["group_ols", "group_ols_sql"]
+__all__ = ["group_ols", "group_ols_sql", "sufficient_stats", "slopes_from_stats"]
+
+
+def sufficient_stats(
+    df: DataFrame, group_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """(group..., n, sx, sy, sxy, sxx) — mergeable by group-wise
+    addition (the streaming trend store's unit, streaming/trend_apply)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.expr(f"{x_col} * {y_col}")).alias("sxy"),
+        F.sum(F.expr(f"{x_col} * {x_col}")).alias("sxx"),
+    )
+
+
+def slopes_from_stats(
+    stats: DataFrame, group_cols: list[str], scale: int = 10_000
+) -> DataFrame:
+    """(group..., n, slope_num, slope_den, slope_scaled) derived from
+    sufficient statistics — the pure finisher (mod-subtract floor
+    division; NULLs on degenerate groups)."""
+    num, den = "(n * sxy - sx * sy)", "(n * sxx - sx * sx)"
+    snum = f"({num} * {scale})"
+    return stats.select(
+        *group_cols,
+        "n",
+        F.expr(num).alias("slope_num"),
+        F.expr(f"nullif({den}, 0)").alias("slope_den"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL ELSE "
+            f"({snum} - ((({snum} % {den}) + {den}) % {den})) DIV {den} END"
+        ).alias("slope_scaled"),
+    )
 
 
 def group_ols(
@@ -57,24 +91,8 @@ def group_ols(
         f"or lower scale (scale={scale}, n<={n_bound}, X<={x_bound}, "
         f"Y<={y_bound})"
     )
-    g = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x_col).alias("sx"),
-        F.sum(y_col).alias("sy"),
-        F.sum(F.expr(f"{x_col} * {y_col}")).alias("sxy"),
-        F.sum(F.expr(f"{x_col} * {x_col}")).alias("sxx"),
-    )
-    num, den = "(n * sxy - sx * sy)", "(n * sxx - sx * sx)"
-    snum = f"({num} * {scale})"
-    return g.select(
-        *group_cols,
-        "n",
-        F.expr(num).alias("slope_num"),
-        F.expr(f"nullif({den}, 0)").alias("slope_den"),
-        F.expr(
-            f"CASE WHEN {den} = 0 THEN NULL ELSE "
-            f"({snum} - ((({snum} % {den}) + {den}) % {den})) DIV {den} END"
-        ).alias("slope_scaled"),
+    return slopes_from_stats(
+        sufficient_stats(df, group_cols, x_col, y_col), group_cols, scale
     )
 
 
