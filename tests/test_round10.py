@@ -39,6 +39,51 @@ def test_collocations_rank_bound_phrase_above_frequent_pair(spark):
     assert out[("hong", "kong")] > out.get(("the", "cat"), 0)
 
 
+def test_ppr_mass_conservation_and_seed_locality(spark):
+    """Total rank mass stays 1 (teleport + dangling both flow to the
+    seeds), and mass concentrates on the seed side: the seed nation's
+    suppliers out-rank the average non-seed supplier."""
+    rows = all_queries()["nation_seed_ppr"].fn(spark, SF_SMALL).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    from timedf_spark.queries.round10 import _CUST_NS, _SEED_NATION
+
+    supp = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    seed_ids = {
+        r["s_suppkey"]
+        for r in supp.where(f"s_nationkey = {_SEED_NATION}").collect()
+    }
+    seed_ranks = [r["rank"] for r in rows if r["node"] in seed_ids]
+    other_supp = [
+        r["rank"]
+        for r in rows
+        if r["node"] < _CUST_NS and r["node"] not in seed_ids
+    ]
+    assert seed_ranks and other_supp
+    assert (sum(seed_ranks) / len(seed_ranks)) > (
+        sum(other_supp) / len(other_supp)
+    )
+
+
+def test_ppr_uniform_seed_equals_pagerank(spark):
+    """Seeding with EVERY node degenerates PPR to standard PageRank.
+    N = 8 so 1/N is a dyadic double: x * (1/N) and x / N are then the
+    same IEEE value and the two operators agree BIT-for-bit (at non-dyadic
+    N they differ by ulps — the arithmetic is a*pv vs a/N)."""
+    from timedf_spark.operators.pagerank import pagerank, personalized_pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    pr = sorted(map(tuple, pagerank(nodes, edges, iters=5).collect()))
+    ppr = sorted(
+        map(tuple, personalized_pagerank(nodes, edges, nodes, iters=5).collect())
+    )
+    assert pr == ppr
+
+
 def test_collocations_gate_shape(spark):
     rows = all_queries()["collocations"].fn(spark, SF_SMALL).collect()
     assert 0 < len(rows) <= 25

@@ -41,7 +41,12 @@ from pyspark.sql import functions as F
 from timedf_spark.functions.deterministic import dsum
 from timedf_spark.operators.cluster import _checkpoint, _release
 
-__all__ = ["pagerank", "pagerank_sql"]
+__all__ = [
+    "pagerank",
+    "pagerank_sql",
+    "personalized_pagerank",
+    "personalized_pagerank_sql",
+]
 
 _DAMPING = "0.85e0"  # shared literal text: both engines parse the same double
 _SCALE = 9
@@ -117,6 +122,126 @@ def pagerank(
             ranks = nxt  # lazy round: folded into the next checkpoint's job
     _release(ed, ed_ids)
     return ranks
+
+
+def _update_expr_ppr() -> str:
+    """Personalized update: teleport and dangling mass both flow to the
+    restart distribution pv instead of uniformly — identical text on
+    both engines."""
+    return (
+        f"((1.0e0 - {_DAMPING}) * pv + {_DAMPING} * "
+        f"(coalesce(contrib, 0e0) + coalesce(dang_m, 0e0) * pv))"
+    )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    scale: int = _SCALE,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala, WWW'02): random walks restart
+    into the SEED set instead of uniformly, so rank measures relevance
+    *to the seeds* — the graph-retrieval primitive ("domains like
+    these", seed-expanded curation). Identical plan shape to
+    :func:`pagerank`; the restart vector rides the node frame as a
+    column. Dangling mass also returns to the seeds (the standard PPR
+    convention — total mass stays 1, pinned in tests)."""
+    node_col = nodes.columns[0]
+    nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    s = seeds.count()
+    assert s > 0, "empty seed set"
+    n = nodes.count()
+    assert n * (10**scale) < (1 << 53), (
+        f"{n} nodes at scale={scale} exceeds the exact-sum envelope; lower scale"
+    )
+    s_lit = repr(float(s))
+    nodes_p = nodes.join(
+        seeds.withColumn("is_seed", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.expr(f"CASE WHEN is_seed = 1 THEN 1.0e0 / {s_lit} ELSE 0e0 END").alias(
+            "pv"
+        ),
+    )
+    nodes_p, np_ids = _checkpoint(nodes_p)
+
+    e = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ed, ed_ids = _checkpoint(e.join(deg, "src"))
+    src_nodes = ed.select(F.col("src").alias("node")).distinct()
+
+    ranks, rank_ids = _checkpoint(nodes_p.select("node", F.col("pv").alias("rank")))
+    for i in range(iters):
+        contrib = (
+            ranks.join(ed, ranks.node == ed.src)
+            .select(F.col("dst").alias("node"), F.expr("rank / deg").alias("share"))
+            .groupBy("node")
+            .agg(F.expr(dsum("share", scale)).alias("contrib"))
+        )
+        dang = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.expr(dsum("rank", scale)).alias("dang_m"))
+        )
+        nxt = (
+            nodes_p.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select("node", F.expr(_update_expr_ppr()).alias("rank"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            nxt, nxt_ids = _checkpoint(nxt)
+            _release(ranks, rank_ids)
+            ranks, rank_ids = nxt, nxt_ids
+        else:
+            ranks = nxt
+    _release(ed, ed_ids)
+    _release(nodes_p, np_ids)
+    return ranks
+
+
+def personalized_pagerank_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    seeds_sql: str,
+    iters: int = 10,
+    scale: int = _SCALE,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — unrolled CTEs, the
+    restart probability carried on the node CTE."""
+    s_lit = "(SELECT ss FROM scount)"
+    parts = [
+        f"nodes0 AS MATERIALIZED (SELECT DISTINCT node FROM ({nodes_sql}))",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "scount AS MATERIALIZED (SELECT cast(count(*) AS DOUBLE) AS ss FROM seeds)",
+        f"nodes AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL "
+        f"THEN 1.0e0 / {s_lit} ELSE 0e0 END AS pv "
+        "FROM nodes0 n LEFT JOIN seeds s ON n.node = s.node)",
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "deg AS MATERIALIZED (SELECT src, cast(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src)",
+        "r0 AS MATERIALIZED (SELECT node, pv AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT dst AS node, {dsum('share', scale)} AS contrib FROM ("
+            f"SELECT ed.dst AS dst, {prev}.rank / ed.deg AS share "
+            f"FROM {prev} JOIN ed ON {prev}.node = ed.src) GROUP BY dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT {dsum('rank', scale)} AS dang_m FROM {prev} "
+            "WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT nodes.node, {_update_expr_ppr()} AS rank "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN d{i})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
 
 
 def pagerank_sql(

@@ -96,7 +96,58 @@ LIMIT {_TOPN}
 """
 
 
+_PPR_ITERS = 6
+_CUST_NS = 10_000_000  # customer node-id namespace offset (keys overlap)
+_SEED_NATION = 3
+
+
+def nation_seed_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the supplier→customer fulfillment
+    graph, restarting into the suppliers of one nation — 'entities
+    relevant to THIS nation's supply base', the seed-expansion move a
+    graph-curation pass uses to grow a trusted-domain set. Same
+    quantized-exact iteration discipline as supplier_pagerank; the
+    restart vector rides the node frame."""
+    from timedf_spark.operators.pagerank import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + _CUST_NS).alias("dst"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nodes = supp.select(F.col("s_suppkey").alias("node")).unionAll(
+        load_table(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") + _CUST_NS).alias("node")
+        )
+    )
+    seeds = supp.where(F.col("s_nationkey") == _SEED_NATION).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return personalized_pagerank(nodes, edges, seeds, iters=_PPR_ITERS)
+
+
+def _ppr_oracle() -> str:
+    from timedf_spark.operators.pagerank import personalized_pagerank_sql
+
+    return personalized_pagerank_sql(
+        "SELECT s_suppkey AS node FROM supplier "
+        f"UNION ALL SELECT {_CUST_NS} + c_custkey FROM customer",
+        f"SELECT l_suppkey AS src, {_CUST_NS} + o_custkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        f"SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = {_SEED_NATION}",
+        iters=_PPR_ITERS,
+    )
+
+
 SUITE = {
+    "nation_seed_ppr": QuerySpec(
+        "nation_seed_ppr",
+        nation_seed_ppr,
+        _ppr_oracle(),
+        "personalized PageRank: restart vector on the node frame, quantized-exact iterations, unrolled-CTE twin",
+    ),
     "collocations": QuerySpec(
         "collocations",
         collocations,
