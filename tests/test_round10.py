@@ -1,12 +1,52 @@
-"""Round-10 tests: collocation mining semantics the oracle can't see."""
+"""Round-10 tests: collocation mining semantics the oracle can't see,
+plan-shape pins for the session's new query tier."""
 
 from __future__ import annotations
 
 import os
+import re
+
+import pytest
 
 from timedf_spark.queries import all_queries
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# Upper bounds on real shuffles (Exchange minus Reused/Broadcast) per
+# query — a loosened pin so a silent plan regression (broadcast lost to
+# a shuffle join, a new global sort) fails loudly while AQE jitter
+# doesn't. Iterative queries (kmeans/kcore/ppr) are excluded: their
+# executed plan is round-local.
+_SHUFFLE_BOUNDS = {
+    "collocations": 6,
+    "nation_revenue_trend": 3,
+    "customer_anonymity_audit": 3,
+    "price_decile_bin": 4,
+    "orders_snapshot_diff": 4,
+    "cms_term_estimates": 5,
+    "copurchase_triangles": 8,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BOUNDS))
+def test_new_tier_plan_shape(spark, name):
+    spark.catalog.clearCache()
+    df = all_queries()[name].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan, name
+    # Count shuffle NODES line-wise: a ReusedExchange line embeds the
+    # text of the exchange it reuses ("ReusedExchange [...], Exchange
+    # hashpartitioning(...)"), so substring counting over-counts.
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^[\s:+\-*()\d]*Exchange\s", line)
+    )
+    assert shuffles <= _SHUFFLE_BOUNDS[name], (name, shuffles, plan)
 
 
 def test_collocations_rank_bound_phrase_above_frequent_pair(spark):

@@ -68,15 +68,23 @@ def triangle_stats(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .where("struct(dx, x) < struct(dy, y)")
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
     )
-    closing = oriented.select("src", "dst")
-    tri = wedges.join(closing, ["src", "dst"], "left_semi")
-    # scalar assembly: four 1-row aggregates crossJoined (1x1 rows each)
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return (
-        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    # Two aggregate branches, not four: node/edge totals both derive
+    # from deg alone (n_edges = sum(deg)/2 by handshake), and the wedge
+    # and triangle counts share ONE pass — a left join against the
+    # oriented edge set (unique (src, dst) rows, so no fan-out) with a
+    # match indicator, instead of a separate semi-join branch that
+    # would re-execute the whole wedge pipeline.
+    closing = oriented.select("src", "dst").withColumn("closed", F.lit(1))
+    wedge_stats = wedges.join(closing, ["src", "dst"], "left").agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("closed").alias("n_triangles"),
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+    )
+    return node_stats.crossJoin(wedge_stats).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
     )
 
 
