@@ -127,6 +127,65 @@ def gen_orders(n: int, seed: int = 13) -> pa.Table:
     )
 
 
+def gen_lineitem(n: int, n_orders: int, n_parts: int, n_supp: int, seed: int = 19) -> pa.Table:
+    """Same shape/key-ranges as the driver's lineitem (FKs into the
+    generated orders/part tables and a supplier key space scaled with
+    the factor), so join-grain queries see 10x of everything."""
+    rng = np.random.default_rng(seed)
+    days = rng.integers(0, 2557, n)
+    ship = (np.datetime64("1992-01-01") + days.astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(np.sort(rng.integers(0, n_orders, n)), pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_parts, n), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n), pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, n), pa.int32()),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900.0, 105000.0, n), 2)),
+            "l_discount": pa.array(np.round(rng.uniform(0.0, 0.1, n), 2)),
+            "l_tax": pa.array(np.round(rng.uniform(0.0, 0.08, n), 2)),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n), pa.string()),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n), pa.string()),
+            "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        }
+    )
+
+
+def gen_customer(n: int, seed: int = 23) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)], pa.string()),
+            "c_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+            "c_acctbal": pa.array(np.round(rng.uniform(-999.99, 9999.99, n), 2)),
+            "c_mktsegment": pa.array(rng.choice(segs, n), pa.string()),
+        }
+    )
+
+
+def gen_part(n: int, seed: int = 29) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_name": pa.array([f"part {i}" for i in range(n)], pa.string()),
+            "p_brand": pa.array(
+                [f"Brand#{b}" for b in rng.integers(11, 56, n)], pa.string()
+            ),
+            "p_type": pa.array(
+                rng.choice(["ECONOMY", "STANDARD", "PROMO", "SMALL", "LARGE"], n),
+                pa.string(),
+            ),
+            "p_size": pa.array(rng.integers(1, 51, n), pa.int32()),
+            "p_retailprice": pa.array(np.round(rng.uniform(900.0, 999.9, n), 2)),
+        }
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale{factor}x"
@@ -136,6 +195,11 @@ def main() -> None:
         "embeddings": gen_embeddings(2000 * factor),
         "orders": gen_orders(150000 * factor),
         "events": gen_events(100000 * factor, 1500 * factor),
+        "lineitem": gen_lineitem(
+            600000 * factor, 150000 * factor, 20000 * factor, 1000 * factor
+        ),
+        "customer": gen_customer(15000 * factor),
+        "part": gen_part(20000 * factor),
     }
     for name, table in specs.items():
         d = os.path.join(out, f"{name}.parquet")

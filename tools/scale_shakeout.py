@@ -56,6 +56,13 @@ QUERIES = [
     "kmeans_assign",
     "cluster_balanced_sample",
     "cms_term_estimates",
+    # round-11 tier (planner stats / link analysis / skyline / series)
+    "join_size_report",
+    "supplier_affinity_links",
+    "part_skyline",
+    "ewma_user_trend",
+    "cusum_changepoint",
+    "rank_fusion_customers",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
