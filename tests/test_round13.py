@@ -1,0 +1,73 @@
+"""Round-13 tier: independent semantic checks beyond the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timedf_spark.operators.bfs import multi_source_bfs
+from timedf_spark.queries.round13 import bot_cadence_audit, loo_segment_outliers
+from timedf_spark.sources import load_table
+
+
+def test_bfs_known_graph(spark):
+    """Path graph 0-1-2-3-4 with seed {0}: dist = index, capped at 3."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(nodes, edges, seeds, max_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: None}
+
+
+def test_bfs_multi_seed_takes_nearest(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (4,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(nodes, edges, seeds, max_hops=3).collect()
+    }
+    # Edges are directed 0->1->2->3->4: node 4 is its own seed at 0.
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0}
+
+
+def test_loo_excludes_own_row(spark, sf_dir):
+    """The LOO mean must not include the row itself: recompute one
+    segment in Python with truncating division."""
+    rows = loo_segment_outliers(spark, sf_dir).collect()
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    seg_sum: dict = {}
+    seg_n: dict = {}
+    cents = {}
+    for r in orders:
+        c = int(r["o_totalprice"] * 100 // 1)
+        cents[r["o_orderkey"]] = (r["c_mktsegment"], c)
+        seg_sum[r["c_mktsegment"]] = seg_sum.get(r["c_mktsegment"], 0) + c
+        seg_n[r["c_mktsegment"]] = seg_n.get(r["c_mktsegment"], 0) + 1
+    for r in rows:
+        seg, c = cents[r["o_orderkey"]]
+        assert seg == r["c_mktsegment"] and c == r["cents"]
+        expect = (seg_sum[seg] - c) * 1000 // (seg_n[seg] - 1)  # operands > 0
+        assert r["loo_scaled"] == expect
+        assert r["dev_scaled"] == c * 1000 - expect
+
+
+def test_cadence_share_bounds(spark, sf_dir):
+    rows = bot_cadence_audit(spark, sf_dir).collect()
+    assert rows, "audit should emit rows at test scale"
+    for r in rows:
+        assert r["n_gaps"] >= 20
+        assert 0 <= r["share_bp"] <= 10000
+        assert r["modal_gap_s"] >= 0
+    shares = [r["share_bp"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
