@@ -123,6 +123,9 @@ def gen_orders(n: int, seed: int = 13) -> pa.Table:
             "o_orderstatus": pa.array(status, pa.string()),
             "o_totalprice": pa.array(prices, pa.float64()),
             "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                [f"{p}-PRIORITY" for p in rng.integers(1, 6, n)], pa.string()
+            ),
         }
     )
 
@@ -167,6 +170,18 @@ def gen_customer(n: int, seed: int = 23) -> pa.Table:
     )
 
 
+def gen_supplier(n: int, seed: int = 31) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(range(n), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)], pa.string()),
+            "s_nationkey": pa.array(rng.integers(0, 25, n), pa.int32()),
+            "s_acctbal": pa.array(np.round(rng.uniform(-999.99, 9999.99, n), 2)),
+        }
+    )
+
+
 def gen_part(n: int, seed: int = 29) -> pa.Table:
     rng = np.random.default_rng(seed)
     return pa.table(
@@ -200,6 +215,7 @@ def main() -> None:
         ),
         "customer": gen_customer(15000 * factor),
         "part": gen_part(20000 * factor),
+        "supplier": gen_supplier(1000 * factor),
     }
     for name, table in specs.items():
         d = os.path.join(out, f"{name}.parquet")

@@ -63,6 +63,14 @@ QUERIES = [
     "ewma_user_trend",
     "cusum_changepoint",
     "rank_fusion_customers",
+    # round-12/13 tier (graph iteration / profiling / audits)
+    "supplier_communities",
+    "supply_reach",
+    "acf_daily",
+    "fd_profile",
+    "benford_prices",
+    "loo_segment_outliers",
+    "bot_cadence_audit",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
