@@ -46,15 +46,23 @@ def engagement_upset(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit = F.coalesce(
         *[F.when(F.col("event_type") == t, F.lit(b)) for t, b in _TYPE_BITS.items()]
     ).cast("long")
+    # bit_or folds duplicates map-side — no distinct pre-pass exchange;
+    # n_types is the popcount of the mask, spelled arithmetically so
+    # both engines compute the identical integers.
     per_user = (
         ev.select("user_id", bit.alias("_bit"))
-        .distinct()
         .groupBy("user_id")
-        .agg(F.sum("_bit").alias("mask"), F.count(F.lit(1)).alias("_nt"))
+        .agg(F.bit_or("_bit").alias("mask"))
     )
+    popcnt = sum(
+        F.when(F.col("mask").bitwiseAND(F.lit(b)) > 0, 1).otherwise(0)
+        for b in _TYPE_BITS.values()
+    ).cast("long")
     return (
         per_user.groupBy("mask")
-        .agg(F.count(F.lit(1)).alias("n_users"), F.max("_nt").alias("n_types"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("n_types", popcnt)
+        .select("mask", "n_users", "n_types")
         .orderBy(F.desc("n_users"), "mask")
     )
 
@@ -63,14 +71,15 @@ def _upset_oracle() -> str:
     case = "CASE event_type " + " ".join(
         f"WHEN '{t}' THEN {b}" for t, b in _TYPE_BITS.items()
     ) + " END"
+    pop = " + ".join(
+        f"(CASE WHEN mask & {b} > 0 THEN 1 ELSE 0 END)" for b in _TYPE_BITS.values()
+    )
     return f"""
-WITH b AS (
-  SELECT DISTINCT user_id, {case} AS bit FROM events
-), per_user AS (
-  SELECT user_id, cast(sum(bit) AS BIGINT) AS mask, count(*) AS nt
-  FROM b GROUP BY user_id
+WITH per_user AS (
+  SELECT user_id, cast(bit_or({case}) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
 )
-SELECT mask, count(*) AS n_users, max(nt) AS n_types
+SELECT mask, count(*) AS n_users, cast({pop} AS BIGINT) AS n_types
 FROM per_user GROUP BY mask ORDER BY n_users DESC, mask
 """
 

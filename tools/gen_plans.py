@@ -63,6 +63,21 @@ HEADLINERS = {
     "incremental_daily_rollup": "delta aggregated alone; combine is a full-outer join at day grain (no fact rescan)",
     "context_pack": "per-language running sum (no global sort); bin aggregate at (lang × bins) grain",
     "purchase_state_lookup": "temporal lookup anchored on the user_id equi-key; validity interval as residual (no nested loop)",
+    "join_size_report": "every join input is a key-grain aggregate: no fact row ever crosses a join",
+    "supplier_affinity_links": "pairs unfold from hub-capped per-neighbor arrays (Generate) — no edge self-join exchange",
+    "part_skyline": "bucket prune via 1-row range + bucket-max broadcasts; the sequential merge window sees only survivors",
+    "ewma_user_trend": "8 lags and both row_numbers ride ONE user_id exchange",
+    "cusum_changepoint": "prefix, count and total windows share the event_type exchange",
+    "rank_fusion_customers": "two distributed TakeOrdered; rank windows on K-row frames only; full-outer fuse",
+    "acf_daily": "partition stats and all three lags ride one (type, day) exchange",
+    "benford_prices": "digit-grain aggregate + 1-row total broadcast: scan never shuffles raw rows",
+    "fd_profile": "per-FD distinct-count at key grain; 1-row profile unions",
+    "loo_segment_outliers": "segment window carries only (n, S); TakeOrdered top deviations",
+    "bot_cadence_audit": "gap lag, modal argmax and totals all on user_id partitioning",
+    "engagement_upset": "distinct (user, bit) then two stacked aggregates — no window",
+    "weighted_median_price": "flag-grain cumulative window; crossing filter then min-aggregate",
+    "haar_energy": "three pair-grain aggregates; the frame HALVES at each level",
+    "layout_advisor": "one scan per table: key-grain aggregate then 1-row stats union",
 }
 
 
