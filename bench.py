@@ -26,12 +26,153 @@ from timedf_spark.sources import trigger  # noqa: E402
 
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+# HotSpot caps ReservedCodeCacheSize at 2g, and ~14 MB of compiled
+# codegen per query fills that around ~140 queries — past it the JIT
+# shuts off and a migrating 2-5x spike lands on whichever query is
+# running (verified by back-to-back full runs spiking DIFFERENT
+# queries). A bigger cache is impossible, so above this limit the suite
+# runs in sequential CHILD PROCESSES (fresh JVM each, identical
+# per-query protocol) and the parent merges their reports.
+CHUNK_LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_LIMIT", "110"))
+
+
+def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
+    """Parent mode: split the registry into <=CHUNK_LIMIT-query chunks,
+    run each in a subprocess (fresh JVM), merge detail reports, then do
+    the shuffle gate + BENCH_local write + tail printing exactly as a
+    single-process run would."""
+    import math
+    import subprocess
+
+    n_chunks = math.ceil(len(names) / CHUNK_LIMIT)
+    size = math.ceil(len(names) / n_chunks)
+    per_query: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    scan_baseline = -1.0
+    evidence: dict = {}
+    for i in range(n_chunks):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHUNK"] = f"{i}/{n_chunks}"
+        if i != n_chunks - 1:
+            env["SPARK_GRAFT_NO_EVIDENCE"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        detail = None
+        for line in proc.stdout.splitlines():
+            try:
+                obj = json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(obj, dict) and "queries" in obj:
+                detail = obj
+                break
+        if detail is None:
+            print(
+                json.dumps({"chunk_failed": i, "rc": proc.returncode}),
+                file=sys.stderr,
+            )
+            continue
+        per_query.update(detail["queries"])
+        shuffle_mb.update(detail.get("shuffle_write_mb") or {})
+        if i == 0:
+            scan_baseline = detail.get("scan_baseline_sec", -1.0)
+        if detail.get("evidence"):
+            evidence = detail["evidence"]
+    _report(per_query, shuffle_mb, scan_baseline, evidence, sf, write_local=True)
+
+
+def _report(
+    per_query: dict[str, float],
+    shuffle_mb: dict[str, float],
+    scan_baseline: float,
+    evidence: dict,
+    sf: float,
+    write_local: bool,
+) -> None:
+    """Shuffle-pin gate, BENCH_local persistence, and the stdout tail —
+    shared by single-process runs and the chunked parent."""
+    total = round(sum(t for t in per_query.values() if t > 0), 4)
+    bench_local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    shuffle_regressions: dict[str, dict] = {}
+    shuffle_baseline: dict[str, float] = {}
+    gate_skipped: str | None = None
+    try:
+        with open(bench_local) as f:
+            prev = json.load(f)
+        prev_sf = prev.get("sf")
+        if isinstance(prev_sf, (int, float)) and float(prev_sf) == sf:
+            shuffle_baseline = dict(prev.get("shuffle_baseline_mb") or
+                                    prev.get("shuffle_write_mb") or {})
+        else:
+            gate_skipped = f"sf mismatch: baseline sf={prev_sf!r}, this run sf={sf!r}"
+    except FileNotFoundError:
+        gate_skipped = "no BENCH_local.json baseline (first run seeds it)"
+    except (OSError, ValueError) as exc:
+        gate_skipped = f"unreadable baseline: {exc!r:.120}"
+    if gate_skipped:
+        print(json.dumps({"shuffle_gate_skipped": gate_skipped}), file=sys.stderr)
+    for name, mb in shuffle_mb.items():
+        base_mb = shuffle_baseline.get(name)
+        if base_mb is None:
+            shuffle_baseline[name] = mb  # new query: first value is its pin
+        elif mb > 2 * base_mb and mb > 1.0:
+            shuffle_regressions[name] = {"baseline_mb": base_mb, "now_mb": mb}
+
+    detail = {
+        "metric": "sum_of_median_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "shuffle_write_mb": shuffle_mb,
+        "sf": sf,
+        "scan_baseline_sec": scan_baseline,
+        "evidence": evidence,
+        "shuffle_regressions": shuffle_regressions,
+        "shuffle_baseline_mb": shuffle_baseline,
+    }
+    print(json.dumps(detail))
+    if write_local:
+        try:
+            with open(bench_local, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
+    print(json.dumps({"evidence": evidence}))
+    if shuffle_regressions:
+        print(json.dumps({"shuffle_regressions": shuffle_regressions}))
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(per_query),
+                "scan_baseline_sec": scan_baseline,
+            }
+        )
+    )
+
 # Headline set: every oracle-checked query. Non-SQL ops are benchmarked too
 # once they land; anything erroring is reported as -1 rather than crashing
 # the whole bench.
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    chunk = os.environ.get("SPARK_GRAFT_BENCH_CHUNK")
+    if (
+        chunk is None
+        and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        and len(all_queries()) > CHUNK_LIMIT
+    ):
+        _run_chunked(list(all_queries()), sf_dir, sf)
+        return
     # Aggressive periodic ContextCleaner GC: in one long session running
     # 80+ queries, shuffle files and broadcast blocks are only reclaimed
     # when a JVM GC collects their references — with a 24g heap that can
@@ -47,10 +188,11 @@ def main() -> None:
         app_name="timedf_spark_bench",
         extra_conf={
             "spark.cleaner.periodicGC.interval": "30s",
-            # 2g: at 135 queries the 1g reserve still filled mid-suite —
-            # the compiler shut off and the "migrating spike" landed on
-            # whichever query was running (r03: sessionize 0.285->1.6 s
-            # with an unchanged plan; warm-JVM re-measure restored 0.49 s)
+            # 2g is HotSpot's HARD MAXIMUM for the code cache (4g refuses
+            # to boot: JAVA_GATEWAY_EXITED). ~14 MB of compiled codegen
+            # per query fills it around ~140 queries — hence the chunked
+            # parent/child protocol above, which keeps every JVM under
+            # the ceiling instead of trying to raise it.
             "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=2g",
         },
     )
@@ -63,6 +205,16 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
+        specs = {n: s for n, s in specs.items() if n in keep}
+    if chunk:
+        # child mode: contiguous slice i of n (registry order); the
+        # parent merges reports and owns the gate + BENCH_local write
+        import math
+
+        i, n_chunks = (int(x) for x in chunk.split("/"))
+        names = list(specs)
+        size = math.ceil(len(names) / n_chunks)
+        keep = set(names[i * size : (i + 1) * size])
         specs = {n: s for n, s in specs.items() if n in keep}
 
     # Scan baseline: read+materialize every table once, no operator work —
@@ -154,8 +306,6 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    total = round(sum(t for t in per_query.values() if t > 0), 4)
-
     # Quantitative evidence for the no-oracle queries (recall vs brute
     # force, tolerance vs exact, held-out metrics, determinism
     # invariants) — printed as its own tail line so the driver record
@@ -170,90 +320,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — evidence must not sink bench
             evidence = {"error": repr(exc)[:200]}
 
-    # Shuffle-bytes regression gate (VERDICT r03 item 8): the per-query
-    # shuffle audit becomes a standing invariant — compare against the
-    # previous run's BENCH_local.json before overwriting it. >2x growth
-    # at the same sf means a plan regression (lost broadcast, dropped
-    # partial aggregation, new exchange), which is a scale bug even while
-    # results stay correct. Reported always; hard exit only under
-    # SPARK_GRAFT_SHUFFLE_GATE=strict so driver runs never sink on noise.
-    # Baseline is PINNED and carried forward in the json (not the previous
-    # run's numbers, which this run overwrites): comparing run-over-run
-    # lets sub-2x drift compound across rounds undetected. First run at an
-    # sf seeds the baseline; new queries join it at their first measured
-    # value; existing entries never move (reset by deleting the key or the
-    # file). A gate skip (sf mismatch / unreadable file) is logged, never
-    # silent.
-    bench_local = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
-    )
-    shuffle_regressions: dict[str, dict] = {}
-    shuffle_baseline: dict[str, float] = {}
-    gate_skipped: str | None = None
-    try:
-        with open(bench_local) as f:
-            prev = json.load(f)
-        prev_sf = prev.get("sf")
-        if isinstance(prev_sf, (int, float)) and float(prev_sf) == sf:
-            shuffle_baseline = dict(prev.get("shuffle_baseline_mb") or
-                                    prev.get("shuffle_write_mb") or {})
-        else:
-            gate_skipped = f"sf mismatch: baseline sf={prev_sf!r}, this run sf={sf!r}"
-    except FileNotFoundError:
-        gate_skipped = "no BENCH_local.json baseline (first run seeds it)"
-    except (OSError, ValueError) as exc:
-        gate_skipped = f"unreadable baseline: {exc!r:.120}"
-    if gate_skipped:
-        print(json.dumps({"shuffle_gate_skipped": gate_skipped}), file=sys.stderr)
-    for name, mb in shuffle_mb.items():
-        base_mb = shuffle_baseline.get(name)
-        if base_mb is None:
-            shuffle_baseline[name] = mb  # new query: first value is its pin
-        # floor of 1 MB: tiny absolute volumes flap with AQE
-        # coalescing and aren't scale-relevant
-        elif mb > 2 * base_mb and mb > 1.0:
-            shuffle_regressions[name] = {"baseline_mb": base_mb, "now_mb": mb}
-
-    detail = {
-        "metric": "sum_of_median_query_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": per_query,
-        "shuffle_write_mb": shuffle_mb,
-        "sf": sf,
-        "scan_baseline_sec": scan_baseline,
-        "evidence": evidence,
-        "shuffle_regressions": shuffle_regressions,
-        "shuffle_baseline_mb": shuffle_baseline,
-    }
-    # The driver captures only the TAIL of stdout; the full detail line for
-    # 85+ queries is ~3 KB and was truncated mid-stream in round 2
-    # (BENCH_r02 parsed: null). Print the detail first for humans/logs,
-    # persist it to BENCH_local.json, and END with a compact (<120 byte)
-    # line that always fits inside any tail window.
-    print(json.dumps(detail))
-    if not only:
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
-                json.dump(detail, f, indent=1)
-        except OSError:
-            pass
-    # evidence line before the compact summary: both fit the driver's
-    # 2 KB tail window (evidence ~1.2 KB compact, summary <150 B)
-    print(json.dumps({"evidence": evidence}))
-    if shuffle_regressions:
-        print(json.dumps({"shuffle_regressions": shuffle_regressions}))
-    print(
-        json.dumps(
-            {
-                "metric": "sum_of_median_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(per_query),
-                "scan_baseline_sec": scan_baseline,
-            }
-        )
+    # Shuffle-bytes regression gate (VERDICT r03 item 8) + report. In a
+    # chunked child, the parent owns the gate, file write, and tail —
+    # the child just emits its detail line. The pinned-baseline rules are
+    # documented on _report. Driver-tail layout: the detail line first
+    # (humans/logs), then evidence, then a compact <150B summary that
+    # always fits the driver's 2 KB tail window.
+    _report(
+        per_query,
+        shuffle_mb,
+        scan_baseline,
+        evidence,
+        sf,
+        write_local=not only and not chunk,
     )
     if shuffle_regressions and os.environ.get("SPARK_GRAFT_SHUFFLE_GATE") == "strict":
         raise SystemExit(3)
