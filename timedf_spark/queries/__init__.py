@@ -123,13 +123,14 @@ def all_queries() -> dict[str, QuerySpec]:
     # Round-5 window: every r04-checked oracle query hash-matched
     # (CORRECTNESS_r04.json: 49/50 green, the 50th is the by-design
     # no_oracle approx_cardinalities row). Fold the r04 greens into the
-    # cumulative rotation EXCEPT the four whose round-5 edits warrant
-    # driver re-validation: near_dup_tier_report (nullif zero-div guard
-    # changed the ratio expressions on both engines), charlm_score and
-    # dedup_jaccard_prefix (persistence moved off the timed path — same
-    # semantics, changed plan), curation_funnel (in-band eager
-    # checkpoint + cache release added). Those four stay front, alongside
-    # everything new this round.
+    # cumulative rotation EXCEPT near_dup_tier_report, whose round-5
+    # edit changed the ratio EXPRESSIONS on both engines (nullif
+    # zero-div guard) — it stays front for driver re-validation.
+    # charlm_score / dedup_jaccard_prefix / curation_funnel also changed
+    # in round 5, but persistence-only (cache hygiene moved off the
+    # timed path; identical oracles and semantics, r04 greens stand), so
+    # they rotate back — round 5 added 52 new/changed queries and the
+    # 50-slot window must go to entries the driver has never hashed.
     _R04_DRIVER_GREEN = frozenset({
         "zscore_outliers", "first_touch_attribution", "temperature_mix",
         "doc_length_histogram", "salted_segment_spend", "duplicate_paragraphs",
@@ -139,6 +140,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "semantic_dedup_keepers", "doc_chunks", "repetition_stats",
         "pii_redact", "contamination_probe", "incremental_ingest",
         "incremental_near_dup", "decontaminate_spans", "cdc_merge_orders",
+        # round-5 persistence-only changes (see comment above)
+        "charlm_score", "dedup_jaccard_prefix", "curation_funnel",
     })
     rotate_back = _R02_DRIVER_CHECKED | _R01_GREEN_UNCHANGED | _R03_DRIVER_GREEN | _R04_DRIVER_GREEN | {
         # no-oracle entries: each pinned by a stronger local test
