@@ -52,6 +52,11 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     evidence: dict = {}
     for i in range(n_chunks):
         env = dict(os.environ)
+        # the parent's snapshot of the registry is authoritative: names
+        # are passed EXPLICITLY so a registry edit landing mid-run can't
+        # shift a later child's slice (children honor BENCH_ONLY, which
+        # also suppresses their BENCH_local write — the parent owns it)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names[i * size : (i + 1) * size])
         env["SPARK_GRAFT_BENCH_CHUNK"] = f"{i}/{n_chunks}"
         if i != n_chunks - 1:
             env["SPARK_GRAFT_NO_EVIDENCE"] = "1"
@@ -206,16 +211,9 @@ def main() -> None:
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         specs = {n: s for n, s in specs.items() if n in keep}
-    if chunk:
-        # child mode: contiguous slice i of n (registry order); the
-        # parent merges reports and owns the gate + BENCH_local write
-        import math
-
-        i, n_chunks = (int(x) for x in chunk.split("/"))
-        names = list(specs)
-        size = math.ceil(len(names) / n_chunks)
-        keep = set(names[i * size : (i + 1) * size])
-        specs = {n: s for n, s in specs.items() if n in keep}
+    # (chunked children receive their slice via SPARK_GRAFT_BENCH_ONLY
+    # above — no further filtering here; SPARK_GRAFT_BENCH_CHUNK only
+    # marks child mode for reporting)
 
     # Scan baseline: read+materialize every table once, no operator work —
     # separates fixed scan/JVM cost from per-operator cost in the report.
