@@ -600,3 +600,41 @@ def test_fk_integrity_audit_dims_broadcast(spark):
     plan = _executed_plan(spark, "fk_integrity_audit")
     assert plan.count("BroadcastHashJoin") >= 6, plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_ewma_single_user_exchange(spark):
+    """All 8 lag terms and both row_numbers must ride ONE user_id
+    exchange — a second raw-row exchange means the window specs stopped
+    sharing their partitioning."""
+    plan = _executed_plan(spark, "ewma_user_trend")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_linkpred_pairs_via_generate_not_self_join(spark):
+    """Supplier affinity pairs come from exploding per-neighbor arrays
+    (Generate), never from an edge self-join — the hub cap bounds the
+    unfold; a join-based plan would re-shuffle the edge set twice."""
+    plan = _executed_plan(spark, "supplier_affinity_links")
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_join_size_report_joins_only_aggregates(spark):
+    """Key-count frames, not fact rows, enter every join: each join in
+    the plan must sit above HashAggregates on both sides (proxy: at
+    least two aggregates per join, no cartesian)."""
+    import re
+
+    plan = _executed_plan(spark, "join_size_report")
+    n_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan))
+    n_aggs = plan.count("HashAggregate")
+    assert "CartesianProduct" not in plan, plan
+    assert n_aggs >= 2 * n_joins, (n_aggs, n_joins)
+
+
+def test_cusum_windows_share_exchange(spark):
+    """prefix sum, row_number, count and total all partition by
+    event_type: one raw-row exchange total."""
+    plan = _executed_plan(spark, "cusum_changepoint")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
