@@ -236,6 +236,32 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
 
     guard("streaming_rollup", _streaming_rollup_latency)
 
+    def _streaming_upset_latency() -> dict[str, Any]:
+        import statistics
+        import tempfile
+        import time
+
+        from timedf_spark.queries.round14 import _TYPE_BITS
+        from timedf_spark.streaming import upset_store as us
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+        n_batches = 5
+        with tempfile.TemporaryDirectory() as d:
+            store = f"{d}/upset"
+            us.seed_upset_store(spark, store)
+            lat = []
+            for b in range(n_batches):
+                part = ev.filter(F.col("user_id") % n_batches == b)
+                t0 = time.perf_counter()
+                us.apply_upset_batch(part, b, store, _TYPE_BITS)
+                lat.append(time.perf_counter() - t0)
+        return {"metric": "median_batch_sec_upset_mask_maintenance",
+                "value": round(statistics.median(lat), 3), "bound": 10.0,
+                "dir": "le", "batches": n_batches,
+                "max_batch_sec": round(max(lat), 3)}
+
+    guard("streaming_upset", _streaming_upset_latency)
+
     return out
 
 
