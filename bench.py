@@ -33,7 +33,11 @@ ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 # queries). A bigger cache is impossible, so above this limit the suite
 # runs in sequential CHILD PROCESSES (fresh JVM each, identical
 # per-query protocol) and the parent merges their reports.
-CHUNK_LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_LIMIT", "110"))
+CHUNK_LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_LIMIT", "64"))
+# 64 (not the 2g-envelope ~140): at 96 queries/JVM the last-quartile
+# queries still ran with mild JIT-decay inflation (cdc_merge_orders
+# 1.74 s in-suite vs 0.65 s isolated); at 64 the in-suite numbers match
+# isolated re-measures. ~30 s JVM spin-up per extra chunk is the price.
 
 
 def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:

@@ -78,6 +78,12 @@ HEADLINERS = {
     "weighted_median_price": "flag-grain cumulative window; crossing filter then min-aggregate",
     "haar_energy": "three pair-grain aggregates; the frame HALVES at each level",
     "layout_advisor": "one scan per table: key-grain aggregate then 1-row stats union",
+    "nation_spend_gini": "rank window and final aggregate share the nation grain; all-integer sums",
+    "rfm_segments": "three ntile windows ride one nation exchange (three in-partition sorts, no global sort)",
+    "conversion_latency": "fact rows touched once (per-user min-agg); crossing windows at converter grain",
+    "readability_by_source": "scoring is fully scan-local; one source-grain aggregate",
+    "price_drift_tvd": "bucket-grain counts + 1-row totals broadcast; raw rows never shuffle",
+    "stickiness_dau_wau": "(day,user) distinct then EXPLODED equi-grain groupBy — no theta join on day keys",
 }
 
 

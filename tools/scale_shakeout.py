@@ -71,6 +71,17 @@ QUERIES = [
     "benford_prices",
     "loo_segment_outliers",
     "bot_cadence_audit",
+    # round-14..18 tier (censuses / medians / wavelets / drift / RFM)
+    "engagement_upset",
+    "weighted_median_price",
+    "haar_energy",
+    "layout_advisor",
+    "nation_spend_gini",
+    "rfm_segments",
+    "conversion_latency",
+    "readability_by_source",
+    "price_drift_tvd",
+    "stickiness_dau_wau",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
