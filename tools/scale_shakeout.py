@@ -147,9 +147,11 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     merged["queries"].update(out)
-    print(json.dumps(merged))
+    # write BEFORE printing: a consumer like `| head -1` SIGPIPEs the
+    # print, and the file write must not be collateral damage
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
