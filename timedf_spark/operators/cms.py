@@ -120,3 +120,47 @@ SELECT item, exact_n,
 FROM pcells LEFT JOIN cells USING (r, c)
 GROUP BY item, exact_n
 """
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame, d: int) -> DataFrame:
+    """1-row (est_rows) estimate of the equi-join output size between
+    the two key multisets the sketches summarize: est = min over the d
+    rows of Σ_c A[r][c]·B[r][c] (Cormode & Muthukrishnan §4.2 — the
+    inner product dominates the true join size, so est >= truth, with
+    expected overcount N_a·N_b/w per row). Both sketches are <= d*w
+    rows, so this never touches the fact tables."""
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    prod = (
+        a.join(b.withColumnRenamed("cnt", "cnt_b"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.expr("cnt * cnt_b")).alias("ip"))
+    )
+    rows = a.sparkSession.range(d).select(F.col("id").alias("r"))
+    return (
+        rows.join(prod, "r", "left")
+        .agg(F.min(F.coalesce("ip", F.lit(0))).alias("est_rows"))
+    )
+
+
+def cms_join_size_sql(d: int, w: int, a_keys_sql: str, b_keys_sql: str) -> str:
+    """DuckDB twin of build(A) + build(B) + inner product: returns one
+    row (est_rows). Identical md5 lanes and integer arithmetic."""
+    h = _hash_duck("item")
+    return f"""
+WITH rows_ AS (SELECT unnest(range(0, {d})) AS r),
+a_cells AS (
+  SELECT r, {h} % {w} AS c, count(*) AS cnt
+  FROM ({a_keys_sql}) CROSS JOIN rows_ GROUP BY r, c
+),
+b_cells AS (
+  SELECT r, {h} % {w} AS c, count(*) AS cnt
+  FROM ({b_keys_sql}) CROSS JOIN rows_ GROUP BY r, c
+),
+prod AS (
+  SELECT a_cells.r, sum(a_cells.cnt * b_cells.cnt) AS ip
+  FROM a_cells JOIN b_cells USING (r, c) GROUP BY a_cells.r
+)
+SELECT cast(min(coalesce(prod.ip, 0)) AS BIGINT) AS est_rows
+FROM rows_ LEFT JOIN prod USING (r)
+"""
