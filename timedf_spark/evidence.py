@@ -262,6 +262,54 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
 
     guard("streaming_upset", _streaming_upset_latency)
 
+    def _zorder_pruning() -> dict[str, Any]:
+        """Measured file-skipping benefit of the z-ordered layout: the
+        fraction of parquet files whose footer min/max admit a selective
+        2-D box predicate, z-ordered vs plain write of the SAME rows
+        into the SAME file count. Footer stats are what any engine's
+        scan pruning consumes, so this is engine-neutral evidence."""
+        import glob
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from timedf_spark.sources.zorder import write_zordered
+
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        n_files = 16
+        # selective box: ~1/8 of each dimension
+        box = {"l_partkey": (0, 2500), "l_suppkey": (0, 125)}
+
+        def admitted(path: str) -> int:
+            n = 0
+            for f in glob.glob(f"{path}/part-*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                hit = True
+                for ci in range(md.num_columns):
+                    col = md.row_group(0).column(ci)
+                    name = col.path_in_schema
+                    if name in box:
+                        lo, hi = box[name]
+                        # across ALL row groups of the file
+                        mn = min(md.row_group(g).column(ci).statistics.min
+                                 for g in range(md.num_row_groups))
+                        mx = max(md.row_group(g).column(ci).statistics.max
+                                 for g in range(md.num_row_groups))
+                        if mx < lo or mn > hi:
+                            hit = False
+                n += 1 if hit else 0
+            return n
+
+        with tempfile.TemporaryDirectory() as d:
+            write_zordered(li, f"{d}/z", ["l_partkey", "l_suppkey"], n_files=n_files)
+            li.repartition(n_files).write.mode("overwrite").parquet(f"{d}/plain")
+            az, ap = admitted(f"{d}/z"), admitted(f"{d}/plain")
+        return {"metric": "files_admitted_zorder_vs_plain",
+                "value": az, "plain": ap, "n_files": n_files,
+                "bound": ap, "dir": "le"}
+
+    guard("zorder_pruning", _zorder_pruning)
+
     return out
 
 
