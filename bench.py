@@ -167,6 +167,8 @@ def _report(
             }
         )
     )
+    if shuffle_regressions and os.environ.get("SPARK_GRAFT_SHUFFLE_GATE") == "strict":
+        raise SystemExit(3)
 
 # Headline set: every oracle-checked query. Non-SQL ops are benchmarked too
 # once they land; anything erroring is reported as -1 rather than crashing
@@ -336,8 +338,6 @@ def main() -> None:
         sf,
         write_local=not only and not chunk,
     )
-    if shuffle_regressions and os.environ.get("SPARK_GRAFT_SHUFFLE_GATE") == "strict":
-        raise SystemExit(3)
 
 
 if __name__ == "__main__":
