@@ -82,6 +82,9 @@ QUERIES = [
     "readability_by_source",
     "price_drift_tvd",
     "stickiness_dau_wau",
+    "join_size_sketch",
+    "ab_test_report",
+    "seasonal_outliers",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
