@@ -84,6 +84,9 @@ HEADLINERS = {
     "readability_by_source": "scoring is fully scan-local; one source-grain aggregate",
     "price_drift_tvd": "bucket-grain counts + 1-row totals broadcast; raw rows never shuffle",
     "stickiness_dau_wau": "(day,user) distinct then EXPLODED equi-grain groupBy — no theta join on day keys",
+    "ab_test_report": "user-grain conversion agg; md5 bucket computed in-scan; two tiny aggregates",
+    "seasonal_outliers": "one (type,hour) cell aggregate joined back to the scan; TakeOrdered top-k",
+    "join_size_sketch": "fact tables feed ONLY d*w-cell sketches; inner product joins cell frames",
 }
 
 
