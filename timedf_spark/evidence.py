@@ -262,6 +262,38 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
 
     guard("streaming_upset", _streaming_upset_latency)
 
+    def _streaming_drift_latency() -> dict[str, Any]:
+        import statistics
+        import tempfile
+        import time
+
+        from timedf_spark.streaming import drift_monitor as dmon
+
+        orders = load_table(spark, sf_dir, "orders")
+        bucketed = orders.select(
+            F.expr("cast(floor(o_totalprice * 100) AS BIGINT) DIV 5000000").alias(
+                "bucket"
+            ),
+            (F.expr("o_orderkey % 5")).alias("_b"),
+        )
+        ref = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        n_batches = 5
+        with tempfile.TemporaryDirectory() as d:
+            store = f"{d}/drift"
+            dmon.seed_drift_monitor(spark, store, ref)
+            lat = []
+            for b in range(n_batches):
+                part = bucketed.where(F.col("_b") == b).select("bucket")
+                t0 = time.perf_counter()
+                dmon.apply_drift_batch(part, b, store, )
+                lat.append(time.perf_counter() - t0)
+        return {"metric": "median_batch_sec_tvd_drift_monitor",
+                "value": round(statistics.median(lat), 3), "bound": 10.0,
+                "dir": "le", "batches": n_batches,
+                "max_batch_sec": round(max(lat), 3)}
+
+    guard("streaming_drift", _streaming_drift_latency)
+
     def _zorder_pruning() -> dict[str, Any]:
         """Measured file-skipping benefit of the z-ordered layout: the
         fraction of parquet files whose footer min/max admit a selective
