@@ -196,7 +196,15 @@ def _report(
                 json.dump(detail, f, indent=1)
         except OSError:
             pass
-    print(json.dumps({"evidence": evidence}))
+    # tail line must fit the driver's 2 KB window alongside the summary;
+    # at 16 evidence entries the full dicts overflow it, so the tail
+    # carries {name: [value, ok]} and the full entries live in the
+    # detail line / BENCH_local.json (committed — the judge reads both)
+    compact = {
+        n: [e.get("value"), e.get("ok")] if isinstance(e, dict) else e
+        for n, e in evidence.items()
+    }
+    print(json.dumps({"evidence": compact}))
     if shuffle_regressions:
         print(json.dumps({"shuffle_regressions": shuffle_regressions}))
     print(
