@@ -85,6 +85,7 @@ QUERIES = [
     "join_size_sketch",
     "ab_test_report",
     "seasonal_outliers",
+    "funnel_deadline",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
