@@ -163,11 +163,34 @@ def all_queries() -> dict[str, QuerySpec]:
         "bpe_vocab",
         "bpe_token_counts",
     }
-    # Round 5 added more new queries than the 50-slot driver window
-    # holds; the ones that spill to a later round's window should be
-    # those with the STRONGEST local verification (full Python
-    # recomputation tests), not whichever module merges last.
-    _DEFER_FRONT = (
+    # Round-6 window: CORRECTNESS_r05.json was 50/50 green — fold all of
+    # round 5's checked queries into the cumulative rotation.
+    _R05_DRIVER_GREEN = frozenset({
+        "near_dup_tier_report", "forecast_revenue", "equidepth_prices",
+        "mg_token_summary", "mg_tokens_per_lang", "rolling_median_value",
+        "duplicate_substring_spans", "strip_duplicate_spans",
+        "source_cap_sample", "corpus_shard_plan", "substring_candidates",
+        "substring_tier_report", "incremental_substring_probe",
+        "nation_revenue_trend", "customer_anonymity_audit",
+        "price_decile_bin", "orders_snapshot_diff", "copurchase_triangles",
+        "copurchase_kcore", "cms_term_estimates", "kmeans_assign",
+        "cluster_balanced_sample", "cluster_label_purity", "bm25_search",
+        "dsir_importance", "vocab_growth", "nation_seed_ppr", "collocations",
+        "join_size_report", "supplier_affinity_links", "part_skyline",
+        "ewma_user_trend", "cusum_changepoint", "rank_fusion_customers",
+        "supplier_communities", "acf_daily", "fd_profile", "benford_prices",
+        "supply_reach", "loo_segment_outliers", "bot_cadence_audit",
+        "engagement_upset", "weighted_median_price", "haar_energy",
+        "layout_advisor", "nation_spend_gini", "rfm_segments",
+        "readability_by_source", "join_size_sketch",
+        "incremental_near_dup_indexed",
+    })
+    rotate_back |= _R05_DRIVER_GREEN
+    # The six round-5 queries that spilled past the 50-slot window (verified
+    # green locally + by the round-5 judge vs DuckDB, but never hashed by
+    # the driver) go at the ABSOLUTE FRONT of the round-6 window, ahead of
+    # anything added this round (VERDICT r05 directive #1).
+    _FORCE_FRONT = (
         "stickiness_dau_wau",
         "price_drift_tvd",
         "ab_test_report",
@@ -175,13 +198,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "funnel_deadline",
         "conversion_latency",
     )
-    front = {
-        n: s
-        for n, s in merged.items()
-        if n not in rotate_back and n not in _DEFER_FRONT
-    }
-    for n in _DEFER_FRONT:
+    front: dict[str, QuerySpec] = {}
+    for n in _FORCE_FRONT:
         if n in merged:
             front[n] = merged[n]
+    for n, s in merged.items():
+        if n not in rotate_back and n not in front:
+            front[n] = s
     back = {n: s for n, s in merged.items() if n in rotate_back}
     return {**front, **back}
