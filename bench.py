@@ -54,36 +54,50 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     shuffle_mb: dict[str, float] = {}
     scan_baseline = -1.0
     evidence: dict = {}
+    missing_queries: list[str] = []
     for i in range(n_chunks):
+        chunk_names = names[i * size : (i + 1) * size]
         env = dict(os.environ)
         # the parent's snapshot of the registry is authoritative: names
         # are passed EXPLICITLY so a registry edit landing mid-run can't
         # shift a later child's slice (children honor BENCH_ONLY, which
         # also suppresses their BENCH_local write — the parent owns it)
-        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names[i * size : (i + 1) * size])
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk_names)
         env["SPARK_GRAFT_BENCH_CHUNK"] = f"{i}/{n_chunks}"
         if i != n_chunks - 1:
             env["SPARK_GRAFT_NO_EVIDENCE"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            stdout=subprocess.PIPE,
-            text=True,
-        )
         detail = None
-        for line in proc.stdout.splitlines():
-            try:
-                obj = json.loads(line)
-            except (ValueError, TypeError):
-                continue
-            if isinstance(obj, dict) and "queries" in obj:
-                detail = obj
+        # A crashed chunk (JVM OOM, transient container pressure) must not
+        # silently shrink the suite and make the headline total look like
+        # an improvement: retry once, and if it still fails record the
+        # chunk's queries as MISSING — the run is then marked failed, the
+        # missing names ship in the detail line, and BENCH_local.json is
+        # NOT overwritten (the prior full-run pin survives).
+        for attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for line in proc.stdout.splitlines():
+                try:
+                    obj = json.loads(line)
+                except (ValueError, TypeError):
+                    continue
+                if isinstance(obj, dict) and "queries" in obj:
+                    detail = obj
+                    break
+            if detail is not None:
                 break
-        if detail is None:
             print(
-                json.dumps({"chunk_failed": i, "rc": proc.returncode}),
+                json.dumps(
+                    {"chunk_failed": i, "rc": proc.returncode, "attempt": attempt}
+                ),
                 file=sys.stderr,
             )
+        if detail is None:
+            missing_queries.extend(chunk_names)
             continue
         per_query.update(detail["queries"])
         shuffle_mb.update(detail.get("shuffle_write_mb") or {})
@@ -115,6 +129,7 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
         if v > 0 and prior_q.get(n, 0) > 0
         and v > max(2.5 * prior_q[n], prior_q[n] + 1.0)
     ]
+    remeasured: dict[str, dict[str, float]] = {}
     if suspects:
         print(json.dumps({"remeasuring": suspects}), file=sys.stderr)
         env = dict(os.environ)
@@ -131,11 +146,24 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
                 continue
             if isinstance(obj, dict) and "queries" in obj:
                 for n, v in obj["queries"].items():
+                    # BOTH measurements ship in the artifact (a spike that
+                    # fails to reproduce is still evidence of a possibly
+                    # intermittent regression — don't hide it); the min is
+                    # only used for the headline/pin.
+                    remeasured[n] = {
+                        "first": per_query.get(n, -1.0), "remeasured": v
+                    }
                     if 0 < v < per_query.get(n, v + 1):
                         per_query[n] = v
                 break
 
-    _report(per_query, shuffle_mb, scan_baseline, evidence, sf, write_local=True)
+    _report(
+        per_query, shuffle_mb, scan_baseline, evidence, sf,
+        write_local=not missing_queries,
+        missing_queries=missing_queries, remeasured=remeasured,
+    )
+    if missing_queries:
+        raise SystemExit(4)
 
 
 def _report(
@@ -145,6 +173,8 @@ def _report(
     evidence: dict,
     sf: float,
     write_local: bool,
+    missing_queries: list[str] | None = None,
+    remeasured: dict[str, dict[str, float]] | None = None,
 ) -> None:
     """Shuffle-pin gate, BENCH_local persistence, and the stdout tail —
     shared by single-process runs and the chunked parent."""
@@ -189,6 +219,10 @@ def _report(
         "shuffle_regressions": shuffle_regressions,
         "shuffle_baseline_mb": shuffle_baseline,
     }
+    if missing_queries:
+        detail["missing_queries"] = sorted(missing_queries)
+    if remeasured:
+        detail["remeasured"] = remeasured
     print(json.dumps(detail))
     if write_local:
         try:
@@ -207,18 +241,17 @@ def _report(
     print(json.dumps({"evidence": compact}))
     if shuffle_regressions:
         print(json.dumps({"shuffle_regressions": shuffle_regressions}))
-    print(
-        json.dumps(
-            {
-                "metric": "sum_of_median_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(per_query),
-                "scan_baseline_sec": scan_baseline,
-            }
-        )
-    )
+    summary = {
+        "metric": "sum_of_median_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "scan_baseline_sec": scan_baseline,
+    }
+    if missing_queries:
+        summary["n_missing"] = len(missing_queries)
+    print(json.dumps(summary))
     if shuffle_regressions and os.environ.get("SPARK_GRAFT_SHUFFLE_GATE") == "strict":
         raise SystemExit(3)
 

@@ -78,3 +78,32 @@ def test_drift_store_equals_batch_twin_and_tvd_exact(spark, sf_dir, tmp_path):
     assert _current_version(store) == v
     after = {r["bucket"]: r["n"] for r in dm._read_store(spark, store).collect()}
     assert after == got_store
+
+
+def test_drift_redelivery_backfills_lost_log(spark, sf_dir, tmp_path):
+    """Crash window between _publish and the log write: on redelivery of
+    the published batch id, the missing log/batch=<id> reading is
+    recomputed from the store (not skipped) and matches the original."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = _bucketed(orders.limit(2000)).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    store = str(tmp_path / "drift2")
+    dm.seed_drift_monitor(spark, store, ref)
+    batch = _bucketed(orders.limit(5000))
+    dm.apply_drift_batch(batch, 0, store)
+    orig = dm.read_drift_log(spark, store).collect()
+    assert len(orig) == 1
+
+    # simulate the crash: the store advanced but the log write was lost
+    shutil.rmtree(os.path.join(store, "log", "batch=0"))
+    dm.apply_drift_batch(batch, 0, store)  # redelivery
+    again = dm.read_drift_log(spark, store).collect()
+    assert len(again) == 1
+    assert again[0]["tvd_bp"] == orig[0]["tvd_bp"]
+    assert again[0]["n_current"] == orig[0]["n_current"]
+    # and the store was NOT double-counted
+    total = dm._read_store(spark, store).agg(F.sum("n")).collect()[0][0]
+    assert total == batch.count()

@@ -136,6 +136,79 @@ def test_indexed_probe_equals_rehash_path(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_sketched_probe_equals_rehash_and_skips_corpus_text(spark, sf_dir, tmp_path):
+    """The fully-sketched probe (persisted band index + persisted shingle
+    store) must produce bit-identical pairs to the re-hash path, and its
+    plan must not reference corpus TEXT anywhere — candidate verify runs
+    on the stored (doc_id, sh) rows."""
+    import re
+
+    from timedf_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bands_pq = str(tmp_path / "bands")
+    sh_pq = str(tmp_path / "shingles")
+    corpus_bands, corpus_sh = dedup._minhash_bands(corpus)
+    corpus_bands.write.parquet(bands_pq)
+    corpus_sh.write.parquet(sh_pq)
+    spark.catalog.clearCache()
+
+    sketched = dedup.incremental_near_dup_pairs_sketched(
+        batch, spark.read.parquet(bands_pq), spark.read.parquet(sh_pq)
+    )
+    rehash = dedup.incremental_near_dup_pairs(batch, corpus)
+    assert _rows(sketched) == _rows(rehash)
+    assert len(_rows(sketched)) > 0
+    # plan audit: the only text#N relation in the sketched plan is the
+    # batch's own (sf table scan); corpus text comes from NO relation —
+    # both corpus-side inputs are the two persisted stores.
+    plan = sketched._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan)
+    assert re.search(r"Relation \[doc_id#\d+L,sh#\d+L\]", plan)
+    spark.catalog.clearCache()
+
+
+def test_ingest_dedup_sig_coverage_mismatch_falls_back(spark, sf_dir, tmp_path):
+    """Stores enabled MID-STREAM: corpus batches written before sig_path
+    existed have no band rows. The probe must NOT silently miss pairs
+    against them — uncovered batches fall back to the re-hash tier, so
+    the assignment still reaches the exact all-docs fixpoint."""
+    from timedf_spark.operators import cluster, dedup
+    from timedf_spark.streaming import cluster_apply as ca
+    from timedf_spark.streaming import ingest_dedup as idd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_store = str(tmp_path / "docs_store")
+    assign_store = str(tmp_path / "assign_store")
+    sig_store = str(tmp_path / "sig_store")
+    shingle_store = str(tmp_path / "shingle_store")
+    idd.seed_empty_assignments(spark, assign_store)
+    # batches 0-1: no index stores at all; batch 2: sig only; batch 3: both
+    n = 4
+    for b in range(n):
+        part = docs.filter(F.col("doc_id") % n == b)
+        idd.apply_ingest_batch(
+            part, b, corpus_store, assign_store,
+            sig_path=sig_store if b >= 2 else None,
+            shingle_path=shingle_store if b >= 3 else None,
+        )
+    got = {
+        (r["vertex"], r["component"])
+        for r in ca.read_assignments(spark, assign_store).collect()
+    }
+    want = {
+        (r["vertex"], r["component"])
+        for r in cluster.connected_components(
+            docs.select("doc_id"),
+            dedup.minhash_lsh_pairs_df(docs).select("doc_a", "doc_b"),
+        ).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
 def test_indexed_probe_plan_skips_corpus_minhash(spark, sf_dir, tmp_path):
     """With a persisted signature store, candidate generation reads the
     index: the per-batch corpus minhash recomputation is GONE from the

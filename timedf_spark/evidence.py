@@ -192,12 +192,16 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
             corpus = f"{d}/corpus"
             assign = f"{d}/assign"
             sig = f"{d}/sig"
+            shingle = f"{d}/shingle"
             idd.seed_empty_assignments(spark, assign)
             lat = []
             for b in range(n_batches):
                 part = docs.filter(F.col("doc_id") % n_batches == b)
                 t0 = time.perf_counter()
-                idd.apply_ingest_batch(part, b, corpus, assign, sig_path=sig)
+                idd.apply_ingest_batch(
+                    part, b, corpus, assign,
+                    sig_path=sig, shingle_path=shingle,
+                )
                 lat.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
         return {"metric": "median_batch_sec_ingest_dedup_with_sig_index",

@@ -328,7 +328,16 @@ def incremental_components(
     structures preserves connectivity); pinned by the equivalence test.
     """
     va, vb = new_edges.columns[0], new_edges.columns[1]
-    e_new = new_edges.select(F.col(va).alias("src"), F.col(vb).alias("dst"))
+    # Checkpoint the NEW edges FIRST: they are typically the output of an
+    # expensive pipeline (LSH candidate generation + exact verify in the
+    # ingest loop), and the plan below references them from FOUR branches
+    # (e_new union arm, touched via endpoints, affected's broadcast, and
+    # untouched's anti-join) — without materialization the upstream pair
+    # work executes once per branch. The pair set itself is small (near-
+    # dup edges of one micro-batch), so the checkpoint is cheap.
+    e_new, new_ids = _checkpoint(
+        new_edges.select(F.col(va).alias("src"), F.col(vb).alias("dst"))
+    )
     vcol, ccol = assignments.columns[0], assignments.columns[1]
     asg = assignments.select(F.col(vcol).alias("v"), F.col(ccol).alias("c"))
 
@@ -362,10 +371,26 @@ def incremental_components(
         relabelled = spark.createDataFrame(
             relabelled_rows, "vertex long, component long"
         )
+        _release(e_all, e_ids | new_ids)
+        # untouched = rows whose VERTEX the solve didn't relabel. Every
+        # affected row's vertex appears in e_all as a src (e_old emits one
+        # edge per affected member), so the relabelled vertex set is
+        # exactly the affected vertex set — anti-joining on it references
+        # only the driver-local relabelled frame, letting BOTH checkpoints
+        # release here instead of leaving blocks behind for the life of
+        # the streaming loop.
+        untouched = asg.join(
+            F.broadcast(relabelled.select(F.col("vertex").alias("v"))),
+            "v",
+            "left_anti",
+        )
     else:
         relabelled = connected_components(None, e_all, max_rounds=max_rounds)
-    _release(e_all, e_ids)
-    untouched = asg.join(F.broadcast(touched), "c", "left_anti")
+        _release(e_all, e_ids)
+        # distributed path: keep the no-shuffle broadcast(touched) anti-
+        # join; it references the e_new checkpoint through `touched`, so
+        # those (small) blocks stay alive until the caller's next sweep.
+        untouched = asg.join(F.broadcast(touched), "c", "left_anti")
     return (
         untouched.select(F.col("v").alias("vertex"), F.col("c").alias("component"))
         .unionByName(relabelled)

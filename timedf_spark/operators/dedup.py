@@ -272,6 +272,17 @@ def minhash_lsh_pairs_df(
     # combine reduces each partition to one row per doc before the exchange.
     # (Signature construction shared with the incremental probe below.)
     bands_df, sh = _minhash_bands(docs, k, n_hashes, bands)
+    return _lsh_pairs_from_bands(bands_df, sh, threshold)
+
+
+def _lsh_pairs_from_bands(
+    bands_df: DataFrame, sh: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify over PRECOMPUTED band
+    rows and shingle rows — shared by minhash_lsh_pairs_df and the
+    streaming ingest loop (which builds the batch's signature exactly
+    once per micro-batch and reuses it for internal pairs, the corpus
+    probe, and the persisted index write)."""
     a, b = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(
@@ -500,17 +511,26 @@ def incremental_near_dup_pairs(
     """
     batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
     corpus_bands, corpus_sh = _minhash_bands(corpus, k, n_hashes, bands)
-    candidates = (
-        corpus_bands.join(F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
-                          ["band", "band_key"])
-        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
-        .distinct()
-    )
+    candidates = _probe_candidates(batch_bands, corpus_bands)
     # verification: corpus shingles reduced to candidate docs first
     corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
         F.broadcast(candidates.select("corpus_id").distinct()), "corpus_id", "left_semi"
     )
     return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
+
+
+def _probe_candidates(batch_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """(batch_id, corpus_id) LSH candidates: the corpus band rows are
+    probed by a BROADCAST of the (tiny) batch band set — the corpus side
+    never shuffles."""
+    return (
+        corpus_bands.join(
+            F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
+            ["band", "band_key"],
+        )
+        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
 
 
 def _verify_batch_corpus(
@@ -567,12 +587,22 @@ def incremental_near_dup_pairs_indexed(
     tokens). Same hash family, bit-identical pairs to the rehash path
     (pinned by test)."""
     batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
-    candidates = (
-        corpus_bands.join(F.broadcast(batch_bands.withColumnRenamed("doc_id", "batch_id")),
-                          ["band", "band_key"])
-        .select(F.col("batch_id"), F.col("doc_id").alias("corpus_id"))
-        .distinct()
+    return _incremental_pairs_indexed_pre(
+        batch_bands, batch_sh, corpus_docs, corpus_bands, k, threshold
     )
+
+
+def _incremental_pairs_indexed_pre(
+    batch_bands: DataFrame,
+    batch_sh: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    k: int = _K,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Indexed probe with a PRECOMPUTED batch sketch (streaming ingest
+    builds the batch signature once and fans it out)."""
+    candidates = _probe_candidates(batch_bands, corpus_bands)
     # only candidate docs get shingled — the full corpus text stays cold
     cand_docs = corpus_docs.join(
         F.broadcast(
@@ -586,6 +616,51 @@ def incremental_near_dup_pairs_indexed(
         F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
     ).select(
         F.col("doc_id").alias("corpus_id"), F.expr(_HASH60_SPARK).alias("sh")
+    )
+    return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
+
+
+def incremental_near_dup_pairs_sketched(
+    new_batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sh: DataFrame,
+    k: int = _K,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Fully-sketched incremental probe: candidate generation reads the
+    persisted band index AND the exact-Jaccard verify reads a persisted
+    per-doc shingle store (doc_id, sh) — the corpus TEXT is never
+    touched, at any stage. This is the lowest-latency micro-batch shape:
+    per batch the corpus contributes one index scan (band rows) plus the
+    candidate docs' stored shingle rows; everything corpus-sized moves
+    through broadcast probes. Shingle rows are ~8 bytes × distinct
+    shingles per doc — the storage cost of removing the text re-shingle
+    from the hot path. Bit-identical pairs to the rehash path (same
+    deterministic hash family; the store holds exactly what the rehash
+    path recomputes) — pinned by test."""
+    batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
+    return _incremental_pairs_sketched_pre(
+        batch_bands, batch_sh, corpus_bands, corpus_sh, threshold
+    )
+
+
+def _incremental_pairs_sketched_pre(
+    batch_bands: DataFrame,
+    batch_sh: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sh: DataFrame,
+    threshold: float = _JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Sketched probe with a PRECOMPUTED batch sketch."""
+    candidates = _probe_candidates(batch_bands, corpus_bands)
+    corpus_cand_sh = corpus_sh.select(
+        F.col("doc_id").alias("corpus_id"), "sh"
+    ).join(
+        F.broadcast(candidates.select("corpus_id").distinct()),
+        "corpus_id",
+        "left_semi",
     )
     return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
 

@@ -102,7 +102,22 @@ def apply_drift_batch(batch: DataFrame, batch_id: int, path: str) -> None:
     spark = batch.sparkSession
     cur = _current_version(path)
     if cur is not None and cur >= batch_id:
-        return  # redelivery: re-adding would double-count
+        # Redelivery: re-adding would double-count. But a crash between
+        # _publish() and the log write loses the batch's TVD reading —
+        # when this exact batch is the published version and its log
+        # directory is missing, recompute it from the published store
+        # (store state == post-batch state, so the reading is identical)
+        # before returning. Older batch ids can't be recomputed from the
+        # advanced store and don't recur under Structured Streaming's
+        # sequential replay, so they are left alone.
+        log_dir = os.path.join(path, "log", f"batch={batch_id}")
+        if cur == batch_id and not os.path.isdir(log_dir):
+            current_tvd_bp(spark, path).select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "tvd_bp",
+                "n_current",
+            ).write.mode("overwrite").parquet(log_dir)
+        return
     delta = batch.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )

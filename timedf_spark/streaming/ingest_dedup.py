@@ -9,13 +9,27 @@ produces them from raw documents, per micro-batch:
    batch_id < this batch (the idempotent per-batch sink layout from
    ``streaming/sinks.py`` / read via ``streaming/compaction.read_sink``);
 2. pairs = batch-internal near-dups (MinHash-LSH over the small batch)
-   ∪ batch↔corpus near-dups (``dedup.incremental_near_dup_pairs`` —
-   the corpus is probed via a BROADCAST of the batch's band set and
-   never self-joins or shuffles);
+   ∪ batch↔corpus near-dups — the corpus is probed via a BROADCAST of
+   the batch's band set and never self-joins or shuffles. The batch's
+   MinHash sketch (band rows + shingle rows) is computed exactly ONCE
+   and fans out to the internal pairs, the probe, and the index writes;
 3. the batch's documents land in the store (idempotent overwrite of
-   ``batch_id=N``), new doc_ids enter the assignment as singletons, and
-   the pairs fold through ``incremental_components``; the new assignment
-   publishes under the atomic-manifest protocol.
+   ``batch_id=N``), its band rows land in the signature index
+   (``sig_path``) and its shingle rows in the shingle store
+   (``shingle_path``), new doc_ids enter the assignment as singletons,
+   and the pairs fold through ``incremental_components``; the new
+   assignment publishes under the atomic-manifest protocol.
+
+Probe tiers, per corpus batch, chosen by STORE COVERAGE (a directory-
+level check, no Spark job): batches covered by BOTH index stores probe
+fully sketched (corpus text never read — candidate verify runs on the
+persisted shingle rows); batches covered by the band index alone probe
+indexed (text read only for candidate docs' verify); uncovered batches
+(stores enabled after ingest began) fall back to the full re-hash path
+— so enabling ``sig_path``/``shingle_path`` mid-stream can never
+silently MISS pairs against pre-index batches (they are probed the slow
+exact way until backfilled). All three tiers share one deterministic
+hash family: pair sets are bit-identical (pinned by test).
 
 Replay convergence: the document write is an idempotent per-batch
 overwrite; the assignment publish has the version guard; and — the
@@ -25,27 +39,37 @@ twice over: the probe corpus explicitly excludes batch_id ≥ current
 (step 1), and even duplicated edges cannot change a connectivity
 fixpoint (CC folding is idempotent to edge multiplicity).
 
-At 100 TB: per batch the corpus contributes one broadcast-probed scan of
-band signatures (precompute and store them to make it an index lookup);
-the assignment moves only through the affected-component semi-joins
-inside ``incremental_components``.
+At 100 TB: per batch the corpus contributes one scan of the band index
+(8-byte keys, broadcast-probed) plus the candidate docs' stored shingle
+rows; the assignment moves only through the affected-component
+semi-joins inside ``incremental_components``. Nothing corpus-sized
+shuffles, and with both stores enabled nothing corpus-sized is even
+decoded from text.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from timedf_spark.operators.cluster import incremental_components
 from timedf_spark.operators.dedup import (
+    _incremental_pairs_indexed_pre,
+    _incremental_pairs_sketched_pre,
+    _lsh_pairs_from_bands,
     _minhash_bands,
-    incremental_near_dup_pairs,
-    incremental_near_dup_pairs_indexed,
-    minhash_lsh_pairs_df,
+    _verify_batch_corpus,
 )
 from timedf_spark.streaming.cdc_apply import _current_version, _publish
 from timedf_spark.streaming.cluster_apply import read_assignments, seed_assignments
-from timedf_spark.streaming.compaction import read_sink
+from timedf_spark.streaming.compaction import (
+    _live_batch_dirs,
+    _load_manifest,
+    read_sink,
+)
 from timedf_spark.streaming.sinks import write_batch_idempotent
 
 __all__ = ["seed_empty_assignments", "apply_ingest_batch", "ingest_dedup_sink"]
@@ -57,72 +81,126 @@ def seed_empty_assignments(spark: SparkSession, path: str) -> None:
     seed_assignments(empty, path)
 
 
+def _store_bids(path: str | None, before: int) -> set[int]:
+    """Committed batch ids < ``before`` present in a per-batch store —
+    a directory-level check (no Spark job). A compacted store's epoch
+    contributes 0..covered: streaming batch ids are consecutive, so the
+    compacted region is exactly that range."""
+    if path is None or not os.path.isdir(path):
+        return set()
+    bids = {b for b in _live_batch_dirs(path, committed_only=True) if b < before}
+    try:
+        m = _load_manifest(path)
+    except (OSError, ValueError):
+        return bids
+    if m.get("epoch", -1) >= 0:
+        bids |= set(range(0, min(int(m["covered"]), before - 1) + 1))
+    return bids
+
+
+def _rehash_corpus_pairs(batch_bands, batch_sh, corpus_docs, threshold=0.8):
+    """Full re-hash probe with a PRECOMPUTED batch sketch — the fallback
+    tier for corpus batches the index stores don't cover."""
+    corpus_bands, corpus_sh = _minhash_bands(corpus_docs)
+    from timedf_spark.operators.dedup import _probe_candidates
+
+    candidates = _probe_candidates(batch_bands, corpus_bands)
+    corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
+        F.broadcast(candidates.select("corpus_id").distinct()),
+        "corpus_id",
+        "left_semi",
+    )
+    return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
+
+
 def apply_ingest_batch(
     batch: DataFrame, batch_id: int, corpus_path: str, assign_path: str,
-    sig_path: str | None = None,
+    sig_path: str | None = None, shingle_path: str | None = None,
 ) -> None:
     """One foreachBatch body over a (doc_id, text) document batch.
 
-    With ``sig_path`` set, each batch also persists its MinHash band rows
-    (doc_id, band, band_key) to an idempotent per-batch signature store,
-    and the batch↔corpus probe reads THAT index instead of re-hashing the
-    corpus text every micro-batch — corpus text is touched only for the
-    few candidate docs' exact-Jaccard verify. Probe-path equality with
-    the re-hash path is pinned by test (same deterministic hash family).
-    Signature rows follow the identical idempotent-overwrite + replay
-    rules as the document rows, so the convergence argument in the module
-    docstring carries over unchanged."""
-    import os
-    import shutil
-
+    With ``sig_path`` set, each batch persists its MinHash band rows
+    (doc_id, band, band_key) to an idempotent per-batch signature store
+    and the batch↔corpus probe reads THAT index instead of re-hashing
+    the corpus text. With ``shingle_path`` also set, the batch persists
+    its shingle rows (doc_id, sh) too, and the candidate verify reads
+    the store instead of re-shingling candidate docs' text — corpus text
+    is then never read at all on the hot path. Store rows follow the
+    identical idempotent-overwrite + replay rules as the document rows,
+    so the convergence argument in the module docstring carries over
+    unchanged. Coverage mismatches (stores enabled mid-stream) degrade
+    per-batch to the indexed or re-hash tier — never to missed pairs."""
     spark = batch.sparkSession
     cur = _current_version(assign_path)
     if cur is not None and cur >= batch_id:
         return  # replay of a published batch: converged
     docs = batch.select("doc_id", "text")
 
-    # 1. corpus so far — committed earlier batches only (a replayed
-    # batch's own dir, if already written, is excluded here)
-    try:
-        corpus = (
-            read_sink(spark, corpus_path)
-            .filter(F.col("batch_id") < batch_id)
-            .select("doc_id", "text")
-        )
-        have_corpus = not corpus.isEmpty()
-    except FileNotFoundError:
-        have_corpus = False
+    # One sketch per micro-batch: band rows + shingle rows, fanned out to
+    # internal pairs, the corpus probe, and the index writes. sh is
+    # cached inside _minhash_bands; bands_df is small (bands rows/doc) —
+    # cache it so the minhash aggregation runs once, not once per use.
+    bands_df, sh = _minhash_bands(docs)
+    bands_df = bands_df.cache()
 
-    # 2. pairs: batch-internal ∪ batch↔corpus
-    pairs = minhash_lsh_pairs_df(docs).select("doc_a", "doc_b")
-    if have_corpus:
-        corpus_bands = None
-        if sig_path is not None:
-            try:
-                corpus_bands = (
+    # 1. corpus so far — committed earlier batches only (a replayed
+    # batch's own dir, if already written, is excluded here). Directory-
+    # level coverage sets; no Spark jobs.
+    corpus_bids = _store_bids(corpus_path, batch_id)
+    sig_bids = _store_bids(sig_path, batch_id) & corpus_bids
+    shingle_bids = _store_bids(shingle_path, batch_id) & corpus_bids
+
+    # 2. pairs: batch-internal ∪ batch↔corpus (tiered by store coverage)
+    pairs = _lsh_pairs_from_bands(bands_df, sh).select("doc_a", "doc_b")
+    if corpus_bids:
+        g_sketch = sig_bids & shingle_bids
+        g_index = sig_bids - g_sketch
+        g_rehash = corpus_bids - sig_bids
+        crosses: list[DataFrame] = []
+        if g_sketch:
+            cb = (
+                read_sink(spark, sig_path)
+                .filter(F.col("batch_id").isin([int(b) for b in g_sketch]))
+                .select("doc_id", "band", "band_key")
+            )
+            cs = (
+                read_sink(spark, shingle_path)
+                .filter(F.col("batch_id").isin([int(b) for b in g_sketch]))
+                .select("doc_id", "sh")
+            )
+            crosses.append(_incremental_pairs_sketched_pre(bands_df, sh, cb, cs))
+        if g_index or g_rehash:
+            corpus_docs = read_sink(spark, corpus_path)
+            if g_index:
+                cb = (
                     read_sink(spark, sig_path)
-                    .filter(F.col("batch_id") < batch_id)
+                    .filter(F.col("batch_id").isin([int(b) for b in g_index]))
                     .select("doc_id", "band", "band_key")
                 )
-                if corpus_bands.isEmpty():
-                    corpus_bands = None
-            except FileNotFoundError:
-                corpus_bands = None
-        if corpus_bands is not None:
-            cross = incremental_near_dup_pairs_indexed(docs, corpus, corpus_bands)
-        else:
-            cross = incremental_near_dup_pairs(docs, corpus)
-        pairs = pairs.unionByName(
-            cross.select(
-                F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b")
+                cd = corpus_docs.filter(
+                    F.col("batch_id").isin([int(b) for b in g_index])
+                ).select("doc_id", "text")
+                crosses.append(_incremental_pairs_indexed_pre(bands_df, sh, cd, cb))
+            if g_rehash:
+                cd = corpus_docs.filter(
+                    F.col("batch_id").isin([int(b) for b in g_rehash])
+                ).select("doc_id", "text")
+                crosses.append(_rehash_corpus_pairs(bands_df, sh, cd))
+        for cross in crosses:
+            pairs = pairs.unionByName(
+                cross.select(
+                    F.col("batch_id").alias("doc_a"),
+                    F.col("corpus_id").alias("doc_b"),
+                )
             )
-        )
 
-    # 3. document store append (idempotent), then assignment fold + publish
+    # 3. document + index store appends (idempotent), then assignment
+    # fold + publish
     write_batch_idempotent(docs, batch_id, corpus_path)
     if sig_path is not None:
-        bands_df, _sh = _minhash_bands(docs)
         write_batch_idempotent(bands_df, batch_id, sig_path)
+    if shingle_path is not None:
+        write_batch_idempotent(sh, batch_id, shingle_path)
     base = read_assignments(spark, assign_path)
     singles = docs.select(
         F.col("doc_id").alias("vertex"), F.col("doc_id").alias("component")
@@ -136,18 +214,23 @@ def apply_ingest_batch(
         os.path.join(assign_path, f"v={batch_id}")
     )
     _publish(assign_path, batch_id)
+    bands_df.unpersist()
+    sh.unpersist()
     if cur is not None:
         shutil.rmtree(os.path.join(assign_path, f"v={cur}"), ignore_errors=True)
 
 
 def ingest_dedup_sink(
     doc_stream: DataFrame, corpus_path: str, assign_path: str, checkpoint: str,
-    sig_path: str | None = None,
+    sig_path: str | None = None, shingle_path: str | None = None,
 ):
     """DataStreamWriter running the ingest-dedup loop (caller picks the
     trigger and calls .start()). Pass ``sig_path`` to maintain and probe
     the persisted band-signature index instead of re-hashing the corpus
-    per batch."""
+    per batch; additionally pass ``shingle_path`` to persist shingle rows
+    and keep corpus text entirely off the hot path."""
     return doc_stream.writeStream.foreachBatch(
-        lambda df, bid: apply_ingest_batch(df, bid, corpus_path, assign_path, sig_path)
+        lambda df, bid: apply_ingest_batch(
+            df, bid, corpus_path, assign_path, sig_path, shingle_path
+        )
     ).option("checkpointLocation", checkpoint)
