@@ -325,6 +325,31 @@ def test_incremental_components_hybrid_paths_agree(spark):
     assert d[4] == d[5] == 4 and d[9] == 9
 
 
+def test_connected_components_hybrid_paths_agree(spark):
+    """connected_components' driver union-find fast path (round-6
+    addition) must match the distributed pointer-jumping fixpoint on the
+    same graph, with and without an explicit vertex frame."""
+    from timedf_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (4, 5), (7, 8), (8, 1), (1, 2)], "src long, dst long"
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 4, 5, 7, 8, 42)], "v long"
+    )
+    fast = _rows(connected_components(verts, edges))
+    dist = _rows(connected_components(verts, edges, small_graph_edges=0))
+    assert fast == dist
+    d = {v: c for c, v in fast}
+    assert d[1] == d[2] == d[3] == d[7] == d[8] == 1
+    assert d[4] == d[5] == 4 and d[42] == 42  # off-graph singleton
+    # endpoints-only contract (vertices=None)
+    fast_n = _rows(connected_components(None, edges))
+    dist_n = _rows(connected_components(None, edges, small_graph_edges=0))
+    assert fast_n == dist_n
+    assert {v for _, v in fast_n} == {1, 2, 3, 4, 5, 7, 8}
+
+
 def test_streaming_equidepth_from_rollup_counts_equals_batch(spark, sf_dir, tmp_path):
     """Equi-depth over a LIVING table: the per-value count store (exact
     rollup store, keys=['v']) maintained through micro-batches, finished

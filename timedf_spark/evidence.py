@@ -87,6 +87,40 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
         "bound": 0.5,
     })
 
+    # --- semantic-dedup degree cap: recall of the bounded pair generator --
+    # The cap (VERDICT r05 item 4) keeps one dense SRP bucket from going
+    # quadratic; this row measures what it costs — pair-level recall vs
+    # the uncapped tier AND keeper-set agreement (the downstream artifact
+    # component clustering actually consumes).
+    def _dedup_cap_recall() -> dict[str, Any]:
+        from timedf_spark.operators.cluster import connected_components
+
+        full = similarity.cosine_dedup_pairs(spark, sf_dir)
+        capped = similarity.cosine_dedup_pairs(spark, sf_dir, max_degree=8)
+        p_full, p_cap = _pairs(full), _pairs(capped)
+
+        def _keepers(pairs_df):
+            comp = connected_components(
+                None, pairs_df.select("id_a", "id_b")
+            )
+            return {
+                r[0]
+                for r in comp.groupBy("component")
+                .agg(F.min("vertex").alias("keep"))
+                .collect()
+            }
+
+        k_full, k_cap = _keepers(full), _keepers(capped)
+        k_agree = round(
+            len(k_full & k_cap) / max(1, len(k_full | k_cap)), 4
+        )
+        return {"metric": "pair_recall_vs_uncapped_at_degree8",
+                "value": _recall(p_full, p_cap), "bound": 0.85,
+                "keeper_jaccard": k_agree,
+                "pairs_uncapped": len(p_full), "pairs_capped": len(p_cap)}
+
+    guard("semantic_dedup_capped", _dedup_cap_recall)
+
     # --- HLL cardinalities: max relative error vs the exact counts --------
     def _cardinalities() -> dict[str, Any]:
         ex = qs["column_cardinalities"].fn(spark, sf_dir).first()

@@ -107,7 +107,8 @@ def _release(df: DataFrame, ids: set[int]) -> None:
 
 
 def connected_components(
-    vertices: DataFrame | None, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
+    vertices: DataFrame | None, edges: DataFrame, max_rounds: int = _MAX_ROUNDS,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(vertex) + (src, dst) → (vertex, component) with component = min
     vertex id reachable. Vertices absent from edges keep themselves as
@@ -115,6 +116,7 @@ def connected_components(
 
     ``vertices`` must have one column (the id); ``edges`` two columns
     (src, dst), undirected — both orientations are generated internally.
+    Edge endpoints are expected to be ⊆ vertices when vertices is given.
 
     ``vertices=None`` restricts the computation to edge ENDPOINTS,
     derived from the already-checkpointed edge frame (zero extra
@@ -122,6 +124,17 @@ def connected_components(
     every off-graph vertex is a singleton the caller can enumerate
     without iterating, so the O(log n) rounds run over the (small)
     duplicate graph instead of the whole corpus.
+
+    Hybrid solve (same rule as :func:`incremental_components`): dedup
+    graphs are tiny relative to their corpus — at or below
+    ``small_graph_edges`` a driver union-find over the checkpointed edge
+    list replaces the distributed rounds. Pointer jumping pays 2 shuffled
+    joins + a convergence count PER ROUND regardless of graph size, so a
+    10k-edge graph with a 15-round diameter costs ~80 s of fixed overhead
+    the union-find solves in milliseconds; the collect is BOUNDED
+    (counted first, ≤ ~16 bytes/edge) with the distributed path unchanged
+    above the bound — never a driver funnel at scale. Identical results
+    (min-id convention) on both paths, pinned by test.
     """
     scol, dcol = edges.columns[0], edges.columns[1]
     # undirected: propagate both ways each round
@@ -129,6 +142,26 @@ def connected_components(
         edges.select(F.col(dcol).alias("src"), F.col(scol).alias("dst"))
     )
     e, e_ids = _checkpoint(e)  # materialize once; reused every round
+    if small_graph_edges > 0 and e.count() <= 2 * small_graph_edges:
+        relabelled_rows = _unionfind_components(
+            [(r[0], r[1]) for r in e.collect()]
+        )
+        spark = edges.sparkSession
+        relabelled = spark.createDataFrame(
+            relabelled_rows, "vertex long, component long"
+        )
+        _release(e, e_ids)
+        if vertices is None:
+            return relabelled
+        vcol = vertices.columns[0]
+        return (
+            vertices.select(F.col(vcol).alias("vertex"))
+            .join(F.broadcast(relabelled), "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("component", F.col("vertex")).alias("component"),
+            )
+        )
     if vertices is None:
         # both orientations are in e, so src alone covers every endpoint
         vertices = e.select(F.col("src").alias("v")).distinct()

@@ -34,6 +34,7 @@ __all__ = [
     "hyperplanes",
     "cosine_dedup_pairs",
     "cosine_dedup_sql",
+    "cosine_dedup_capped_sql",
     "ivf_topk",
     "ivfpq_topk",
 ]
@@ -264,6 +265,7 @@ def cosine_dedup_pairs(
     threshold: float = _COS_THRESHOLD,
     bits: int = _DEDUP_BITS,
     n_tables: int = _DEDUP_TABLES,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH blocking, then exact
     cosine over candidates only.
@@ -281,6 +283,24 @@ def cosine_dedup_pairs(
     engines. Cosine is quantized to 1e-4 in the output; at the default
     threshold the nearest candidate sits ~3e-3 from the boundary so
     last-ulp float divergence cannot flip membership.
+
+    ``max_degree``: optional per-vector degree bound — the adversarial-
+    density guard. Without it, one SRP bucket holding B mutually-similar
+    vectors emits B²/2 pairs (near-dup-heavy real corpora can pile tens
+    of thousands of boilerplate docs into one bucket → quadratic inside
+    the bucket). With it, members of each (table, bucket) are ranked by
+    vec_id and each vector links only to its next ``max_degree``
+    neighbors in that order — candidate volume is bounded by
+    N × n_tables × max_degree (linear), while CONNECTIVITY of a dense
+    same-bucket duplicate group is preserved (consecutive links chain it
+    — what the downstream component-clustering keepers actually need).
+    Pairs >max_degree apart in every table that could block them are
+    missed unless transitively connected; the measured recall sits in
+    the evidence block (``semantic_dedup_degree_cap``). Deterministic
+    (rank by vec_id) → still oracle-exact; emit-once dedup switches from
+    the first-table guard to a dropDuplicates over the (bounded)
+    candidate set, because window membership is table-local and the
+    guard's bucket-equality shortcut no longer implies emission there.
     """
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     dim = len(emb.select("embedding").first()[0])
@@ -312,6 +332,37 @@ def cosine_dedup_pairs(
             )
         ).alias("tb"),
     ).select("vec_id", "embedding", *bucket_cols, "tb.tbl", "tb.bucket")
+    if max_degree is not None:
+        # degree-bounded linking: rank within (tbl, bucket) by vec_id,
+        # join each member to its next max_degree successors — per-bucket
+        # pair volume drops from B²/2 to B·max_degree. One extra window
+        # shuffle over the blocked rows (N × n_tables, scalar columns).
+        w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+        blocked = blocked.select(
+            "vec_id", "embedding", "tbl", "bucket",
+            F.row_number().over(w).alias("rn"),
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("b.rn") > F.col("a.rn"))
+                & (F.col("b.rn") <= F.col("a.rn") + max_degree),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                _pair_cosine_udf()(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return pairs.filter(F.col("cos") >= threshold).select(
+            "id_a",
+            "id_b",
+            F.expr("cast(floor(cos * 1e4 + 0.5) as double) / 1e4").alias("cos_q"),
+        )
     a, b = blocked.alias("a"), blocked.alias("b")
     # first-colliding-table emission: a pair blocked in several tables is
     # emitted ONLY by the lowest such table (for every earlier table the
@@ -384,6 +435,47 @@ cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
   FROM blocked a JOIN blocked b
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cast(floor(cos * 1e4 + 0.5) as double) / 1e4 AS cos_q
+FROM cand WHERE cos >= {threshold}
+"""
+
+
+def cosine_dedup_capped_sql(
+    max_degree: int,
+    dim: int = 64,
+    threshold: float = _COS_THRESHOLD,
+    bits: int = _DEDUP_BITS,
+    n_tables: int = _DEDUP_TABLES,
+) -> str:
+    """DuckDB oracle for cosine_dedup_pairs(max_degree=...) — identical
+    deterministic SRP buckets, row_number-by-vec_id window linking."""
+    tables = _dedup_planes(dim, bits, n_tables)
+    bucket_cols = ", ".join(
+        f"{_duckdb_bucket_sql(tables[t], bits)} AS bucket{t}" for t in range(n_tables)
+    )
+    block_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, bucket{t} AS bucket FROM sig"
+        for t in range(n_tables)
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {bucket_cols} FROM embeddings),
+blocked0 AS ({block_rows}),
+blocked AS (
+  SELECT vec_id, embedding, tbl, bucket,
+         row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+  FROM blocked0
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+  FROM blocked a JOIN blocked b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND b.rn > a.rn AND b.rn <= a.rn + {max_degree}
 )
 SELECT id_a, id_b, cast(floor(cos * 1e4 + 0.5) as double) / 1e4 AS cos_q
 FROM cand WHERE cos >= {threshold}

@@ -71,9 +71,21 @@ def gen_documents(n: int, seed: int = 7) -> pa.Table:
 
 
 def gen_embeddings(n: int, dim: int = 64, seed: int = 11) -> pa.Table:
+    """Unit-norm random embeddings with DUP_RATE planted near-duplicates
+    (a slightly-perturbed copy of an earlier vector, cosine ≈ 0.99) — so
+    true near-dup pair volume grows LINEARLY with n, matching the
+    documents generator. Pure-random vectors gave a pair count driven by
+    the tail of the random-cosine distribution (~n² · P[cos>τ]), which
+    made the semantic-dedup shakeout exponent measure output growth, not
+    operator scaling (VERDICT r05 item 4)."""
     rng = np.random.default_rng(seed)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i in range(1, n):
+        if rng.random() < DUP_RATE:
+            src = vecs[rng.integers(0, i)]
+            noisy = src + 0.15 * rng.standard_normal(dim).astype(np.float32)
+            vecs[i] = noisy / np.linalg.norm(noisy)
     return pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),
