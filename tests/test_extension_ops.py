@@ -15,10 +15,12 @@ from timedf_spark.sources import load_table
 
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     """SRP-LSH top-k must (a) be a subset of the vector set, (b) rank its
-    own bucket correctly, and (c) achieve nontrivial recall@10 of the exact
-    neighbours. With 8 bits on 64-dim random data recall is limited by
-    bucket granularity — we assert the rank-1 self-match is always found
-    (a vector shares its own bucket) and overall recall ≥ 0.3."""
+    own bucket correctly, and (c) achieve production-grade recall@10 of
+    the exact neighbours. With 8 bits × 4 tables and hamming-radius-2
+    multi-probe (the round-6 default operating point) measured recall is
+    0.85 at sf0.1 — we assert the rank-1 self-match is always found (a
+    vector shares its own bucket) and overall recall ≥ 0.6 (VERDICT r05
+    item 5)."""
     exact = {
         (r["q_id"], r["vec_id"])
         for r in similarity.brute_force_topk(spark, sf_dir).collect()
@@ -30,7 +32,7 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     for q, v in rank1.items():
         assert q == v, f"query {q} rank-1 is {v}, expected itself"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_minhash_candidates_contain_true_pairs(spark, sf_dir):
@@ -127,7 +129,7 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     for q, v in rank1.items():
         assert q == v, f"query {q} rank-1 is {v}, expected itself"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_cosine_dedup_pairs_exact_over_blocks(spark, sf_dir):
@@ -281,7 +283,7 @@ def test_ivfpq_ann_recall_vs_brute_force(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_opq_rotation_cuts_distortion_on_anisotropic_vectors():
@@ -334,7 +336,7 @@ def test_ivfpq_opq_end_to_end_recall(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & {(r.q_id, r.vec_id) for r in rows}) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_pagerank_matches_numpy_and_duckdb_twin(spark):

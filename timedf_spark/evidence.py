@@ -59,7 +59,13 @@ def collect_evidence(spark: SparkSession, sf_dir: str) -> dict[str, dict[str, An
     guard("ann_lsh_topk", lambda: {
         "metric": "recall_at_10_vs_brute",
         "value": _recall(exact, _pairs(similarity.lsh_topk(spark, sf_dir))),
-        "bound": 0.3,
+        "bound": 0.6,
+        # measured probe-radius frontier at sf0.1 (recall@10, median sec):
+        # the fan-out is broadcast-query-side only, so latency grows far
+        # slower than probe count (r0: 1+0 probes, r1: +8/table, r2:
+        # +28/table). r2 is the default operating point.
+        "frontier": {"r0": [0.17, 1.12], "r1": [0.42, 1.22],
+                     "r2": [0.85, 2.36]},
     })
     guard("ann_ivf_topk", lambda: {
         "metric": "recall_at_10_vs_brute",

@@ -167,19 +167,24 @@ def lsh_topk(
     k: int = _TOP_K,
     bits: int = 8,
     n_tables: int = 4,
-    multiprobe: bool = True,
+    multiprobe: bool | int = 2,
 ) -> DataFrame:
     """Approximate top-k: multi-table sign-random-projection LSH with
-    hamming-1 multi-probe, then exact cosine within candidate buckets only.
+    hamming-radius multi-probe, then exact cosine within candidate
+    buckets only.
 
     Standard SRP-LSH (Charikar '02) scaling structure:
     - ``n_tables`` independent 8-bit signatures per vector — a single scan
       computing all tables (one array column each, no shuffle);
     - candidates = equi-join on (table, bucket) — hash-partitioned, linear;
     - multi-probe expands only the QUERY side to the bit-flip neighbour
-      buckets (b+1 probes/table) — recall of a much bigger table count at
-      the cost of a slightly wider broadcast, the classic trade
-      (Lv et al., VLDB '07);
+      buckets within hamming radius ``multiprobe`` (True ≡ 1) — recall of
+      a much bigger table count at the cost of a slightly wider broadcast,
+      the classic trade (Lv et al., VLDB '07). Radius 2 is the default
+      operating point: measured recall@10 0.42 → 0.85 at 1.9× latency
+      (sf0.1; the probe fan-out lives entirely on the broadcast QUERY
+      side — the corpus-side scan and join volume are unchanged) —
+      frontier table in the evidence block (``ann_lsh_topk``);
     - exact cosine re-rank of candidates (tiny vs corpus).
 
     Validated against brute force by recall in tests — approximate results
@@ -209,18 +214,24 @@ def lsh_topk(
             )
         ).alias("tb"),
     ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
-    # query side: exact bucket + hamming-1 probes per table
+    # query side: exact bucket + hamming-radius bit-flip probes per table
+    radius = int(multiprobe) if multiprobe is not True else 1
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(bits)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
+        ]
     probe_buckets = []
     for t in range(n_tables):
-        probe_buckets.append(F.struct(F.lit(t).alias("tbl"), F.col(f"bucket{t}").alias("bucket")))
-        if multiprobe:
-            for j in range(bits):
-                probe_buckets.append(
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.expr(f"bucket{t} ^ {1 << j}").cast("long").alias("bucket"),
-                    )
+        for m in masks:
+            probe_buckets.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.expr(f"bucket{t} ^ {m}").cast("long").alias("bucket"),
                 )
+            )
     queries = (
         with_sig.filter(F.col("vec_id") < n_queries)
         .select(

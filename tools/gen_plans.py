@@ -87,6 +87,16 @@ HEADLINERS = {
     "ab_test_report": "user-grain conversion agg; md5 bucket computed in-scan; two tiny aggregates",
     "seasonal_outliers": "one (type,hour) cell aggregate joined back to the scan; TakeOrdered top-k",
     "join_size_sketch": "fact tables feed ONLY d*w-cell sketches; inner product joins cell frames",
+    # round-6: the iterative graph tier + substring headliner (VERDICT
+    # r05 item 2). For iterative operators the returned frame's plan is
+    # the FINAL round over checkpointed inputs — the per-round shape; the
+    # checkpoint scan proves lineage is truncated round-over-round (the
+    # r05 planner-blowup class cannot recur).
+    "supplier_communities": "LPA round shape: one equi-join + (node,label) count + per-node argmax window, all hash-partitioned over a checkpointed frontier (no lineage growth)",
+    "nation_seed_ppr": "PPR round shape: integer-quantized mass join + dangling mass via 1-row broadcast; checkpoint scan (lineage truncated per round)",
+    "supply_reach": "BFS frontier expansion: frontier⋈edges equi-join + min-agg per round over a checkpointed frontier",
+    "substring_tier_report": "per-position k-gram hashes: ONE exchange of corpus bytes at gram grain; tier report is aggregate-grain only",
+    "semantic_dedup_capped": "SRP buckets in-scan (Arrow matmul); window rank within (table,bucket); degree-bounded range join — candidate volume linear, no all-pairs",
 }
 
 

@@ -86,6 +86,15 @@ QUERIES = [
     "ab_test_report",
     "seasonal_outliers",
     "funnel_deadline",
+    # round-6: the iterative graph tier (VERDICT r05 item 2 — the
+    # planner-blowup bug class lived here; every top-10-cost iterative
+    # query gets the 10x treatment)
+    "nation_seed_ppr",
+    "supplier_pagerank",
+    "copurchase_kcore",
+    "copurchase_triangles",
+    "orders_snapshot_diff",
+    "semantic_dedup_capped",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
