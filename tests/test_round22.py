@@ -1,0 +1,182 @@
+"""Round-22 tests: kill-and-replay convergence for the round-5 persisted
+streaming stores (MG heavy-hitters, drift monitor) — VERDICT r05 item 8.
+
+Harness: drain batch 0 with availableNow, then simulate the worst-case
+kill — the CHECKPOINT is lost entirely (crash after the store published,
+before anything durable survived on the streaming side). The restart
+runs on a FRESH checkpoint, so Structured Streaming redelivers the
+already-applied file as batch 0 again; the store's version guard must
+no-op the redelivery, then fold the new data as batch 1. Final state
+must equal the from-scratch batch recompute. (Deleting just the commit
+marker is not simulable in-process: Spark 4's same-JVM checkpoint
+concurrency guard rejects a tampered commit log.)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from timedf_spark.sources import load_table
+from timedf_spark.streaming.cdc_apply import _current_version
+
+
+def _lose_checkpoint(ckpt: str) -> None:
+    """The crash: every streaming-side durable artifact is gone; only the
+    store's own publishes survive. The restart replays from scratch."""
+    import shutil
+
+    shutil.rmtree(ckpt)
+
+
+def test_mg_store_kill_and_replay_converges(spark, sf_dir, tmp_path):
+    from timedf_spark.streaming import mg_apply as mg
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split("text", " ")).alias("item")
+    ).filter(F.col("item") != "")
+    half_a = tokens.filter(F.crc32(F.col("item")) % 2 == 0)
+    half_b = tokens.filter(F.crc32(F.col("item")) % 2 == 1)
+
+    store = str(tmp_path / "mg_store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    mg.seed_mg_store(spark, store)
+    half_a.coalesce(1).write.mode("append").parquet(src)
+
+    schema = tokens.schema
+
+    def _drain(ckpt_dir):
+        q = (
+            mg.mg_sink(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                store, ckpt_dir, "item", k,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _drain(ckpt)
+    v_after_first = _current_version(store)
+    assert v_after_first is not None and v_after_first >= 0
+    first_summary = {
+        r["item"]: r["est_count"] for r in mg.read_mg(spark, store).collect()
+    }
+
+    # crash: checkpoint lost after the store published → batch 0 redelivers
+    _lose_checkpoint(ckpt)
+    time.sleep(1.1)  # distinct mtime so the new file is a later batch
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    _drain(ckpt)
+
+    # redelivered batch 0 was a no-op (no double-merge of half_a): the
+    # final summary obeys the MG guarantee against the EXACT totals of
+    # half_a ∪ half_b, which a double-merged half_a would break for any
+    # item with est > true.
+    summary = {
+        r["item"]: r["est_count"] for r in mg.read_mg(spark, store).collect()
+    }
+    exact = {
+        r["item"]: r["cnt"]
+        for r in tokens.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total / (k + 1)
+    assert 0 < len(summary) <= k
+    for item, est in summary.items():
+        assert est <= exact[item], (item, est, exact[item])
+        assert exact[item] - est <= bound
+    for item, cnt in exact.items():
+        if cnt > bound:
+            assert item in summary
+    # and the store advanced past the first version
+    assert _current_version(store) > v_after_first
+    assert first_summary  # non-vacuous first drain
+
+
+def test_drift_monitor_kill_and_replay_converges(spark, sf_dir, tmp_path):
+    from timedf_spark.streaming import drift_monitor as dm
+
+    _BUCKET = 50_000_00
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bucketed(df):
+        return df.select(
+            F.expr(
+                f"cast(floor(o_totalprice * 100) AS BIGINT) DIV {_BUCKET}"
+            ).alias("bucket")
+        )
+
+    early = orders.where("o_orderdate < timestamp'1996-01-01'")
+    late = orders.where("o_orderdate >= timestamp'1996-01-01'")
+    ref = bucketed(early).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    store = str(tmp_path / "drift")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dm.seed_drift_monitor(spark, store, ref)
+
+    late_a = bucketed(late.filter("o_orderkey % 2 = 0"))
+    late_b = bucketed(late.filter("o_orderkey % 2 = 1"))
+    late_a.coalesce(1).write.mode("append").parquet(src)
+
+    schema = late_a.schema
+
+    def _drain(ckpt_dir):
+        q = (
+            dm.drift_sink(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                store, ckpt_dir,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _drain(ckpt)
+    _lose_checkpoint(ckpt)
+    time.sleep(1.1)
+    late_b.coalesce(1).write.mode("append").parquet(src)
+    _drain(ckpt)
+
+    # store equals one aggregation of ALL late rows (no double count of
+    # the redelivered half), and the final logged TVD matches the exact
+    # Python recomputation of the twin formula
+    got_store = {
+        r["bucket"]: r["n"] for r in dm._read_store(spark, store).collect()
+    }
+    want_store = {
+        r["bucket"]: r["n"]
+        for r in bucketed(late)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_store == want_store
+    log = {r["batch_id"]: r for r in dm.read_drift_log(spark, store).collect()}
+    last = log[max(log)]
+    ref_counts = {r["bucket"]: r["n"] for r in ref.collect()}
+    tc, tr = sum(want_store.values()), sum(ref_counts.values())
+    tvd2 = sum(
+        abs(
+            want_store.get(b, 0) * 10_000 // tc
+            - ref_counts.get(b, 0) * 10_000 // tr
+        )
+        for b in set(want_store) | set(ref_counts)
+    )
+    assert last["tvd_bp"] == tvd2 // 2
+    assert last["n_current"] == tc
+    # every processed batch id has a log entry (the redelivered one was
+    # backfilled or kept, never lost)
+    assert set(log) == {0, 1}

@@ -151,15 +151,23 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_SHAKEOUT.json",
     )
-    merged = {"factor": factor, "nx_dir": nx_dir, "queries": {}}
+    # factor 10 keeps the original layout ("queries"); other factors land
+    # in their own section ("queries_100x", ...) so a second scale step
+    # never clobbers the 10x rows.
     try:
         with open(out_path) as f:
-            prev = json.load(f)
-        if prev.get("factor") == factor:
-            merged["queries"].update(prev.get("queries", {}))
+            merged = json.load(f)
     except (OSError, ValueError):
-        pass
-    merged["queries"].update(out)
+        merged = {}
+    if factor == 10.0:
+        if merged.get("factor") != factor:
+            merged["queries"] = {}
+        merged["factor"], merged["nx_dir"] = factor, nx_dir
+        merged.setdefault("queries", {}).update(out)
+    else:
+        key = f"queries_{int(factor)}x"
+        merged[f"nx_dir_{int(factor)}x"] = nx_dir
+        merged.setdefault(key, {}).update(out)
     # write BEFORE printing: a consumer like `| head -1` SIGPIPEs the
     # print, and the file write must not be collateral damage
     with open(out_path, "w") as f:
