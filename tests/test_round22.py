@@ -103,6 +103,39 @@ def test_mg_store_kill_and_replay_converges(spark, sf_dir, tmp_path):
     assert first_summary  # non-vacuous first drain
 
 
+def test_substring_exact_mode_matches_fast_and_guard_warns(spark, sf_dir):
+    """ADVICE r05: the exact tier (gram-string keys, collision-free)
+    must produce identical spans to the 64-bit fast-hash tier on data
+    below the birthday bound, and the collision guard must warn when the
+    window count crosses it."""
+    import warnings
+
+    import pytest
+
+    from timedf_spark.operators import substring as ss
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fast = {
+        tuple(r)
+        for r in ss.duplicate_span_report(docs, collision_guard=False).collect()
+    }
+    exact = {tuple(r) for r in ss.duplicate_span_report(docs, exact=True).collect()}
+    assert fast == exact
+    assert len(exact) > 0
+
+    # guard fires past the (monkeypatched) bound; exact mode never checks
+    orig = ss._COLLISION_WARN_WINDOWS
+    ss._COLLISION_WARN_WINDOWS = 10
+    try:
+        with pytest.warns(RuntimeWarning, match="birthday bound"):
+            ss.duplicate_span_report(docs)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            ss.duplicate_span_report(docs, exact=True)  # no warning path
+    finally:
+        ss._COLLISION_WARN_WINDOWS = orig
+
+
 def test_drift_monitor_kill_and_replay_converges(spark, sf_dir, tmp_path):
     from timedf_spark.streaming import drift_monitor as dm
 

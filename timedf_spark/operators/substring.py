@@ -86,15 +86,60 @@ def _gram_hash_fast_duck(text_col: str, k: int) -> str:
     return f"cast(hash(substr({text_col}, pos + 1, {k})) as hugeint)"
 
 
+# Birthday bound for the 64-bit fast-hash tier: past ~2^30 windows the
+# collision expectation Σ≈n²/2^65 approaches 1 — a collision marks a
+# unique window as duplicated, and strip_duplicate_spans would then cut
+# genuinely unique text. The guard below WARNS (one column-pruned length
+# scan) instead of relying on a docstring; `exact=True` removes the
+# hash entirely.
+_COLLISION_WARN_WINDOWS = 1 << 30
+
+
+def _warn_if_past_birthday_bound(docs, text_col: str, k: int) -> None:
+    import warnings
+
+    n_windows = (
+        docs.filter(F.length(text_col) >= k)
+        .agg(F.sum(F.length(text_col) - k + 1))
+        .first()[0]
+        or 0
+    )
+    if n_windows > _COLLISION_WARN_WINDOWS:
+        warnings.warn(
+            f"duplicate_span_report: {n_windows:.3g} k-gram windows exceed "
+            f"the 64-bit birthday bound (~2^30); hash collisions can mark "
+            f"unique windows as duplicated. Pass exact=True (gram-string "
+            f"keys, no collisions) or raise k.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def duplicate_span_report(
-    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K,
+    exact: bool = False, collision_guard: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated character spans.
 
     Returns (doc_id, span_start, span_end, span_len): 0-based start
     inclusive, end exclusive — every maximal region of ``text`` whose
     k-char windows all occur verbatim in at least one OTHER document.
+
+    ``exact=True`` keys the duplicated-window test on the gram STRING
+    itself instead of its 64-bit hash — zero collision risk at the cost
+    of k-char keys (instead of 8 bytes) through the one exchange. Use it
+    past the birthday bound (~2^30 windows), where a 64-bit collision
+    would mark a unique window as duplicated; ``collision_guard``
+    (default on) measures the window count in one column-pruned length
+    scan and warns when the corpus crosses that bound (ADVICE r05).
     """
+    if not exact and collision_guard:
+        _warn_if_past_birthday_bound(docs, text_col, k)
+    key = (
+        f"substring({text_col}, pos + 1, {k})"
+        if exact
+        else _gram_hash_fast_spark(text_col, k)
+    )
     grams = (
         docs.filter(F.length(text_col) >= k)
         .select(
@@ -102,7 +147,7 @@ def duplicate_span_report(
             F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
             text_col,
         )
-        .select("doc_id", "pos", F.expr(_gram_hash_fast_spark(text_col, k)).alias("gh"))
+        .select("doc_id", "pos", F.expr(key).alias("gh"))
     )
     # one exchange on gh: a window is duplicated iff its gram appears in
     # another doc (min/max over the hash partition, no count-distinct)
@@ -186,7 +231,8 @@ FROM spans
 
 
 def strip_duplicate_spans(
-    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K,
+    exact: bool = False, collision_guard: bool = True,
 ) -> DataFrame:
     """Per doc: cut every cross-document duplicated span out of the text.
 
@@ -196,9 +242,11 @@ def strip_duplicate_spans(
     disjoint spans: [prev_span_end, span_start) per span plus the tail
     [last_span_end, len); reassembly is an order-defined string
     aggregate, one exchange on doc_id (shared with the span frame's
-    island exchange).
+    island exchange). ``exact``/``collision_guard``: see
+    :func:`duplicate_span_report` — stripping is where a hash collision
+    would actually DELETE unique text, so the guard matters most here.
     """
-    spans = duplicate_span_report(docs, text_col, k)
+    spans = duplicate_span_report(docs, text_col, k, exact, collision_guard)
     wd = Window.partitionBy("doc_id").orderBy("span_start")
     heads = spans.select(
         "doc_id",
