@@ -1089,6 +1089,407 @@ GROUP BY d HAVING count(*) > 0 ORDER BY d
 """
 
 
+# --------------------------------------------------------------------
+# template_prefix_groups — boilerplate/template detection: documents
+# sharing an identical first-N-characters prefix form a template group
+# (the "same header, different body" signature crawled corpora carry).
+# Grouping key is the md5 of the exact prefix — one aggregate at
+# prefix-hash grain, no pairwise anything; the report carries group
+# size, an example doc, and total affected chars.
+
+_TPL_PREFIX = 40
+
+
+def _template_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return (
+        docs.filter(F.length("text") >= _TPL_PREFIX)
+        .select(
+            F.expr(f"md5(substring(text, 1, {_TPL_PREFIX}))").alias("prefix_key"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter("n_docs > 1")
+        .orderBy(F.desc("n_docs"), "prefix_key")
+    )
+
+
+_TPL_ORACLE = f"""
+SELECT md5(substr(text, 1, {_TPL_PREFIX})) AS prefix_key,
+       count(*) AS n_docs, min(doc_id) AS example_doc,
+       cast(sum(n_chars) as bigint) AS total_chars
+FROM documents WHERE length(text) >= {_TPL_PREFIX}
+GROUP BY md5(substr(text, 1, {_TPL_PREFIX}))
+HAVING count(*) > 1
+ORDER BY n_docs DESC, prefix_key
+"""
+
+# --------------------------------------------------------------------
+# zipf_rank_table — the Zipf diagnostic every tokenizer/corpus report
+# includes: tokens ranked by frequency with the rank·frequency product
+# (constant under an ideal Zipf law). Integer-exact; ties break on the
+# token string so ranks are engine-identical. Token-grain aggregate +
+# one window over the (tiny) vocabulary.
+
+
+def _zipf_rank_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "w")
+    return (
+        tf.select(
+            "w",
+            "freq",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .withColumn("rank_freq", F.expr("rank * freq"))
+        .filter("rank <= 100")
+        .orderBy("rank")
+    )
+
+
+_ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)
+SELECT w, freq,
+       cast(row_number() OVER (ORDER BY freq DESC, w) as bigint) AS rank,
+       cast(row_number() OVER (ORDER BY freq DESC, w) as bigint) * freq AS rank_freq
+FROM tf
+QUALIFY rank <= 100
+ORDER BY rank
+"""
+
+# --------------------------------------------------------------------
+# nonalpha_noise_score — OCR/mojibake noise scoring: share of
+# characters OUTSIDE [a-zA-Z0-9 ] in exact basis points (the quality
+# gate that catches binary junk and encoding damage before it reaches
+# training). regexp_replace is scan-local (verified engine-identical
+# for this class); the report is the top-50 noisiest docs.
+
+
+def _nonalpha_noise_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_total"),
+            F.expr(
+                "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) "
+                "* 10000 DIV length(text)"
+            ).alias("noise_bp"),
+        )
+        .orderBy(F.desc("noise_bp"), "doc_id")
+        .limit(50)
+    )
+
+
+_NOISE_ORACLE = """
+SELECT doc_id, cast(length(text) as bigint) AS n_chars_total,
+       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         * 10000 // length(text) AS noise_bp
+FROM documents WHERE length(text) > 0
+ORDER BY noise_bp DESC, doc_id
+LIMIT 50
+"""
+
+# --------------------------------------------------------------------
+# power_users_pareto — the 80/20 concentration curve: users ranked by
+# event volume, with each rank's cumulative share of all events in bp,
+# reported at the decile marks. The skew diagnostic that decides
+# salting strategy (key_skew_stats' cumulative sibling). User-grain
+# aggregate + one window over users; raw events shuffle once.
+
+
+def _power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    ranked = per_user.select(
+        F.row_number().over(w).cast("long").alias("user_rank"),
+        F.expr(
+            "sum(n_events) over (order by n_events desc, user_id "
+            "rows between unbounded preceding and current row)"
+        ).alias("cum_events"),
+        F.expr("count(1) over ()").alias("n_users"),
+        F.expr("sum(n_events) over ()").alias("total_events"),
+    )
+    return (
+        ranked.filter("user_rank * 10 % n_users < 10")  # decile marks
+        .select(
+            F.expr("user_rank * 10000 DIV n_users").alias("user_pct_bp"),
+            F.expr("cum_events * 10000 DIV total_events").alias("events_share_bp"),
+            "user_rank",
+            "cum_events",
+        )
+        .groupBy("user_pct_bp")
+        .agg(
+            F.max("events_share_bp").alias("events_share_bp"),
+            F.max("user_rank").alias("user_rank"),
+            F.max("cum_events").alias("cum_events"),
+        )
+        .orderBy("user_pct_bp")
+    )
+
+
+_PARETO_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cast(row_number() OVER (ORDER BY n_events DESC, user_id) as bigint) AS user_rank,
+         cast(sum(n_events) OVER (ORDER BY n_events DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_events,
+         cast(count(*) OVER () as bigint) AS n_users,
+         cast(sum(n_events) OVER () as bigint) AS total_events
+  FROM per_user
+)
+SELECT user_rank * 10000 // n_users AS user_pct_bp,
+       max(cum_events * 10000 // total_events) AS events_share_bp,
+       max(user_rank) AS user_rank,
+       max(cum_events) AS cum_events
+FROM ranked WHERE (user_rank * 10) % n_users < 10
+GROUP BY user_rank * 10000 // n_users
+ORDER BY user_pct_bp
+"""
+
+# --------------------------------------------------------------------
+# inter_event_gap_histogram — log2-bucketed histogram of per-user
+# inter-event gaps: the latency-distribution shape (1s/2s/4s/... bins)
+# ops dashboards draw. The log2 bucket is length(bin(gap)) — an INTEGER
+# bit-length, no floating log, identical in both engines. One user
+# window (lag) + one bucket-grain aggregate.
+
+
+def _inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    gaps = ev.select(
+        F.expr(
+            "unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id))"
+        ).alias("gap_us")
+    ).filter("gap_us IS NOT NULL AND gap_us > 0")
+    return (
+        gaps.select(
+            F.expr("length(bin(gap_us DIV 1000000 + 1))").alias("bucket_log2")
+        )
+        .groupBy("bucket_log2")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .orderBy("bucket_log2")
+    )
+
+
+_GAPH_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT length(bin(gap_us // 1000000 + 1)) AS bucket_log2, count(*) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY length(bin(gap_us // 1000000 + 1))
+ORDER BY bucket_log2
+"""
+
+# --------------------------------------------------------------------
+# discount_quantity_corr — exact-input Pearson correlation per brand:
+# does a deeper discount move quantity? Every moment (Σx, Σy, Σxy, Σx²,
+# Σy²) is an EXACT integer sum (discount → integer percent points,
+# quantity is whole units), so the final correlation arithmetic runs on
+# bit-identical doubles in both engines — a naive corr() over doubles
+# would drift in the last bits and fail the hash. One brand-grain
+# aggregate after a broadcast part join.
+
+
+def _discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    moments = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias("x"),
+            F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("y"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        )
+    )
+    return moments.select(
+        "p_brand",
+        "n",
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN "
+            "cast(floor((n * sxy - sx * sy) / "
+            "(sqrt(cast(n * sxx - sx * sx as double)) * "
+            "sqrt(cast(n * syy - sy * sy as double))) * 1e4 + 0.5) as bigint) "
+            "END"
+        ).alias("corr_bp"),
+    ).orderBy("p_brand")
+
+
+_CORR_ORACLE = """
+WITH moments AS (
+  SELECT p_brand, count(*) AS n,
+         cast(sum(cast(floor(l_discount * 100 + 0.5) as bigint)) as bigint) AS sx,
+         cast(sum(cast(floor(l_quantity + 0.5) as bigint)) as bigint) AS sy,
+         cast(sum(cast(floor(l_discount * 100 + 0.5) as bigint)
+                  * cast(floor(l_quantity + 0.5) as bigint)) as bigint) AS sxy,
+         cast(sum(cast(floor(l_discount * 100 + 0.5) as bigint)
+                  * cast(floor(l_discount * 100 + 0.5) as bigint)) as bigint) AS sxx,
+         cast(sum(cast(floor(l_quantity + 0.5) as bigint)
+                  * cast(floor(l_quantity + 0.5) as bigint)) as bigint) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         cast(floor((n * sxy - sx * sy) /
+           (sqrt(cast(n * sxx - sx * sx as double)) *
+            sqrt(cast(n * syy - sy * sy as double))) * 1e4 + 0.5) as bigint)
+       END AS corr_bp
+FROM moments ORDER BY p_brand
+"""
+
+# --------------------------------------------------------------------
+# regional_hhi — Herfindahl-Hirschman market-concentration index per
+# region over supplier revenue: Σ share² with shares in exact bp, so
+# HHI is an exact integer (0..10^8 scale). The antitrust/marketplace
+# concentration metric; supplier-grain revenue then region-grain sum.
+
+
+def _regional_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "s_suppkey")
+        .agg(
+            F.expr(
+                "sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint))"
+            ).alias("rev_cents")
+        )
+    )
+    totals = rev.groupBy("n_regionkey").agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(totals), "n_regionkey")
+        .select(
+            "n_regionkey",
+            F.expr("rev_cents * 10000 DIV total_cents").alias("share_bp"),
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum(F.expr("share_bp * share_bp")).alias("hhi"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n_regionkey, s_suppkey,
+         cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as bigint) AS rev_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_regionkey, s_suppkey
+),
+totals AS (
+  SELECT n_regionkey, cast(sum(rev_cents) as bigint) AS total_cents
+  FROM rev GROUP BY n_regionkey
+)
+SELECT rev.n_regionkey AS n_regionkey,
+       cast(sum((rev_cents * 10000 // total_cents) * (rev_cents * 10000 // total_cents)) as bigint) AS hhi,
+       count(*) AS n_suppliers
+FROM rev JOIN totals ON rev.n_regionkey = totals.n_regionkey
+GROUP BY rev.n_regionkey ORDER BY n_regionkey
+"""
+
+# --------------------------------------------------------------------
+# segment_priority_chi2 — chi-square independence scan between customer
+# segment and order priority: the feature-selection / drift test for
+# categorical pairs. Contribution per cell = (O·T − R·C)² / (R·C·T) —
+# numerator exact integer, denominators exact integers, ONE float
+# division at the end per cell: engine-identical. Cell grain only.
+
+
+def _segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rows = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("row_n"))
+    cols = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("col_n"))
+    total = cells.agg(F.sum("obs").alias("t"))
+    return (
+        cells.join(F.broadcast(rows), "c_mktsegment")
+        .join(F.broadcast(cols), "o_orderpriority")
+        .join(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "obs",
+            F.expr(
+                "cast(floor((obs * t - row_n * col_n) * (obs * t - row_n * col_n) "
+                "/ (cast(row_n as double) * col_n * t) * 1e6 + 0.5) as bigint)"
+            ).alias("contrib_micro"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+),
+rows_n AS (SELECT c_mktsegment, cast(sum(obs) as bigint) AS row_n FROM cells GROUP BY c_mktsegment),
+cols_n AS (SELECT o_orderpriority, cast(sum(obs) as bigint) AS col_n FROM cells GROUP BY o_orderpriority),
+total AS (SELECT cast(sum(obs) as bigint) AS t FROM cells)
+SELECT c_mktsegment, o_orderpriority, obs,
+       cast(floor((obs * t - row_n * col_n) * (obs * t - row_n * col_n)
+         / (cast(row_n as double) * col_n * t) * 1e6 + 0.5) as bigint) AS contrib_micro
+FROM cells
+JOIN rows_n USING (c_mktsegment)
+JOIN cols_n USING (o_orderpriority)
+CROSS JOIN total
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "semantic_dedup_capped": QuerySpec(
         "semantic_dedup_capped",
@@ -1197,5 +1598,53 @@ SUITE: dict[str, QuerySpec] = {
         _conversion_hazard_table,
         _HAZARD_ORACLE,
         "discrete-time survival (KM input): at-risk, conversions, hazard bp per day lag",
+    ),
+    "template_prefix_groups": QuerySpec(
+        "template_prefix_groups",
+        _template_prefix_groups,
+        _TPL_ORACLE,
+        "boilerplate detection: identical-prefix template groups",
+    ),
+    "zipf_rank_table": QuerySpec(
+        "zipf_rank_table",
+        _zipf_rank_table,
+        _ZIPF_ORACLE,
+        "Zipf diagnostic: top-100 token ranks with rank*freq",
+    ),
+    "nonalpha_noise_score": QuerySpec(
+        "nonalpha_noise_score",
+        _nonalpha_noise_score,
+        _NOISE_ORACLE,
+        "OCR/mojibake noise score in bp; top-50 noisiest docs",
+    ),
+    "power_users_pareto": QuerySpec(
+        "power_users_pareto",
+        _power_users_pareto,
+        _PARETO_ORACLE,
+        "cumulative event-share concentration curve at decile marks",
+    ),
+    "inter_event_gap_histogram": QuerySpec(
+        "inter_event_gap_histogram",
+        _inter_event_gap_histogram,
+        _GAPH_ORACLE,
+        "log2-bucketed inter-event gap histogram (integer bit-length buckets)",
+    ),
+    "discount_quantity_corr": QuerySpec(
+        "discount_quantity_corr",
+        _discount_quantity_corr,
+        _CORR_ORACLE,
+        "exact-moment Pearson correlation per brand in quantized bp",
+    ),
+    "regional_hhi": QuerySpec(
+        "regional_hhi",
+        _regional_hhi,
+        _HHI_ORACLE,
+        "Herfindahl concentration index per region (exact bp shares)",
+    ),
+    "segment_priority_chi2": QuerySpec(
+        "segment_priority_chi2",
+        _segment_priority_chi2,
+        _CHI2_ORACLE,
+        "chi-square independence cell contributions (exact-integer moments)",
     ),
 }
