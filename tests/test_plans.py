@@ -638,3 +638,44 @@ def test_cusum_windows_share_exchange(spark):
     event_type: one raw-row exchange total."""
     plan = _executed_plan(spark, "cusum_changepoint")
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_brand_lift_rules_no_fact_self_join(spark):
+    """Association rules: pairs unfold from per-order brand ARRAYS
+    (Generate), never a lineitem-grain self-join; part broadcasts; no
+    cartesian anywhere."""
+    plan = _executed_plan(spark, "brand_lift_rules")
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the only cross-join style operator allowed is the 1-row n_orders
+    # broadcast (BroadcastNestedLoopJoin over a single-row aggregate)
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "BuildRight" in seg[:80] or "BuildLeft" in seg[:80]
+
+
+def test_rolling_7d_actives_no_theta_join(spark):
+    """The trailing-window distinct must be the EXPLODE form — a range
+    (theta) join would nested-loop day keys at scale."""
+    plan = _executed_plan(spark, "rolling_7d_actives")
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_conversion_hazard_table_single_fact_pass(spark):
+    """The survival table reads events ONCE per aggregate leg (per-user
+    min/max legs), never self-joins raw events, and the day expansion is
+    an explode over user-grain rows."""
+    plan = _executed_plan(spark, "conversion_hazard_table")
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_semantic_dedup_capped_window_linking(spark):
+    """Degree-bounded pair generation: the plan carries the (tbl, bucket)
+    row_number window and NO first-table-guard self-join fallback; the
+    range condition keeps the join an equi-join on (tbl, bucket)."""
+    plan = _executed_plan(spark, "semantic_dedup_capped")
+    assert "row_number" in plan, plan
+    assert "CartesianProduct" not in plan, plan
