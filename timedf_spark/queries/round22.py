@@ -1490,6 +1490,370 @@ ORDER BY c_mktsegment, o_orderpriority
 """
 
 
+# --------------------------------------------------------------------
+# session_funnel — the view→click→purchase funnel REQUIRED to complete
+# within one session (the strict-attribution variant of funnel_counts,
+# whose window is the whole history): sessions from the standard
+# gaps-and-islands pass, then ordered conditional first-occurrence
+# minimums INSIDE each session — no per-stage self-joins. Session-grain
+# aggregate → 1-row report.
+
+
+def _session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.expr(
+            "CASE WHEN lag(ts) over (partition by user_id order by ts, event_id) IS NULL "
+            "OR unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id)) > 30 * 60 * 1000000 "
+            "THEN 1 ELSE 0 END"
+        ).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.expr(
+            "sum(new_s) over (partition by user_id order by ts "
+            "rows between unbounded preceding and current row)"
+        ),
+    )
+    stages = sess.groupBy("user_id", "sid").agg(
+        F.min(F.expr("CASE WHEN event_type = 'view' THEN ts END")).alias("t_view"),
+        F.min(F.expr("CASE WHEN event_type = 'click' THEN ts END")).alias("t_click"),
+        F.min(F.expr("CASE WHEN event_type = 'purchase' THEN ts END")).alias("t_buy"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.expr("CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END")).alias(
+            "n_view"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END"
+            )
+        ).alias("n_view_click"),
+        F.sum(
+            F.expr(
+                "CASE WHEN t_view IS NOT NULL AND t_click > t_view "
+                "AND t_buy > t_click THEN 1 ELSE 0 END"
+            )
+        ).alias("n_view_click_buy"),
+    )
+
+
+_SFUN_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+stages AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM sess GROUP BY user_id, sid
+)
+SELECT count(*) AS n_sessions,
+       cast(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_view,
+       cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) as bigint) AS n_view_click,
+       cast(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) as bigint) AS n_view_click_buy
+FROM stages
+"""
+
+# --------------------------------------------------------------------
+# weekly_seasonality — STL-lite additive decomposition of daily revenue:
+# trend = centered 7-day moving sum DIV 7 (integer cents), seasonal =
+# day-of-week mean of the detrended series (integer DIV), residual =
+# the exact remainder. The forecasting pre-pass, all integer arithmetic
+# so the decomposition is hash-exact. Day-grain frames only; interior
+# days only (full 7-day window) so the trend is never edge-biased.
+
+
+def _weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = orders.groupBy(
+        F.expr("cast(o_orderdate as date)").alias("day")
+    ).agg(
+        F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+            "rev_cents"
+        )
+    )
+    trended = daily.select(
+        "day",
+        "rev_cents",
+        F.expr(
+            "CASE WHEN count(1) over (order by day rows between 3 preceding and 3 following) = 7 "
+            "THEN sum(rev_cents) over (order by day rows between 3 preceding and 3 following) DIV 7 "
+            "END"
+        ).alias("trend_cents"),
+    ).filter("trend_cents IS NOT NULL")
+    seasonal = (
+        trended.select(
+            "day",
+            "rev_cents",
+            "trend_cents",
+            F.expr("dayofweek(day)").alias("dow"),
+            F.expr("rev_cents - trend_cents").alias("detr"),
+        )
+        .withColumn(
+            "seasonal_cents",
+            F.expr(
+                "sum(detr) over (partition by dow) DIV count(1) over (partition by dow)"
+            ),
+        )
+    )
+    return seasonal.select(
+        "day",
+        "rev_cents",
+        "trend_cents",
+        "seasonal_cents",
+        F.expr("rev_cents - trend_cents - seasonal_cents").alias("residual_cents"),
+    ).orderBy("day")
+
+
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT cast(o_orderdate as date) AS day,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) AS rev_cents
+  FROM orders GROUP BY cast(o_orderdate as date)
+),
+trended AS (
+  SELECT day, rev_cents,
+         CASE WHEN count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN cast(sum(rev_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) // 7 as bigint)
+         END AS trend_cents
+  FROM daily
+),
+seasonal AS (
+  SELECT day, rev_cents, trend_cents,
+         dayofweek(day) + 1 AS dow,
+         rev_cents - trend_cents AS detr
+  FROM trended WHERE trend_cents IS NOT NULL
+)
+SELECT day, rev_cents, trend_cents,
+       cast(sum(detr) OVER (PARTITION BY dow) // (count(*) OVER (PARTITION BY dow)) as bigint) AS seasonal_cents,
+       rev_cents - trend_cents
+         - cast(sum(detr) OVER (PARTITION BY dow) // (count(*) OVER (PARTITION BY dow)) as bigint) AS residual_cents
+FROM seasonal ORDER BY day
+"""
+
+# --------------------------------------------------------------------
+# mom_revenue_growth — month-over-month revenue growth per nation in
+# exact basis points (lag + truncating DIV): the growth-reporting shape
+# every BI layer ships. Month-grain frames after one fact aggregate.
+
+
+def _mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.expr("year(o_orderdate) * 100 + month(o_orderdate)").alias("ym"),
+        )
+        .agg(
+            F.expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))").alias(
+                "rev_cents"
+            )
+        )
+    )
+    return (
+        monthly.select(
+            "c_nationkey",
+            "ym",
+            "rev_cents",
+            F.expr(
+                "lag(rev_cents) over (partition by c_nationkey order by ym)"
+            ).alias("prev_cents"),
+        )
+        .filter("prev_cents IS NOT NULL AND prev_cents > 0")
+        .select(
+            "c_nationkey",
+            "ym",
+            "rev_cents",
+            F.expr(
+                "(rev_cents - prev_cents) * 10000 DIV prev_cents"
+            ).alias("growth_bp"),
+        )
+        .orderBy("c_nationkey", "ym")
+    )
+
+
+_MOM_ORACLE = """
+WITH monthly AS (
+  SELECT c_nationkey, year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, year(o_orderdate) * 100 + month(o_orderdate)
+),
+lagged AS (
+  SELECT c_nationkey, ym, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY c_nationkey ORDER BY ym) AS prev_cents
+  FROM monthly
+)
+SELECT c_nationkey, ym, rev_cents,
+       (rev_cents - prev_cents) * 10000 // prev_cents AS growth_bp
+FROM lagged WHERE prev_cents IS NOT NULL AND prev_cents > 0
+ORDER BY c_nationkey, ym
+"""
+
+# --------------------------------------------------------------------
+# event_volume_control_chart — XmR (individuals / moving-range) control
+# chart over daily event volume per type: mean count, mean |moving
+# range|, and the out-of-control days beyond mean ± 2.66·MR̄ (the SPC
+# constant, applied as an exact integer comparison: |x−x̄|·1000·n_mr
+# vs 2660·ΣMR·n — no float division at all). The ops-monitoring shape.
+
+
+def _event_volume_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = ev.groupBy(
+        "event_type", F.expr("cast(ts as date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    with_mr = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr(
+            "abs(n - lag(n) over (partition by event_type order by day))"
+        ).alias("mr"),
+    )
+    stats = with_mr.groupBy("event_type").agg(
+        F.sum("n").alias("sum_n"),
+        F.count("n").alias("cnt"),
+        F.sum("mr").alias("sum_mr"),
+        F.count("mr").alias("cnt_mr"),
+    )
+    # out-of-control: |x - mean| > 2.66 * mean_mr, cross-multiplied to
+    # integers: |x*cnt - sum_n| * 1000 * cnt_mr > 2660 * sum_mr * cnt
+    return (
+        with_mr.join(F.broadcast(stats), "event_type")
+        .filter(
+            "mr IS NOT NULL AND "
+            "abs(n * cnt - sum_n) * 1000 * cnt_mr > 2660 * sum_mr * cnt"
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.expr("sum_n DIV cnt").alias("mean_n"),
+            F.expr("CASE WHEN cnt_mr > 0 THEN sum_mr DIV cnt_mr END").alias(
+                "mean_mr"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_XMR_ORACLE = """
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS day, count(*) AS n
+  FROM events GROUP BY event_type, cast(ts as date)
+),
+with_mr AS (
+  SELECT event_type, day, n,
+         abs(n - lag(n) OVER (PARTITION BY event_type ORDER BY day)) AS mr
+  FROM daily
+),
+stats AS (
+  SELECT event_type,
+         cast(sum(n) as bigint) AS sum_n, count(n) AS cnt,
+         cast(sum(mr) as bigint) AS sum_mr, count(mr) AS cnt_mr
+  FROM with_mr GROUP BY event_type
+)
+SELECT w.event_type AS event_type, day, n,
+       sum_n // cnt AS mean_n,
+       CASE WHEN cnt_mr > 0 THEN sum_mr // cnt_mr END AS mean_mr
+FROM with_mr w JOIN stats s ON w.event_type = s.event_type
+WHERE mr IS NOT NULL
+  AND abs(n * cnt - sum_n) * 1000 * cnt_mr > 2660 * sum_mr * cnt
+ORDER BY event_type, day
+"""
+
+# --------------------------------------------------------------------
+# price_iqr_fences — Tukey-fence outlier census per order priority:
+# exact p25/p75 on integer cents (interpolated percentiles of integers
+# are exact dyadic/quarter fractions — engine-identical doubles),
+# fences at ±1.5·IQR, and the count + share of orders outside. The
+# box-plot/outlier-gate shape feature pipelines run per segment.
+
+
+def _price_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    cents = orders.select(
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    q = cents.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        cents.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.max(F.expr("q1 - 1.5 * (q3 - q1)")).alias("lo_fence"),
+            F.max(F.expr("q3 + 1.5 * (q3 - q1)")).alias("hi_fence"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cents < q1 - 1.5 * (q3 - q1) "
+                    "OR cents > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END"
+                )
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_bp", F.expr("n_outliers * 10000 DIV n_orders")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_IQR_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority,
+         cast(floor(o_totalprice * 100 + 0.5) as bigint) AS cents
+  FROM orders
+),
+q AS (
+  SELECT o_orderpriority,
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.75) AS q3,
+         count(*) AS n_orders
+  FROM cents GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority AS o_orderpriority,
+       max(n_orders) AS n_orders,
+       max(q1 - 1.5 * (q3 - q1)) AS lo_fence,
+       max(q3 + 1.5 * (q3 - q1)) AS hi_fence,
+       cast(sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1)
+                      OR cents > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+       cast(sum(CASE WHEN cents < q1 - 1.5 * (q3 - q1)
+                      OR cents > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) * 10000
+            // max(n_orders) as bigint) AS outlier_bp
+FROM cents c JOIN q ON c.o_orderpriority = q.o_orderpriority
+GROUP BY c.o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 SUITE: dict[str, QuerySpec] = {
     "semantic_dedup_capped": QuerySpec(
         "semantic_dedup_capped",
@@ -1646,5 +2010,35 @@ SUITE: dict[str, QuerySpec] = {
         _segment_priority_chi2,
         _CHI2_ORACLE,
         "chi-square independence cell contributions (exact-integer moments)",
+    ),
+    "session_funnel": QuerySpec(
+        "session_funnel",
+        _session_funnel,
+        _SFUN_ORACLE,
+        "strict within-session view->click->purchase funnel (no self-joins)",
+    ),
+    "weekly_seasonality": QuerySpec(
+        "weekly_seasonality",
+        _weekly_seasonality,
+        _SEAS_ORACLE,
+        "STL-lite additive decomposition: trend/seasonal/residual in exact cents",
+    ),
+    "mom_revenue_growth": QuerySpec(
+        "mom_revenue_growth",
+        _mom_revenue_growth,
+        _MOM_ORACLE,
+        "month-over-month growth per nation in exact basis points",
+    ),
+    "event_volume_control_chart": QuerySpec(
+        "event_volume_control_chart",
+        _event_volume_control_chart,
+        _XMR_ORACLE,
+        "XmR control chart: out-of-control days by cross-multiplied integer test",
+    ),
+    "price_iqr_fences": QuerySpec(
+        "price_iqr_fences",
+        _price_iqr_fences,
+        _IQR_ORACLE,
+        "Tukey IQR outlier fences + outlier share per priority",
     ),
 }
