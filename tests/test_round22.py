@@ -103,6 +103,39 @@ def test_mg_store_kill_and_replay_converges(spark, sf_dir, tmp_path):
     assert first_summary  # non-vacuous first drain
 
 
+def test_pagerank_hybrid_paths_bit_identical(spark):
+    """The round-6 numpy driver fast path must reproduce the distributed
+    quantized iteration BIT for bit — dangling nodes, disconnected
+    nodes, and the personalized restart all exercised
+    (small_graph_edges=0 forces the distributed path)."""
+    from timedf_spark.operators import pagerank as pr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1), (2, 1)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "node long")
+    fast = {r["node"]: r["rank"] for r in pr.pagerank(nodes, edges).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pr.pagerank(nodes, edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist  # exact float equality — same bits
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    fastp = {
+        r["node"]: r["rank"]
+        for r in pr.personalized_pagerank(nodes, edges, seeds).collect()
+    }
+    distp = {
+        r["node"]: r["rank"]
+        for r in pr.personalized_pagerank(
+            nodes, edges, seeds, small_graph_edges=0
+        ).collect()
+    }
+    assert fastp == distp
+    assert abs(sum(fast.values()) - 1.0) < 1e-6  # mass conserved
+
+
 def test_substring_exact_mode_matches_fast_and_guard_warns(spark, sf_dir):
     """ADVICE r05: the exact tier (gram-string keys, collision-free)
     must produce identical spans to the 64-bit fast-hash tier on data

@@ -50,6 +50,59 @@ __all__ = [
 
 _DAMPING = "0.85e0"  # shared literal text: both engines parse the same double
 _SCALE = 9
+# Hybrid fast path (same rule as cluster.connected_components): at or
+# below these bounds the power iteration runs on the DRIVER in numpy —
+# the distributed rounds pay 2 joins + an aggregate + a checkpoint PER
+# ROUND of fixed overhead that dwarfs the arithmetic on small graphs
+# (measured 4.4-5.1 s for 10 rounds over a few-thousand-node graph at
+# sf0.1; the numpy solve is milliseconds). BIT-IDENTICAL results: the
+# quantized-sum arithmetic (floor(x·10^s + 0.5) → exact integer sum →
+# one division) and every IEEE float op reproduce exactly in float64 —
+# integer sums are order-independent, so executor-vs-driver summation
+# order cannot matter. Pinned by an equality test on both paths AND by
+# the unchanged DuckDB oracles. Collects are BOUNDED (counted first;
+# distributed path unchanged above the bounds — never a driver funnel).
+_DRIVER_MAX_EDGES = 2_000_000  # ~32 MB of (src, dst) int64 via Arrow
+_DRIVER_MAX_NODES = 2_000_000
+
+
+def _driver_iterate(nodes_np, src_np, dst_np, iters, scale, n_value, pv_np=None):
+    """numpy power iteration reproducing the distributed arithmetic bit
+    for bit (vectorized throughout — inputs arrive as Arrow-collected
+    numpy arrays, never Python Rows). ``pv_np`` (restart probabilities
+    aligned to ``nodes_np``) switches to the personalized update; None
+    means uniform PageRank."""
+    import numpy as np
+
+    order = np.argsort(nodes_np, kind="stable")
+    nodes_sorted = nodes_np[order]
+    n = len(nodes_sorted)
+    mult = float(10**scale)
+    src = np.searchsorted(nodes_sorted, src_np)
+    dst = np.searchsorted(nodes_sorted, dst_np)
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, src, 1.0)  # distinct edges: count = out-degree
+    has_out = deg > 0
+    d = 0.85  # 0.85e0 — same IEEE double both engines parse
+    if pv_np is None:
+        pvec = None
+        rank = np.full(n, 1.0 / n_value, dtype=np.float64)
+    else:
+        pvec = pv_np[order]
+        rank = pvec.copy()
+    for _ in range(iters):
+        share = rank[src] / deg[src]
+        q = np.floor(share * mult + 0.5).astype(np.int64)
+        contrib_int = np.zeros(n, dtype=np.int64)
+        np.add.at(contrib_int, dst, q)  # exact integer sums, any order
+        contrib = contrib_int / mult
+        dang_q = np.floor(rank[~has_out] * mult + 0.5).astype(np.int64)
+        dang = dang_q.sum() / mult  # int64 sum: exact
+        if pvec is None:
+            rank = (1.0 - d) / n_value + d * (contrib + dang / n_value)
+        else:
+            rank = (1.0 - d) * pvec + d * (contrib + dang * pvec)
+    return nodes_sorted, rank
 
 
 def _update_expr(n_lit: str) -> str:
@@ -67,6 +120,7 @@ def pagerank(
     iters: int = 10,
     scale: int = _SCALE,
     checkpoint_every: int = 1,
+    small_graph_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node) + directed (src, dst) → (node, rank) after ``iters`` exact
     power iterations. Duplicate edges are collapsed; every src/dst must
@@ -91,6 +145,22 @@ def pagerank(
     e = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).distinct()
+    if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
+        import pandas as pd
+
+        et = e.toArrow()
+        nodes_np = nodes.toArrow().column("node").to_numpy().astype("int64")
+        ns, rank = _driver_iterate(
+            nodes_np,
+            et.column("src").to_numpy().astype("int64"),
+            et.column("dst").to_numpy().astype("int64"),
+            iters,
+            scale,
+            float(n),
+        )
+        return nodes.sparkSession.createDataFrame(
+            pd.DataFrame({"node": ns, "rank": rank})
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     ed, ed_ids = _checkpoint(e.join(deg, "src"))  # edges carry out-degree
     src_nodes = ed.select(F.col("src").alias("node")).distinct()
@@ -141,6 +211,7 @@ def personalized_pagerank(
     iters: int = 10,
     scale: int = _SCALE,
     checkpoint_every: int = 1,
+    small_graph_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Personalized PageRank (Haveliwala, WWW'02): random walks restart
     into the SEED set instead of uniformly, so rank measures relevance
@@ -167,11 +238,27 @@ def personalized_pagerank(
             "pv"
         ),
     )
-    nodes_p, np_ids = _checkpoint(nodes_p)
-
     e = edges.select(
         F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
     ).distinct()
+    if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
+        import pandas as pd
+
+        pvt = nodes_p.toArrow()
+        et = e.toArrow()
+        ns, rank = _driver_iterate(
+            pvt.column("node").to_numpy().astype("int64"),
+            et.column("src").to_numpy().astype("int64"),
+            et.column("dst").to_numpy().astype("int64"),
+            iters,
+            scale,
+            float(n),
+            pv_np=pvt.column("pv").to_numpy().astype("float64"),
+        )
+        return nodes.sparkSession.createDataFrame(
+            pd.DataFrame({"node": ns, "rank": rank})
+        )
+    nodes_p, np_ids = _checkpoint(nodes_p)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     ed, ed_ids = _checkpoint(e.join(deg, "src"))
     src_nodes = ed.select(F.col("src").alias("node")).distinct()
