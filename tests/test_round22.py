@@ -136,6 +136,32 @@ def test_pagerank_hybrid_paths_bit_identical(spark):
     assert abs(sum(fast.values()) - 1.0) < 1e-6  # mass conserved
 
 
+def test_lpa_hybrid_paths_identical(spark):
+    """The vectorized numpy LPA replay must equal the distributed
+    synchronous rounds exactly (integer-only algorithm), across several
+    round counts, including tie-break and isolated-node cases."""
+    from timedf_spark.operators.labelprop import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (6, 7), (7, 8), (8, 6), (2, 4)],
+        "a long, b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "node long")
+    for iters in (1, 2, 4):
+        fast = {
+            r["node"]: r["label"]
+            for r in label_propagation(nodes, edges, iters=iters).collect()
+        }
+        dist = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                nodes, edges, iters=iters, small_graph_edges=0
+            ).collect()
+        }
+        assert fast == dist, iters
+    assert fast[9] == 9  # isolated node keeps itself
+
+
 def test_substring_exact_mode_matches_fast_and_guard_warns(spark, sf_dir):
     """ADVICE r05: the exact tier (gram-string keys, collision-free)
     must produce identical spans to the 64-bit fast-hash tier on data

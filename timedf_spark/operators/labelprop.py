@@ -44,8 +44,53 @@ from timedf_spark.operators.cluster import _checkpoint, _release
 __all__ = ["label_propagation", "label_propagation_sql"]
 
 
+# Hybrid fast path (same rule as connected_components / pagerank): the
+# synchronous rounds are INTEGER-only (counts + min-label tie-breaks),
+# so a vectorized numpy replay on the driver is exactly equal by
+# construction — no float subtleties at all. Each distributed round
+# costs a join + a (node,label) aggregate + an argmax window + a
+# checkpoint of fixed overhead; on a bounded graph the numpy replay is
+# milliseconds. Collects are counted first; the distributed path is
+# unchanged above the bound.
+_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_lpa(nodes_np, src_np, dst_np, iters: int):
+    """Vectorized synchronous LPA: per round, votes = self-label ∪
+    neighbor labels; per-node argmax with (count DESC, label ASC)."""
+    import numpy as np
+
+    nodes_sorted = np.sort(np.asarray(nodes_np, dtype=np.int64))
+    n = len(nodes_sorted)
+    src = np.searchsorted(nodes_sorted, src_np)
+    dst = np.searchsorted(nodes_sorted, dst_np)
+    label = nodes_sorted.copy()
+    self_nodes = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        vote_node = np.concatenate([self_nodes, dst])
+        vote_label = np.concatenate([label, label[src]])
+        order = np.lexsort((vote_label, vote_node))
+        vn, vl = vote_node[order], vote_label[order]
+        new_pair = np.empty(len(vn), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (vn[1:] != vn[:-1]) | (vl[1:] != vl[:-1])
+        starts = np.flatnonzero(new_pair)
+        counts = np.diff(np.append(starts, len(vn)))
+        un, ul = vn[starts], vl[starts]
+        # argmax per node: sort by (node ASC, count DESC, label ASC),
+        # take the first row of each node group
+        pick = np.lexsort((ul, -counts, un))
+        first = np.empty(len(pick), dtype=bool)
+        first[0] = True
+        first[1:] = un[pick][1:] != un[pick][:-1]
+        winners = pick[first]
+        label = ul[winners][np.argsort(un[winners], kind="stable")]
+    return nodes_sorted, label
+
+
 def label_propagation(
-    nodes: DataFrame, edges: DataFrame, iters: int = 4
+    nodes: DataFrame, edges: DataFrame, iters: int = 4,
+    small_graph_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node) + undirected (a, b) pairs → (node, label) after ``iters``
     synchronous rounds. Edges are symmetrized and deduped internally."""
@@ -53,11 +98,30 @@ def label_propagation(
     nodes = nodes.select(F.col(node_col).alias("node")).distinct()
     a, b = edges.columns[:2]
     fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # checkpoint BEFORE the bound check: the edge pipeline is often the
+    # expensive part (e.g. resource-allocation pair generation), and the
+    # count + collect below must both read the materialized frame, not
+    # recompute it
     e, e_ids = _checkpoint(
         fwd.unionAll(
             edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         ).distinct()
     )
+    if small_graph_edges > 0 and e.count() <= 2 * small_graph_edges:
+        import pandas as pd
+
+        et = e.toArrow()
+        nodes_np = nodes.toArrow().column("node").to_numpy().astype("int64")
+        _release(e, e_ids)
+        ns, lab = _driver_lpa(
+            nodes_np,
+            et.column("src").to_numpy().astype("int64"),
+            et.column("dst").to_numpy().astype("int64"),
+            iters,
+        )
+        return nodes.sparkSession.createDataFrame(
+            pd.DataFrame({"node": ns, "label": lab})
+        )
 
     labels, label_ids = _checkpoint(nodes.select("node", F.col("node").alias("label")))
     pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))

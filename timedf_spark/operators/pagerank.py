@@ -142,14 +142,20 @@ def pagerank(
     )
     n_lit = repr(float(n))  # identical literal text in both engines
 
-    e = edges.select(
-        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
-    ).distinct()
+    # materialize the edge pipeline ONCE; count + collect (or the
+    # distributed degree join) all read the checkpoint
+    e, pre_ids = _checkpoint(
+        edges.select(
+            F.col(edges.columns[0]).alias("src"),
+            F.col(edges.columns[1]).alias("dst"),
+        ).distinct()
+    )
     if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
         import pandas as pd
 
         et = e.toArrow()
         nodes_np = nodes.toArrow().column("node").to_numpy().astype("int64")
+        _release(e, pre_ids)
         ns, rank = _driver_iterate(
             nodes_np,
             et.column("src").to_numpy().astype("int64"),
@@ -163,6 +169,7 @@ def pagerank(
         )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     ed, ed_ids = _checkpoint(e.join(deg, "src"))  # edges carry out-degree
+    _release(e, pre_ids)
     src_nodes = ed.select(F.col("src").alias("node")).distinct()
 
     ranks, rank_ids = _checkpoint(
@@ -238,14 +245,18 @@ def personalized_pagerank(
             "pv"
         ),
     )
-    e = edges.select(
-        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
-    ).distinct()
+    e, pre_ids = _checkpoint(
+        edges.select(
+            F.col(edges.columns[0]).alias("src"),
+            F.col(edges.columns[1]).alias("dst"),
+        ).distinct()
+    )
     if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
         import pandas as pd
 
         pvt = nodes_p.toArrow()
         et = e.toArrow()
+        _release(e, pre_ids)
         ns, rank = _driver_iterate(
             pvt.column("node").to_numpy().astype("int64"),
             et.column("src").to_numpy().astype("int64"),
@@ -262,6 +273,7 @@ def personalized_pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     ed, ed_ids = _checkpoint(e.join(deg, "src"))
     src_nodes = ed.select(F.col("src").alias("node")).distinct()
+    _release(e, pre_ids)
 
     ranks, rank_ids = _checkpoint(nodes_p.select("node", F.col("pv").alias("rank")))
     for i in range(iters):
