@@ -161,6 +161,25 @@ def test_lpa_hybrid_paths_identical(spark):
         assert fast == dist, iters
     assert fast[9] == 9  # isolated node keeps itself
 
+    # off-set endpoints (edges mention nodes ABSENT from the node frame,
+    # the bipartite-probe shape): the distributed rounds grow the label
+    # frame to voted-for endpoints — the fast path must too
+    sparse_nodes = spark.createDataFrame([(1,), (2,), (9,)], "node long")
+    bip_edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (100, 2), (3, 101)], "a long, b long"
+    )
+    f2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(sparse_nodes, bip_edges, iters=3).collect()
+    }
+    d2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            sparse_nodes, bip_edges, iters=3, small_graph_edges=0
+        ).collect()
+    }
+    assert f2 == d2
+
 
 def test_substring_exact_mode_matches_fast_and_guard_warns(spark, sf_dir):
     """ADVICE r05: the exact tier (gram-string keys, collision-free)

@@ -57,18 +57,35 @@ _DRIVER_MAX_EDGES = 2_000_000
 
 def _driver_lpa(nodes_np, src_np, dst_np, iters: int):
     """Vectorized synchronous LPA: per round, votes = self-label ∪
-    neighbor labels; per-node argmax with (count DESC, label ASC)."""
+    neighbor labels; per-node argmax with (count DESC, label ASC).
+
+    Matches the distributed rounds' IMPLICIT node-set growth: an edge
+    endpoint absent from ``nodes`` has no initial label (contributes no
+    votes), but once an in-set neighbor votes for it, it enters the
+    label frame — exactly what the labels⋈edges union produces (pinned
+    by the partition-invariance test, whose bipartite edges carry
+    off-set endpoints)."""
     import numpy as np
 
-    nodes_sorted = np.sort(np.asarray(nodes_np, dtype=np.int64))
-    n = len(nodes_sorted)
-    src = np.searchsorted(nodes_sorted, src_np)
-    dst = np.searchsorted(nodes_sorted, dst_np)
-    label = nodes_sorted.copy()
-    self_nodes = np.arange(n, dtype=np.int64)
+    universe = np.unique(
+        np.concatenate(
+            [
+                np.asarray(nodes_np, dtype=np.int64),
+                np.asarray(src_np, dtype=np.int64),
+                np.asarray(dst_np, dtype=np.int64),
+            ]
+        )
+    )
+    src = np.searchsorted(universe, src_np)
+    dst = np.searchsorted(universe, dst_np)
+    has = np.zeros(len(universe), dtype=bool)
+    has[np.searchsorted(universe, np.unique(np.asarray(nodes_np, dtype=np.int64)))] = True
+    label = universe.copy()  # meaningful only where has
     for _ in range(iters):
-        vote_node = np.concatenate([self_nodes, dst])
-        vote_label = np.concatenate([label, label[src]])
+        sv = np.flatnonzero(has)  # labeled nodes self-vote
+        em = has[src]  # labeled srcs vote for their dst
+        vote_node = np.concatenate([sv, dst[em]])
+        vote_label = np.concatenate([label[sv], label[src[em]]])
         order = np.lexsort((vote_label, vote_node))
         vn, vl = vote_node[order], vote_label[order]
         new_pair = np.empty(len(vn), dtype=bool)
@@ -84,8 +101,11 @@ def _driver_lpa(nodes_np, src_np, dst_np, iters: int):
         first[0] = True
         first[1:] = un[pick][1:] != un[pick][:-1]
         winners = pick[first]
-        label = ul[winners][np.argsort(un[winners], kind="stable")]
-    return nodes_sorted, label
+        w_nodes, w_labels = un[winners], ul[winners]
+        label[w_nodes] = w_labels  # synchronous: votes used the snapshot
+        has[w_nodes] = True
+    keep = has
+    return universe[keep], label[keep]
 
 
 def label_propagation(
