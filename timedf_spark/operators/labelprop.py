@@ -53,6 +53,7 @@ __all__ = ["label_propagation", "label_propagation_sql"]
 # milliseconds. Collects are counted first; the distributed path is
 # unchanged above the bound.
 _DRIVER_MAX_EDGES = 2_000_000
+_DRIVER_MAX_NODES = 2_000_000
 
 
 def _driver_lpa(nodes_np, src_np, dst_np, iters: int):
@@ -127,7 +128,14 @@ def label_propagation(
             edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         ).distinct()
     )
-    if small_graph_edges > 0 and e.count() <= 2 * small_graph_edges:
+    # Both bounds are counted BEFORE either collect (mirrors pagerank):
+    # a large node frame over a sparse edge set must not become an
+    # unbounded driver collect through the edge-only check.
+    if (
+        small_graph_edges > 0
+        and e.count() <= 2 * small_graph_edges
+        and nodes.count() <= _DRIVER_MAX_NODES
+    ):
         import pandas as pd
 
         et = e.toArrow()

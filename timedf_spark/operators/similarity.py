@@ -307,7 +307,7 @@ def cosine_dedup_pairs(
     — what the downstream component-clustering keepers actually need).
     Pairs >max_degree apart in every table that could block them are
     missed unless transitively connected; the measured recall sits in
-    the evidence block (``semantic_dedup_degree_cap``). Deterministic
+    the evidence block (``semantic_dedup_capped``). Deterministic
     (rank by vec_id) → still oracle-exact; emit-once dedup switches from
     the first-table guard to a dropDuplicates over the (bounded)
     candidate set, because window membership is table-local and the

@@ -187,17 +187,58 @@ def all_queries() -> dict[str, QuerySpec]:
         "incremental_near_dup_indexed",
     })
     rotate_back |= _R05_DRIVER_GREEN
-    # The six round-5 queries that spilled past the 50-slot window (verified
-    # green locally + by the round-5 judge vs DuckDB, but never hashed by
-    # the driver) go at the ABSOLUTE FRONT of the round-6 window, ahead of
-    # anything added this round (VERDICT r05 directive #1).
+    # Round-7 window: CORRECTNESS_r06.json was 50/50 green — fold round
+    # 6's checked queries into the cumulative rotation.
+    _R06_DRIVER_GREEN = frozenset({
+        "stickiness_dau_wau", "price_drift_tvd", "ab_test_report",
+        "seasonal_outliers", "funnel_deadline", "conversion_latency",
+        "semantic_dedup_capped", "discount_elimination_revenue",
+        "brand_lift_rules", "ngram_containment_pairs", "doc_tf_cosine_pairs",
+        "theil_sen_nation_trend", "position_attribution",
+        "bounce_dwell_report", "rolling_7d_actives",
+        "supplier_balance_percentile", "curriculum_shards",
+        "l_diversity_audit", "brand_price_ties", "balance_gap_to_leader",
+        "grouping_id_report", "nation_top3_brand_bundle", "dup_key_audit",
+        "conversion_hazard_table", "template_prefix_groups",
+        "zipf_rank_table", "nonalpha_noise_score", "power_users_pareto",
+        "inter_event_gap_histogram", "discount_quantity_corr",
+        "regional_hhi", "segment_priority_chi2", "session_funnel",
+        "weekly_seasonality", "mom_revenue_growth",
+        "event_volume_control_chart", "price_iqr_fences",
+    })
+    rotate_back |= _R06_DRIVER_GREEN
+    # The round-6-edited operator files (pagerank, labelprop, cluster,
+    # similarity, dedup, substring) were rewritten AFTER their queries'
+    # last driver hash (r05 or earlier). Those queries go at the
+    # ABSOLUTE FRONT of the round-7 window so the driver record reflects
+    # the shipped code (VERDICT r06 directive #1) — plus the queries
+    # whose operator files the round-7 advisor fixes touched
+    # (labelprop/similarity/dedup again).
     _FORCE_FRONT = (
-        "stickiness_dau_wau",
-        "price_drift_tvd",
-        "ab_test_report",
-        "seasonal_outliers",
-        "funnel_deadline",
-        "conversion_latency",
+        "supplier_communities",
+        "supplier_pagerank",
+        "nation_seed_ppr",
+        "semantic_dedup_keepers",
+        "substring_candidates",
+        "substring_tier_report",
+        "incremental_substring_probe",
+        "duplicate_substring_spans",
+        "strip_duplicate_spans",
+        "incremental_near_dup_indexed",
+        "dedup_minhash_lsh",
+        "dedup_clusters",
+        "incremental_dedup_clusters",
+        "curation_funnel",
+        "dedup_exact",
+        "dedup_embedding_cosine",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_prefix",
+        "near_dup_tier_report",
+        "incremental_near_dup",
+        "copurchase_triangles",
+        "copurchase_kcore",
+        "curate_corpus",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
@@ -206,5 +247,39 @@ def all_queries() -> dict[str, QuerySpec]:
     for n, s in merged.items():
         if n not in rotate_back and n not in front:
             front[n] = s
-    back = {n: s for n, s in merged.items() if n in rotate_back}
+    # Window slots left after the forced/new entries go to the STALEST
+    # driver hashes first: order the rotated-back tail by last-checked
+    # round ascending, so every driver round refreshes the oldest
+    # records instead of re-hashing last round's. The 13 r02 queries the
+    # r06 window re-checked count as r06; the no-oracle entries (pinned
+    # by stronger local tests than a rows-only check) stay absolute last.
+    _R06_RECHECKED = {
+        "taxi_q1", "taxi_q2", "taxi_q3", "taxi_q4", "ml_filter",
+        "ml_features", "ml_split", "plasticc_multi_agg", "plasticc_etl",
+        "pricing_summary", "segment_revenue", "top_unshipped_orders",
+        "nation_revenue",
+    }
+    _NO_ORACLE_BACK = {
+        "ann_ivf_filtered", "ann_ivfpq_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_features", "quality_classifier", "gbt_taxi_train",
+        "plasticc_forest_train", "bpe_vocab", "bpe_token_counts",
+    }
+
+    def _last_checked(n: str) -> int:
+        if n in _NO_ORACLE_BACK:
+            return 99
+        if n in _R06_RECHECKED or n in _R06_DRIVER_GREEN:
+            return 6
+        if n in _R05_DRIVER_GREEN:
+            return 5
+        if n in _R04_DRIVER_GREEN:
+            return 4
+        if n in _R03_DRIVER_GREEN:
+            return 3
+        if n in _R02_DRIVER_CHECKED:
+            return 2
+        return 1  # _R01_GREEN_UNCHANGED
+    back_names = [n for n in merged if n in rotate_back and n not in front]
+    back_names.sort(key=lambda n: (_last_checked(n), n))
+    back = {n: merged[n] for n in back_names}
     return {**front, **back}

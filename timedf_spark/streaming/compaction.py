@@ -190,6 +190,14 @@ def compact_sink(
 
     new_covered = max(live)
     new_epoch = epoch + 1
+    # The first compaction pins the store's coverage FLOOR: the lowest
+    # batch id ever folded. A store enabled mid-stream (e.g. a signature
+    # index turned on at batch 2) has no rows for earlier batches, and
+    # coverage consumers (ingest_dedup._store_bids) must not assume the
+    # compacted epoch reaches back to batch 0. Later compactions carry
+    # the floor forward unchanged. Legacy manifests without a floor keep
+    # their (pre-fix) batch-0 assumption via the .get default.
+    floor = int(manifest.get("floor", min(live)))
     parts: list[DataFrame] = []
     if epoch >= 0:
         parts.append(spark.read.parquet(_epoch_dir(path, epoch)))
@@ -207,7 +215,9 @@ def compact_sink(
         .parquet(_epoch_dir(path, new_epoch))
     )
     # step 3: atomic publish — the only correctness-bearing mutation
-    _publish_manifest(path, {"covered": new_covered, "epoch": new_epoch})
+    _publish_manifest(
+        path, {"covered": new_covered, "epoch": new_epoch, "floor": floor}
+    )
     # step 4: best-effort cleanup (correct under the new manifest whether
     # or not any of these deletions land)
     removed = 0

@@ -110,8 +110,15 @@ def apply_drift_batch(batch: DataFrame, batch_id: int, path: str) -> None:
         # before returning. Older batch ids can't be recomputed from the
         # advanced store and don't recur under Structured Streaming's
         # sequential replay, so they are left alone.
+        # Gate on the _SUCCESS marker, not the directory: a crash DURING
+        # the original log write leaves a partial dir (no _SUCCESS) that
+        # an isdir check would treat as present, blocking the repair and
+        # leaving read_drift_log on a corrupt batch dir. The rewrite
+        # below is mode("overwrite"), so repairing a partial dir is safe.
         log_dir = os.path.join(path, "log", f"batch={batch_id}")
-        if cur == batch_id and not os.path.isdir(log_dir):
+        if cur == batch_id and not os.path.exists(
+            os.path.join(log_dir, "_SUCCESS")
+        ):
             current_tvd_bp(spark, path).select(
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 "tvd_bp",

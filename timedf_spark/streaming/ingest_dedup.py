@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from timedf_spark.operators.cluster import incremental_components
 from timedf_spark.operators.dedup import (
+    _JACCARD_THRESHOLD,
     _incremental_pairs_indexed_pre,
     _incremental_pairs_sketched_pre,
     _lsh_pairs_from_bands,
@@ -84,8 +85,15 @@ def seed_empty_assignments(spark: SparkSession, path: str) -> None:
 def _store_bids(path: str | None, before: int) -> set[int]:
     """Committed batch ids < ``before`` present in a per-batch store —
     a directory-level check (no Spark job). A compacted store's epoch
-    contributes 0..covered: streaming batch ids are consecutive, so the
-    compacted region is exactly that range."""
+    contributes floor..covered: streaming batch ids are consecutive, so
+    the compacted region is exactly that range — starting at the FLOOR
+    the first compaction recorded in the manifest, NOT batch 0. A store
+    enabled mid-stream (sig index turned on at batch 2, the exact
+    scenario the tiering supports) never held the earlier batches;
+    claiming them here would route those batches to an index tier with
+    zero rows for them — silently missed pairs. Legacy manifests
+    without a floor conservatively claim nothing for the epoch (the
+    batches re-probe via the rehash tier: slower, never wrong)."""
     if path is None or not os.path.isdir(path):
         return set()
     bids = {b for b in _live_batch_dirs(path, committed_only=True) if b < before}
@@ -93,14 +101,21 @@ def _store_bids(path: str | None, before: int) -> set[int]:
         m = _load_manifest(path)
     except (OSError, ValueError):
         return bids
-    if m.get("epoch", -1) >= 0:
-        bids |= set(range(0, min(int(m["covered"]), before - 1) + 1))
+    if m.get("epoch", -1) >= 0 and "floor" in m:
+        bids |= set(range(int(m["floor"]), min(int(m["covered"]), before - 1) + 1))
     return bids
 
 
-def _rehash_corpus_pairs(batch_bands, batch_sh, corpus_docs, threshold=0.8):
+def _rehash_corpus_pairs(
+    batch_bands, batch_sh, corpus_docs, threshold=_JACCARD_THRESHOLD
+):
     """Full re-hash probe with a PRECOMPUTED batch sketch — the fallback
-    tier for corpus batches the index stores don't cover."""
+    tier for corpus batches the index stores don't cover. The default
+    threshold MUST match the indexed/sketched tiers' (the shared
+    ``_JACCARD_THRESHOLD``): the module contract is bit-identical pair
+    sets across tiers, and a stricter fallback default would silently
+    drop cross-batch pairs in the [shared, stricter) Jaccard window for
+    exactly the batches that route here (stores enabled mid-stream)."""
     corpus_bands, corpus_sh = _minhash_bands(corpus_docs)
     from timedf_spark.operators.dedup import _probe_candidates
 
