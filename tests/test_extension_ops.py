@@ -117,8 +117,8 @@ def test_exact_dedup_conserves_rows(spark, sf_dir):
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     """IVF top-k: self-match at rank 1 (a vector's own cell is always among
     its probed cells — it is the argmax), candidate set is a subset of the
-    corpus, and recall@10 beats the LSH floor (probing 6/32 cells covers
-    ~19% of the corpus chosen by centroid affinity, not at random)."""
+    corpus, and recall@10 holds the r07 operating point (48 cells /
+    nprobe 16 — the measured frontier lives in the evidence block)."""
     exact = {
         (r["q_id"], r["vec_id"])
         for r in similarity.brute_force_topk(spark, sf_dir).collect()
@@ -129,7 +129,7 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     for q, v in rank1.items():
         assert q == v, f"query {q} rank-1 is {v}, expected itself"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall@10 too low: {recall}"
+    assert recall >= 0.7, f"recall@10 too low: {recall}"
 
 
 def test_cosine_dedup_pairs_exact_over_blocks(spark, sf_dir):
@@ -271,7 +271,7 @@ def test_ngram_jaccard_hot_shingle_guard(spark, sf_dir):
 def test_ivfpq_ann_recall_vs_brute_force(spark, sf_dir):
     """IVF-PQ: ADC candidate scoring over 8-byte codes + exact re-rank must
     reach the IVF recall floor — PQ only re-orders candidates within probed
-    cells, so with rerank window 4k recall stays close to plain IVF."""
+    cells, so with rerank window 8k recall stays close to plain IVF."""
     from timedf_spark.operators import similarity
 
     exact = {(r.q_id, r.vec_id) for r in similarity.brute_force_topk(spark, sf_dir).collect()}
@@ -283,7 +283,7 @@ def test_ivfpq_ann_recall_vs_brute_force(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_opq_rotation_cuts_distortion_on_anisotropic_vectors():
@@ -336,7 +336,7 @@ def test_ivfpq_opq_end_to_end_recall(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & {(r.q_id, r.vec_id) for r in rows}) / len(exact)
-    assert recall >= 0.3, f"recall@10 too low: {recall}"
+    assert recall >= 0.6, f"recall@10 too low: {recall}"
 
 
 def test_pagerank_matches_numpy_and_duckdb_twin(spark):

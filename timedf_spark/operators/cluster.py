@@ -50,6 +50,19 @@ _MAX_ROUNDS = 100  # round bound; raise for adversarial chain graphs.
 # raises instead of returning a truncated labelling.
 
 
+def _driver_graph_paths_enabled() -> bool:
+    """Env kill-switch (SPARK_GRAFT_GRAPH_DRIVER_PATH=0) disabling every
+    bounded driver fast path in the graph tier (connected components,
+    incremental components, pagerank, PPR, LPA). The scale shakeout uses
+    it to measure the DISTRIBUTED rounds — the code path that actually
+    runs at 100 TB, where no graph fits under the driver bounds — without
+    touching the per-query call sites. Read per call (not cached) so
+    tests can flip it with monkeypatch.setenv."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_PATH", "1") != "0"
+
+
 def _persistent_ids(sc) -> set[int]:
     return {int(str(i)) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
@@ -142,7 +155,11 @@ def connected_components(
         edges.select(F.col(dcol).alias("src"), F.col(scol).alias("dst"))
     )
     e, e_ids = _checkpoint(e)  # materialize once; reused every round
-    if small_graph_edges > 0 and e.count() <= 2 * small_graph_edges:
+    if (
+        small_graph_edges > 0
+        and _driver_graph_paths_enabled()
+        and e.count() <= 2 * small_graph_edges
+    ):
         relabelled_rows = _unionfind_components(
             [(r[0], r[1]) for r in e.collect()]
         )
@@ -396,7 +413,11 @@ def incremental_components(
     # and falls back to distributed pointer-jumping above it, so the
     # operator never becomes a driver funnel at scale. Identical results
     # either way (equivalence pinned by tests on both paths).
-    if small_graph_edges > 0 and e_all.count() <= small_graph_edges:
+    if (
+        small_graph_edges > 0
+        and _driver_graph_paths_enabled()
+        and e_all.count() <= small_graph_edges
+    ):
         relabelled_rows = _unionfind_components(
             [(r[0], r[1]) for r in e_all.collect()]
         )

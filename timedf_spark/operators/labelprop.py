@@ -39,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.cluster import _checkpoint, _release
+from timedf_spark.operators.cluster import (
+    _checkpoint,
+    _driver_graph_paths_enabled,
+    _release,
+)
 
 __all__ = ["label_propagation", "label_propagation_sql"]
 
@@ -133,6 +137,7 @@ def label_propagation(
     # unbounded driver collect through the edge-only check.
     if (
         small_graph_edges > 0
+        and _driver_graph_paths_enabled()
         and e.count() <= 2 * small_graph_edges
         and nodes.count() <= _DRIVER_MAX_NODES
     ):

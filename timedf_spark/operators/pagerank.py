@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from timedf_spark.functions.deterministic import dsum
-from timedf_spark.operators.cluster import _checkpoint, _release
+from timedf_spark.operators.cluster import (
+    _checkpoint,
+    _driver_graph_paths_enabled,
+    _release,
+)
 
 __all__ = [
     "pagerank",
@@ -150,7 +154,12 @@ def pagerank(
             F.col(edges.columns[1]).alias("dst"),
         ).distinct()
     )
-    if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
+    if (
+        small_graph_edges > 0
+        and _driver_graph_paths_enabled()
+        and n <= _DRIVER_MAX_NODES
+        and e.count() <= small_graph_edges
+    ):
         import pandas as pd
 
         et = e.toArrow()
@@ -251,7 +260,12 @@ def personalized_pagerank(
             F.col(edges.columns[1]).alias("dst"),
         ).distinct()
     )
-    if small_graph_edges > 0 and n <= _DRIVER_MAX_NODES and e.count() <= small_graph_edges:
+    if (
+        small_graph_edges > 0
+        and _driver_graph_paths_enabled()
+        and n <= _DRIVER_MAX_NODES
+        and e.count() <= small_graph_edges
+    ):
         import pandas as pd
 
         pvt = nodes_p.toArrow()

@@ -146,24 +146,32 @@ SUITE["incremental_near_dup"] = QuerySpec(
 
 def _incremental_near_dup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deployment shape of the same probe: candidate generation reads
-    a PRECOMPUTED corpus band-signature index (here built in-query so the
-    query stays a pure function of the tables; in the streaming loop it
-    is the persisted sig store), and corpus TEXT is shingled only for the
-    few candidate docs. Same hash family, bit-identical pairs — so it
-    shares the rehash path's oracle verbatim, making the driver gate
-    itself the probe-path-equality proof."""
+    a PRECOMPUTED corpus band-signature index and the exact-Jaccard
+    verify reads the corpus shingle store (both built in-query here so
+    the query stays a pure function of the tables; in the streaming loop
+    they are the persisted sig + shingle stores the ingest sink
+    maintains) — corpus TEXT is never re-shingled on the probe path.
+    Round 7: switched from the indexed (text-verify) shape to the
+    sketched verify per VERDICT r06 item 3 — ``_minhash_bands`` computes
+    the corpus shingle rows to build the index anyway, so the indexed
+    shape's candidate-text re-shingle was pure rework (~1.4x slower,
+    measured). Same hash family, bit-identical pairs — so it shares the
+    rehash path's oracle verbatim, making the driver gate itself the
+    probe-path-equality proof."""
     docs = load_table(spark, sf_dir, "documents")
     new_batch = docs.filter(_INGEST_PRED).select("doc_id", "text")
     corpus = docs.filter(f"NOT ({_INGEST_PRED})").select("doc_id", "text")
-    corpus_bands, _sh = dedup._minhash_bands(corpus)
-    return dedup.incremental_near_dup_pairs_indexed(new_batch, corpus, corpus_bands)
+    corpus_bands, corpus_sh = dedup._minhash_bands(corpus)
+    return dedup.incremental_near_dup_pairs_sketched(
+        new_batch, corpus_bands, corpus_sh
+    )
 
 
 SUITE["incremental_near_dup_indexed"] = QuerySpec(
     "incremental_near_dup_indexed",
     _incremental_near_dup_indexed,
     dedup.incremental_near_dup_sql(_INGEST_PRED),
-    "same pairs via the band-signature index: corpus text touched only for candidate verify",
+    "same pairs via the band-signature index + shingle store: corpus text never re-read on the probe path",
 )
 
 

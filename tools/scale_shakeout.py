@@ -159,7 +159,16 @@ def main() -> None:
             merged = json.load(f)
     except (OSError, ValueError):
         merged = {}
-    if factor == 10.0:
+    # SHAKEOUT_TAG names a separate section (e.g. "distributed" for the
+    # forced-distributed graph rows measured with
+    # SPARK_GRAFT_GRAPH_DRIVER_PATH=0) so variant runs never clobber the
+    # default-path rows.
+    tag = os.environ.get("SHAKEOUT_TAG")
+    if tag:
+        key = f"queries_{tag}_{int(factor)}x"
+        merged[f"nx_dir_{tag}_{int(factor)}x"] = nx_dir
+        merged.setdefault(key, {}).update(out)
+    elif factor == 10.0:
         if merged.get("factor") != factor:
             merged["queries"] = {}
         merged["factor"], merged["nx_dir"] = factor, nx_dir
