@@ -40,6 +40,15 @@ CHUNK_LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_LIMIT", "64"))
 # isolated re-measures. ~30 s JVM spin-up per extra chunk is the price.
 
 
+# Queries that share a chunk badly: md5-lane / array-unfold heavy hitters
+# whose codegen + GC footprint repeatedly produced 10x first-measure
+# spikes on whatever ran NEAR them (r06: join_size_sketch 65.8 s first /
+# 3.8 s re-measured, brand_lift_rules 13.0 / 1.3). Each runs in its own
+# dedicated fresh-JVM chunk at the end of the suite so neither they nor
+# their neighbors absorb the interference (VERDICT r06 item 6).
+ISOLATED_QUERIES = ("join_size_sketch", "brand_lift_rules")
+
+
 def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     """Parent mode: split the registry into <=CHUNK_LIMIT-query chunks,
     run each in a subprocess (fresh JVM), merge detail reports, then do
@@ -48,23 +57,27 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     import math
     import subprocess
 
-    n_chunks = math.ceil(len(names) / CHUNK_LIMIT)
-    size = math.ceil(len(names) / n_chunks)
+    isolated = [n for n in names if n in ISOLATED_QUERIES]
+    regular = [n for n in names if n not in ISOLATED_QUERIES]
+    n_chunks = math.ceil(len(regular) / CHUNK_LIMIT)
+    size = math.ceil(len(regular) / n_chunks)
+    chunks = [regular[i * size : (i + 1) * size] for i in range(n_chunks)]
+    evidence_chunk = len(chunks) - 1  # last REGULAR chunk runs evidence
+    chunks.extend([n] for n in isolated)
     per_query: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     scan_baseline = -1.0
     evidence: dict = {}
     missing_queries: list[str] = []
-    for i in range(n_chunks):
-        chunk_names = names[i * size : (i + 1) * size]
+    for i, chunk_names in enumerate(chunks):
         env = dict(os.environ)
         # the parent's snapshot of the registry is authoritative: names
         # are passed EXPLICITLY so a registry edit landing mid-run can't
         # shift a later child's slice (children honor BENCH_ONLY, which
         # also suppresses their BENCH_local write — the parent owns it)
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk_names)
-        env["SPARK_GRAFT_BENCH_CHUNK"] = f"{i}/{n_chunks}"
-        if i != n_chunks - 1:
+        env["SPARK_GRAFT_BENCH_CHUNK"] = f"{i}/{len(chunks)}"
+        if i != evidence_chunk:
             env["SPARK_GRAFT_NO_EVIDENCE"] = "1"
         detail = None
         # A crashed chunk (JVM OOM, transient container pressure) must not
@@ -114,15 +127,12 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     # re-measure and take the better median: a real regression is slow
     # in both measurements and still shows; a coincidence is not
     # reproducible and gets corrected. Logged to stderr, never silent.
+    prior = _read_pin()
+    prior_q = prior.get("queries") or {}
     try:
-        with open(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
-        )) as f:
-            prior = json.load(f)
-        prior_q = prior.get("queries") or {}
         if float(prior.get("sf", -1)) != sf:
             prior_q = {}
-    except (OSError, ValueError):
+    except (TypeError, ValueError):
         prior_q = {}
     suspects = [
         n for n, v in per_query.items()
@@ -166,6 +176,36 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
         raise SystemExit(4)
 
 
+def _env_tag() -> str:
+    """Env-tagged pins (VERDICT r06 item 7): driver-env runs are ~14%
+    slower than builder-local runs on this box, and every round the
+    driver's run overwrote the local pin, loosening the spike-suspect
+    threshold. Runs tagged SPARK_GRAFT_BENCH_ENV=local (how the builder
+    re-pins) own BENCH_local.json; untagged runs (the driver) own
+    BENCH_driver_env.json — each env compares against, and overwrites,
+    its own pin."""
+    return os.environ.get("SPARK_GRAFT_BENCH_ENV", "driver")
+
+
+def _pin_path(tag: str | None = None) -> str:
+    tag = tag or _env_tag()
+    name = "BENCH_local.json" if tag == "local" else "BENCH_driver_env.json"
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def _read_pin() -> dict:
+    """The current env tag's pin; falls back to the other tag's file
+    (better a mildly-offset threshold than none) with a stderr note."""
+    other = "driver" if _env_tag() == "local" else "local"
+    for path in (_pin_path(), _pin_path(other)):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
 def _report(
     per_query: dict[str, float],
     shuffle_mb: dict[str, float],
@@ -179,25 +219,20 @@ def _report(
     """Shuffle-pin gate, BENCH_local persistence, and the stdout tail —
     shared by single-process runs and the chunked parent."""
     total = round(sum(t for t in per_query.values() if t > 0), 4)
-    bench_local = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
-    )
+    bench_local = _pin_path()
     shuffle_regressions: dict[str, dict] = {}
     shuffle_baseline: dict[str, float] = {}
     gate_skipped: str | None = None
-    try:
-        with open(bench_local) as f:
-            prev = json.load(f)
+    prev = _read_pin()
+    if prev:
         prev_sf = prev.get("sf")
         if isinstance(prev_sf, (int, float)) and float(prev_sf) == sf:
             shuffle_baseline = dict(prev.get("shuffle_baseline_mb") or
                                     prev.get("shuffle_write_mb") or {})
         else:
             gate_skipped = f"sf mismatch: baseline sf={prev_sf!r}, this run sf={sf!r}"
-    except FileNotFoundError:
-        gate_skipped = "no BENCH_local.json baseline (first run seeds it)"
-    except (OSError, ValueError) as exc:
-        gate_skipped = f"unreadable baseline: {exc!r:.120}"
+    else:
+        gate_skipped = "no pin baseline (first run seeds it)"
     if gate_skipped:
         print(json.dumps({"shuffle_gate_skipped": gate_skipped}), file=sys.stderr)
     for name, mb in shuffle_mb.items():
@@ -218,6 +253,7 @@ def _report(
         "evidence": evidence,
         "shuffle_regressions": shuffle_regressions,
         "shuffle_baseline_mb": shuffle_baseline,
+        "env_tag": _env_tag(),
     }
     if missing_queries:
         detail["missing_queries"] = sorted(missing_queries)

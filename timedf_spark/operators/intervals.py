@@ -35,8 +35,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["interval_overlap_join"]
+__all__ = ["interval_overlap_join", "interval_overlap_topk"]
 
 
 def interval_overlap_join(
@@ -84,4 +85,85 @@ def interval_overlap_join(
         .filter(start_max <= end_min)
         .drop("cell")
         .withColumn("overlap_us", end_min - start_max)
+    )
+
+
+def interval_overlap_topk(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    k: int,
+    cell_us: int = 3_600_000_000,
+    pair_filter: str = "TRUE",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-``k`` overlap partners per ``key_cols`` group (columns of the
+    prefixed pair schema, e.g. ``["a_user_id", "a_session_id"]``),
+    ranked by (overlap_us DESC, then ``order_cols`` ASC as deterministic
+    tie-break; defaults to every b_-prefixed key column). Emits the pair
+    columns of ``interval_overlap_join`` plus ``overlap_rank``.
+
+    Why this exists: exact ALL-pairs overlap enumeration is output-bound
+    — true pair count grows ~quadratically with concurrency, so no
+    operator can beat ~linear-in-output. When the consumer only needs
+    each interval's strongest overlaps (concurrency analysis, co-session
+    attribution), the cap turns the SHUFFLED volume linear in interval
+    count via per-cell pre-pruning:
+
+    - canonical-cell emission means each candidate pair exists in
+      exactly one cell, and for a pair with global rank <= k in its
+      group, the same-group pairs that outrank it are < k everywhere —
+      so a per-(cell, key) top-k keeps every global top-k pair (the
+      partial top-k argument of distributed TopK aggregation);
+    - the per-cell window's partition keys EXTEND the join key (cell),
+      and hash-partitioning by a subset satisfies the window's
+      clustered-distribution requirement — Catalyst inserts only a
+      partition-local sort, NO new exchange (checked in tests via plan
+      inspection): the quadratic candidate stream never crosses the
+      wire;
+    - only <= k rows per (cell, key) shuffle to the global ranking.
+
+    In-cell pairwise verify remains proportional to candidate volume —
+    bounded by peak concurrency per cell, the irreducible part — but at
+    100 TB the wire and the downstream stages carry O(intervals · k),
+    not O(pairs).
+    """
+    # inline rebuild of the pair pipeline with the cell retained
+    # (interval_overlap_join drops it before this operator can prune)
+    def cells(df: DataFrame, prefix: str) -> DataFrame:
+        renamed = df.select(*[F.col(c).alias(f"{prefix}{c}") for c in df.columns])
+        return renamed.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{prefix}start_us div {cell_us}"),
+                    F.expr(f"{prefix}end_us div {cell_us}"),
+                )
+            ).alias("cell"),
+        )
+
+    a = cells(left, "a_")
+    b = cells(right, "b_")
+    start_max = F.greatest(F.col("a_start_us"), F.col("b_start_us"))
+    end_min = F.least(F.col("a_end_us"), F.col("b_end_us"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.expr(pair_filter))
+        .filter(F.col("cell") == F.expr(f"greatest(a_start_us, b_start_us) div {cell_us}"))
+        .filter(start_max <= end_min)
+        .withColumn("overlap_us", end_min - start_max)
+    )
+    tie = order_cols or [c for c in pairs.columns if c.startswith("b_") and c.endswith(("_id",))]
+    order = [F.desc("overlap_us")] + [F.asc(c) for c in tie]
+    w_cell = Window.partitionBy("cell", *key_cols).orderBy(*order)
+    pruned = (
+        pairs.withColumn("_cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("_cell_rank") <= k)
+        .drop("_cell_rank", "cell")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        pruned.withColumn("overlap_rank", F.row_number().over(w))
+        .filter(F.col("overlap_rank") <= k)
+        .withColumn("overlap_rank", F.col("overlap_rank").cast("long"))
     )
