@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from timedf_spark.functions.deterministic import dsum
 from timedf_spark.queries import QuerySpec
 from timedf_spark.queries.round5 import OVERLAPPING_SESSIONS_ORACLE
 
@@ -78,3 +79,465 @@ SUITE: dict[str, QuerySpec] = {
         "top-8 overlap partners per session: linear output, grid-bucketed candidates",
     ),
 }
+
+
+# --------------------------------------------------------------------
+# supplier_copart_links — supplier–supplier projection of the
+# supplier↔part bipartite incidence (distinct (suppkey, partkey) grain
+# from lineitem), weighted by shared-part count. The two scale guards
+# every bipartite projection needs at 100 TB:
+#   1. part-degree guard: parts supplied by > _COPART_MAX_PART_DEG
+#      suppliers are dropped BEFORE the self-join — the inverted-index
+#      doc-freq rule (a hot part with d suppliers alone contributes
+#      d^2/2 pairs and carries almost no affinity signal);
+#   2. per-supplier top-k emission: output linear in suppliers.
+# Complements supplier_affinity_links (customer→supplier RA prediction,
+# round11) — different incidence, exact shared-count weighting.
+
+_COPART_MAX_PART_DEG = 25
+_COPART_TOPK = 10
+
+
+def _supplier_copart_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg_ok = (
+        sp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= _COPART_MAX_PART_DEG)
+        .select("p")
+    )
+    sp_ok = sp.join(deg_ok, "p", "left_semi")
+    a, b = sp_ok.alias("a"), sp_ok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("supp_a").orderBy(
+        F.desc("shared_parts"), F.asc("supp_b")
+    )
+    return (
+        pairs.withColumn("link_rank", F.row_number().over(w))
+        .filter(F.col("link_rank") <= _COPART_TOPK)
+        .select(
+            "supp_a", "supp_b", "shared_parts",
+            F.col("link_rank").cast("long").alias("link_rank"),
+        )
+    )
+
+
+_COPART_ORACLE = f"""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+ok AS (
+  SELECT s, p FROM sp WHERE p IN (
+    SELECT p FROM sp GROUP BY p HAVING count(*) <= {_COPART_MAX_PART_DEG}
+  )
+),
+pairs AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared_parts
+  FROM ok a JOIN ok b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT supp_a, supp_b, shared_parts, cast(link_rank AS BIGINT) AS link_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY supp_a ORDER BY shared_parts DESC, supp_b
+  ) AS link_rank FROM pairs
+)
+WHERE link_rank <= {_COPART_TOPK}
+"""
+
+
+# --------------------------------------------------------------------
+# price_band_revenue — revenue by NON-UNIFORM price band: the
+# dimension-range-join shape (band bounds are arbitrary business
+# thresholds, not a computable bucket function, so `price div width`
+# can't express them). The band table is rows-tiny → broadcast
+# nested-loop on the range predicate: the fact side never shuffles for
+# the join; one partial+final aggregate after.
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 905.0),
+    ("entry", 905.0, 1010.0),
+    ("mid", 1010.0, 1180.0),
+    ("premium", 1180.0, 1420.0),
+    ("luxury", 1420.0, 1.0e12),
+]
+
+
+def _price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    rev = dsum("l_extendedprice * (1.0 - l_discount)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(rev).alias("revenue"),
+        )
+    )
+
+
+_BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+_PRICE_BAND_ORACLE = f"""
+SELECT band, count(*) AS n_lines,
+       {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (VALUES {_BAND_VALUES}) AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# --------------------------------------------------------------------
+# customer_ltv_cohorts — cohort (first-order month) x months-since-
+# first-order cumulative revenue: THE subscription/marketplace LTV
+# table. Month keys are integer year*12+month (identical arithmetic in
+# both engines — no date_trunc dialect risk); per-cell revenue is the
+# quantized integer sum, and the running LTV accumulates the INTEGER
+# cell sums in a window ordered by the unique age key, so the cumsum is
+# exact and order-independent, then converts to double once. Two
+# shuffles total (cohort assignment join is aggregate-grain).
+
+
+def _customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    mk = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    cells = (
+        orders.join(first_o, "o_custkey")
+        .select(
+            mk("first_date").alias("cohort_month"),
+            (mk("o_orderdate") - mk("first_date")).alias("age_months"),
+            "o_totalprice",
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))"
+            ).alias("_q"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        (F.col("_q").cast("double") / 100.0).alias("month_revenue"),
+        (F.sum("_q").over(w).cast("double") / 100.0).alias("cumulative_ltv"),
+    )
+
+
+_LTV_ORACLE = """
+WITH first_o AS (
+  SELECT o_custkey, min(o_orderdate) AS first_date FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT (year(first_date) * 12 + month(first_date)) AS cohort_month,
+         (year(o_orderdate) * 12 + month(o_orderdate))
+           - (year(first_date) * 12 + month(first_date)) AS age_months,
+         count(*) AS n_orders,
+         sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint)) AS _q
+  FROM orders JOIN first_o USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cast(cohort_month AS BIGINT) AS cohort_month,
+       cast(age_months AS BIGINT) AS age_months,
+       n_orders,
+       cast(_q AS DOUBLE) / 100.0 AS month_revenue,
+       cast(sum(_q) OVER (
+         PARTITION BY cohort_month ORDER BY age_months
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS cumulative_ltv
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------
+# daily_revenue_anomaly — trailing-window anomaly flags on the daily
+# revenue series, ENTIRELY in integer arithmetic: the |x-mean| > 2*std
+# test is algebraically cleared of division and sqrt —
+#   (x*n - s)^2 > 4 * (ss*n - s^2)    [n=window rows, s=sum, ss=sumsq]
+# — so there is no float accumulation, no engine sqrt, nothing
+# order-dependent: bit-identical flags anywhere. Whole-dollar
+# quantization keeps every term < 2^63 with wide margin at sf10 (daily
+# ~1e7, ss*n ~ 1e15). One aggregate + one windowed pass over ~3k rows.
+
+
+def _daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(o_totalprice + 0.5) as bigint))"
+            ).alias("rev_usd")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    scored = daily.select(
+        "day",
+        "rev_usd",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("rev_usd").over(w).alias("win_s"),
+        F.sum(F.col("rev_usd") * F.col("rev_usd")).over(w).alias("win_ss"),
+    )
+    lhs = (F.col("rev_usd") * F.col("win_n") - F.col("win_s"))
+    rhs = F.lit(4) * (
+        F.col("win_ss") * F.col("win_n") - F.col("win_s") * F.col("win_s")
+    )
+    return (
+        scored.filter(F.col("win_n") == 7)
+        .filter(lhs * lhs > rhs)
+        .select("day", "rev_usd", (lhs * lhs).alias("dev2_n2"), rhs.alias("var4_n2"))
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS day,
+         sum(cast(floor(o_totalprice + 0.5) as bigint)) AS rev_usd
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT day, rev_usd,
+         count(*) OVER w AS win_n,
+         sum(rev_usd) OVER w AS win_s,
+         sum(rev_usd * rev_usd) OVER w AS win_ss
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, cast(rev_usd AS BIGINT) AS rev_usd,
+       cast((rev_usd * win_n - win_s) * (rev_usd * win_n - win_s) AS BIGINT) AS dev2_n2,
+       cast(4 * (win_ss * win_n - win_s * win_s) AS BIGINT) AS var4_n2
+FROM scored
+WHERE win_n = 7
+  AND (rev_usd * win_n - win_s) * (rev_usd * win_n - win_s)
+      > 4 * (win_ss * win_n - win_s * win_s)
+"""
+
+
+# --------------------------------------------------------------------
+# order_priority_aging — fulfillment-aging census: per order the worst
+# (max) ship lag over its lines, bucketed by business thresholds, count
+# per priority x bucket. Aggregate-to-aggregate join grain; the bucket
+# CASE runs on an integer day lag computed engine-natively (expressions
+# differ, semantics pinned by the oracle hash).
+
+_AGING_CASE = (
+    "CASE WHEN lag_days <= 30 THEN '0-30' WHEN lag_days <= 60 THEN '31-60' "
+    "WHEN lag_days <= 90 THEN '61-90' ELSE '90+' END"
+)
+
+
+def _order_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    worst = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    return (
+        orders.join(worst, orders.o_orderkey == worst.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate")).alias(
+                "lag_days"
+            ),
+        )
+        .select("o_orderpriority", F.expr(_AGING_CASE).alias("age_bucket"))
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_AGING_ORACLE = f"""
+WITH worst AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT o_orderpriority,
+         datediff('day', cast(o_orderdate AS DATE), cast(last_ship AS DATE)) AS lag_days
+  FROM orders JOIN worst ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, {_AGING_CASE} AS age_bucket, count(*) AS n_orders
+FROM lagged GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# nation_lead_time_profile — exact p50/p90 of the order→ship lag in
+# integer days per supplier nation. Integer inputs → Spark percentile()
+# and DuckDB quantile_cont share the (n-1)*p linear-interpolation
+# definition on a sorted integer vector: exact grid hits, bit-equal
+# interpolants (the quantile_profile precedent). At 100 TB swap for
+# approx_percentile — shape unchanged.
+
+
+def _nation_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "lead_days"
+            ),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr("percentile(lead_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(lead_days, 0.9)").alias("p90_days"),
+        )
+    )
+
+
+_LEAD_TIME_ORACLE = """
+WITH lagged AS (
+  SELECT n_name,
+         datediff('day', cast(o_orderdate AS DATE), cast(l_shipdate AS DATE)) AS lead_days
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, count(*) AS n_lines,
+       quantile_cont(lead_days, 0.5) AS p50_days,
+       quantile_cont(lead_days, 0.9) AS p90_days
+FROM lagged GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------
+# event_hour_grid — the 2-D (event_type x hour-of-day) census with each
+# cell's share of its type as truncating-division basis points: integer
+# end to end (the regional_hhi bp convention), one aggregate + a
+# broadcast-size per-type total join.
+
+
+def _event_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    )
+    cells = ev.groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("n"))
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.expr("CAST((n * 10000) DIV total AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
+_GRID_ORACLE = """
+WITH cells AS (
+  SELECT event_type, cast(hour(ts) AS BIGINT) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT event_type, count(*) AS total FROM events GROUP BY 1)
+SELECT event_type, hour, n, cast((n * 10000) // total AS BIGINT) AS share_bp
+FROM cells JOIN totals USING (event_type)
+"""
+
+
+SUITE.update(
+    {
+        "supplier_copart_links": QuerySpec(
+            "supplier_copart_links",
+            _supplier_copart_links,
+            _COPART_ORACLE,
+            "bipartite supplier-part projection: part-degree guard + top-k emission",
+        ),
+        "price_band_revenue": QuerySpec(
+            "price_band_revenue",
+            _price_band_revenue,
+            _PRICE_BAND_ORACLE,
+            "non-uniform band range join: broadcast band table, fact side never shuffles",
+        ),
+        "customer_ltv_cohorts": QuerySpec(
+            "customer_ltv_cohorts",
+            _customer_ltv_cohorts,
+            _LTV_ORACLE,
+            "cohort x age cumulative LTV; integer cumsum, exact",
+        ),
+        "daily_revenue_anomaly": QuerySpec(
+            "daily_revenue_anomaly",
+            _daily_revenue_anomaly,
+            _ANOMALY_ORACLE,
+            "2-sigma trailing-window anomaly, division/sqrt-free integer test",
+        ),
+        "order_priority_aging": QuerySpec(
+            "order_priority_aging",
+            _order_priority_aging,
+            _AGING_ORACLE,
+            "fulfillment aging buckets per priority",
+        ),
+        "nation_lead_time_profile": QuerySpec(
+            "nation_lead_time_profile",
+            _nation_lead_time_profile,
+            _LEAD_TIME_ORACLE,
+            "exact p50/p90 ship lag per supplier nation",
+        ),
+        "event_hour_grid": QuerySpec(
+            "event_hour_grid",
+            _event_hour_grid,
+            _GRID_ORACLE,
+            "event_type x hour 2-D census with integer bp shares",
+        ),
+    }
+)
