@@ -234,6 +234,16 @@ def main() -> None:
         os.makedirs(d, exist_ok=True)
         pq.write_table(table, os.path.join(d, "part-0.parquet"))
         print(name, table.num_rows, "->", d)
+    # nation/region are scale-independent 25/5-row dimensions: copy them
+    # verbatim so nation-joining queries run at every factor
+    import shutil
+
+    for dim in ("nation", "region"):
+        src = os.path.join(BASE, f"{dim}.parquet")
+        dst = os.path.join(out, f"{dim}.parquet")
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            shutil.copytree(src, dst)
+            print(dim, "copied ->", dst)
 
 
 if __name__ == "__main__":

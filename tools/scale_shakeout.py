@@ -95,6 +95,15 @@ QUERIES = [
     "copurchase_triangles",
     "orders_snapshot_diff",
     "semantic_dedup_capped",
+    # round-7: interval top-k + the round23 additions
+    "overlapping_sessions_capped",
+    "supplier_copart_links",
+    "price_band_revenue",
+    "customer_ltv_cohorts",
+    "daily_revenue_anomaly",
+    "order_priority_aging",
+    "nation_lead_time_profile",
+    "event_hour_grid",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
