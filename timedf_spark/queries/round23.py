@@ -294,9 +294,15 @@ FROM cells
 # test is algebraically cleared of division and sqrt —
 #   (x*n - s)^2 > 4 * (ss*n - s^2)    [n=window rows, s=sum, ss=sumsq]
 # — so there is no float accumulation, no engine sqrt, nothing
-# order-dependent: bit-identical flags anywhere. Whole-dollar
-# quantization keeps every term < 2^63 with wide margin at sf10 (daily
-# ~1e7, ss*n ~ 1e15). One aggregate + one windowed pass over ~3k rows.
+# order-dependent: bit-identical flags anywhere. The test runs on the
+# daily total in $1000 units: the worst term is ss*n ~ 7^2 * (daily_k)^2,
+# so daily totals up to ~$4e13 stay under 2^63 (the whole-dollar variant
+# overflowed — loudly, via the ANSI guard — at the 100x shakeout tier,
+# where ss*n reached 4.9e19). The reported rev_usd column stays in whole
+# dollars; only the deviation test is $1000-quantized, identically in
+# both engines. One aggregate + one windowed pass over the daily grain
+# (one row per day — tiny at any corpus size, hence the single-partition
+# window is safe).
 
 
 def _daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,15 +319,17 @@ def _daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_usd")
         )
     )
+    daily = daily.withColumn("rev_k", F.expr("rev_usd DIV 1000"))
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     scored = daily.select(
         "day",
         "rev_usd",
+        "rev_k",
         F.count(F.lit(1)).over(w).alias("win_n"),
-        F.sum("rev_usd").over(w).alias("win_s"),
-        F.sum(F.col("rev_usd") * F.col("rev_usd")).over(w).alias("win_ss"),
+        F.sum("rev_k").over(w).alias("win_s"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("win_ss"),
     )
-    lhs = (F.col("rev_usd") * F.col("win_n") - F.col("win_s"))
+    lhs = (F.col("rev_k") * F.col("win_n") - F.col("win_s"))
     rhs = F.lit(4) * (
         F.col("win_ss") * F.col("win_n") - F.col("win_s") * F.col("win_s")
     )
@@ -338,20 +346,21 @@ WITH daily AS (
          sum(cast(floor(o_totalprice + 0.5) as bigint)) AS rev_usd
   FROM orders GROUP BY 1
 ),
+scaled AS (SELECT day, rev_usd, rev_usd // 1000 AS rev_k FROM daily),
 scored AS (
-  SELECT day, rev_usd,
+  SELECT day, rev_usd, rev_k,
          count(*) OVER w AS win_n,
-         sum(rev_usd) OVER w AS win_s,
-         sum(rev_usd * rev_usd) OVER w AS win_ss
-  FROM daily
+         sum(rev_k) OVER w AS win_s,
+         sum(rev_k * rev_k) OVER w AS win_ss
+  FROM scaled
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT day, cast(rev_usd AS BIGINT) AS rev_usd,
-       cast((rev_usd * win_n - win_s) * (rev_usd * win_n - win_s) AS BIGINT) AS dev2_n2,
+       cast((rev_k * win_n - win_s) * (rev_k * win_n - win_s) AS BIGINT) AS dev2_n2,
        cast(4 * (win_ss * win_n - win_s * win_s) AS BIGINT) AS var4_n2
 FROM scored
 WHERE win_n = 7
-  AND (rev_usd * win_n - win_s) * (rev_usd * win_n - win_s)
+  AND (rev_k * win_n - win_s) * (rev_k * win_n - win_s)
       > 4 * (win_ss * win_n - win_s * win_s)
 """
 
@@ -538,6 +547,275 @@ SUITE.update(
             _event_hour_grid,
             _GRID_ORACLE,
             "event_type x hour 2-D census with integer bp shares",
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------
+# brand_basket_triples — frequent 3-itemsets over order baskets at
+# brand grain (the Apriori level above brand_basket_pairs/
+# brand_lift_rules). Combinatorics are STRUCTURALLY bounded: baskets
+# are deduped to distinct brands per order (≤ ~11 at any sf — brand
+# cardinality is 25), so a basket contributes ≤ C(11,3) = 165 triples
+# regardless of table size; the triple join is three self-equi-joins on
+# orderkey with the a<b<c canonical ordering (each triple generated
+# exactly once, no distinct pass). Support filter + top-N keep the
+# output tiny.
+
+_TRIPLE_MIN_SUPPORT = 3
+_TRIPLE_TOP = 50
+
+
+def _brand_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a, b, c = ob.alias("a"), ob.alias("b"), ob.alias("c")
+    triples = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.b") < F.col("b.b")))
+        .join(c, (F.col("a.o") == F.col("c.o")) & (F.col("b.b") < F.col("c.b")))
+        .groupBy(
+            F.col("a.b").alias("brand_a"),
+            F.col("b.b").alias("brand_b"),
+            F.col("c.b").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRIPLE_MIN_SUPPORT)
+    )
+    return triples.orderBy(
+        F.desc("n_orders"), "brand_a", "brand_b", "brand_c"
+    ).limit(_TRIPLE_TOP)
+
+
+_TRIPLES_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.b AS brand_a, b.b AS brand_b, c.b AS brand_c, count(*) AS n_orders
+FROM ob a
+JOIN ob b ON a.o = b.o AND a.b < b.b
+JOIN ob c ON a.o = c.o AND b.b < c.b
+GROUP BY 1, 2, 3
+HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
+ORDER BY n_orders DESC, brand_a, brand_b, brand_c
+LIMIT {_TRIPLE_TOP}
+"""
+
+
+# --------------------------------------------------------------------
+# user_acquisition_curve — per-day new users and the running cumulative
+# (the growth curve every funnel review starts with). First-seen day is
+# one min-aggregate per user; the cumulative is an integer window sum
+# over the (tiny) daily grain — exact, order-independent.
+
+
+def _user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    first_seen = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+    )
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+_ACQUISITION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(cast(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+daily AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY day)
+SELECT day, new_users,
+       cast(sum(new_users) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------
+# customer_value_migration — decile-to-decile customer spend migration
+# between two full years (1996 → 2000): the retention/upsell matrix.
+# Deciles are computed with EXPLICIT integer arithmetic
+# ((rn-1)*10 div n + 1) over a fully deterministic order (quantized
+# spend DESC, custkey) — no NTILE dialect risk. Spend is the quantized
+# integer sum; the matrix is a tiny crosstab after two aggregate-grain
+# window passes.
+
+_MIG_Y1, _MIG_Y2 = 1996, 2000
+
+
+def _customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def decile(year: int, out: str) -> DataFrame:
+        spend = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.expr(
+                    "sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))"
+                ).alias("q")
+            )
+        )
+        w = Window.orderBy(F.desc("q"), F.asc("o_custkey"))
+        n = Window.partitionBy()
+        # integer DIV, never float division + cast: Spark's float->int
+        # cast truncates while DuckDB's ROUNDS — the one-line dialect
+        # trap that silently shifts decile boundaries
+        return spend.select(
+            "o_custkey",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(n).alias("_n"),
+        ).select(
+            "o_custkey",
+            F.expr(f"CAST((_rn - 1) * 10 DIV _n AS BIGINT) + 1").alias(out),
+        )
+    d1 = decile(_MIG_Y1, "decile_from")
+    d2 = decile(_MIG_Y2, "decile_to")
+    return (
+        d1.join(d2, "o_custkey")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _mig_decile_sql(year: int, out: str) -> str:
+    return f"""
+  SELECT o_custkey,
+         ((row_number() OVER (ORDER BY q DESC, o_custkey) - 1) * 10)
+              // (count(*) OVER ()) + 1 AS {out}
+  FROM (
+    SELECT o_custkey,
+           sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint)) AS q
+    FROM orders WHERE year(o_orderdate) = {year} GROUP BY o_custkey
+  )
+"""
+
+
+_MIGRATION_ORACLE = f"""
+WITH d1 AS ({_mig_decile_sql(_MIG_Y1, "decile_from")}),
+d2 AS ({_mig_decile_sql(_MIG_Y2, "decile_to")})
+SELECT decile_from, decile_to, count(*) AS n_customers
+FROM d1 JOIN d2 USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# split_drift_report — train/test feature-drift audit: split lineitem
+# by orderkey parity (the ml_split convention) and report each metric
+# column's mean shift in basis points. Means come from quantized
+# integer sums (exact); the shift is a fixed chain of single IEEE ops
+# on identical inputs (two divisions, one ratio, one floor) — bit-equal
+# across engines, no order dependence anywhere.
+
+_DRIFT_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _split_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for col in _DRIFT_COLS:
+        agg = li.groupBy((F.col("l_orderkey") % 2 == 0).alias("_train")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"sum(cast(floor({col} * 10000.0 + 0.5) as bigint))").alias("q"),
+        )
+        a = agg.filter("_train").select(
+            F.lit(col).alias("feature"),
+            F.col("n").alias("n_train"),
+            F.col("q").alias("q_train"),
+        )
+        b = agg.filter("NOT _train").select(
+            F.lit(col).alias("feature"),
+            F.col("n").alias("n_test"),
+            F.col("q").alias("q_test"),
+        )
+        parts.append(a.join(b, "feature"))
+    joined = reduce(lambda x, y: x.unionByName(y), parts)
+    shift = (
+        "cast(floor(((cast(q_test as double) / n_test)"
+        " / (cast(q_train as double) / n_train) - 1.0) * 10000.0 + 0.5) as bigint)"
+    )
+    return joined.select(
+        "feature", "n_train", "n_test",
+        F.expr(shift).alias("shift_bp"),
+    )
+
+
+_SPLIT_DRIFT_ORACLE = """
+WITH per AS (
+  SELECT f.feature,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS n_test,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN cast(floor(
+           CASE f.feature WHEN 'l_quantity' THEN l_quantity
+                          WHEN 'l_extendedprice' THEN l_extendedprice
+                          ELSE l_discount END * 10000.0 + 0.5) as bigint) ELSE 0 END) AS q_train,
+         sum(CASE WHEN l_orderkey % 2 <> 0 THEN cast(floor(
+           CASE f.feature WHEN 'l_quantity' THEN l_quantity
+                          WHEN 'l_extendedprice' THEN l_extendedprice
+                          ELSE l_discount END * 10000.0 + 0.5) as bigint) ELSE 0 END) AS q_test
+  FROM lineitem
+  CROSS JOIN (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount')) AS f(feature)
+  GROUP BY f.feature
+)
+SELECT feature, cast(n_train AS BIGINT) AS n_train, cast(n_test AS BIGINT) AS n_test,
+       cast(floor(((cast(q_test as double) / n_test)
+            / (cast(q_train as double) / n_train) - 1.0) * 10000.0 + 0.5) as bigint) AS shift_bp
+FROM per
+"""
+
+
+SUITE.update(
+    {
+        "brand_basket_triples": QuerySpec(
+            "brand_basket_triples",
+            _brand_basket_triples,
+            _TRIPLES_ORACLE,
+            "frequent brand 3-itemsets: canonical a<b<c generation, basket-bounded combinatorics",
+        ),
+        "user_acquisition_curve": QuerySpec(
+            "user_acquisition_curve",
+            _user_acquisition_curve,
+            _ACQUISITION_ORACLE,
+            "per-day new users + running cumulative (integer window sum)",
+        ),
+        "customer_value_migration": QuerySpec(
+            "customer_value_migration",
+            _customer_value_migration,
+            _MIGRATION_ORACLE,
+            "1996->2000 spend-decile migration matrix; explicit integer decile arithmetic",
+        ),
+        "split_drift_report": QuerySpec(
+            "split_drift_report",
+            _split_drift_report,
+            _SPLIT_DRIFT_ORACLE,
+            "train/test mean-shift audit in bp from exact quantized sums",
         ),
     }
 )

@@ -104,6 +104,10 @@ QUERIES = [
     "order_priority_aging",
     "nation_lead_time_profile",
     "event_hour_grid",
+    "brand_basket_triples",
+    "user_acquisition_curve",
+    "customer_value_migration",
+    "split_drift_report",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
