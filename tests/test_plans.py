@@ -718,3 +718,16 @@ def test_daily_anomaly_single_scan_single_window_pass(spark):
     plan = _executed_plan(spark, "daily_revenue_anomaly")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_brand_triples_broadcasts_dim_and_canonical_generation(spark):
+    """brand_basket_triples: part is broadcast onto the lineitem scan,
+    the basket frame is deduped BEFORE the triple self-joins (the
+    combinatoric bound lives there), and no CartesianProduct appears —
+    the a<b<c conditions ride the orderkey equi-joins."""
+    plan = _executed_plan(spark, "brand_basket_triples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # dedup-to-basket-grain aggregates feed the joins (one per alias,
+    # AQE may reuse the stage)
+    assert plan.count("HashAggregate") >= 2
