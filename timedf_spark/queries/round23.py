@@ -819,3 +819,322 @@ SUITE.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------
+# Batch 3 — customer/brand concentration and cadence analytics. All
+# ratios are truncating-division basis points over quantized integer
+# sums (cents): no float aggregation anywhere, every window rides an
+# aggregate-grain partition.
+
+
+def _supplier_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: the top supplier by spend and its share of the
+    customer's total (wallet share). One (cust, supp) aggregate, then
+    two window expressions over the SAME custkey partition — Spark
+    evaluates both over one exchange."""
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+                " as bigint))"
+            ).alias("q")
+        )
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("q"), F.asc("l_suppkey"))
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        cs.select(
+            "o_custkey",
+            "l_suppkey",
+            "q",
+            F.row_number().over(w_rank).alias("_rk"),
+            F.sum("q").over(w_all).alias("_total"),
+            F.count(F.lit(1)).over(w_all).alias("n_suppliers"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("l_suppkey").alias("top_suppkey"),
+            F.expr("CAST((q * 10000) DIV _total AS BIGINT)").alias("share_bp"),
+            "n_suppliers",
+        )
+    )
+
+
+_WALLET_ORACLE = """
+WITH cs AS (
+  SELECT o_custkey, l_suppkey,
+         sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+             as bigint)) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_custkey, l_suppkey, q,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY q DESC, l_suppkey) AS rk,
+         sum(q) OVER (PARTITION BY o_custkey) AS total,
+         count(*) OVER (PARTITION BY o_custkey) AS n_suppliers
+  FROM cs
+)
+SELECT o_custkey, l_suppkey AS top_suppkey,
+       cast((q * 10000) // total AS BIGINT) AS share_bp,
+       cast(n_suppliers AS BIGINT) AS n_suppliers
+FROM ranked WHERE rk = 1
+"""
+
+
+def _repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 days between a customer's consecutive orders, per
+    market segment — the cadence profile behind every replenishment /
+    churn model. The lag rides one custkey exchange; gaps are integer
+    days, so the percentile interpolation is exact in both engines."""
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("_prev", F.lag(F.to_date("o_orderdate")).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.col("_prev")).alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.5)").alias("p50_gap_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_gap_days"),
+        )
+    )
+
+
+_CADENCE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(cast(o_orderdate AS DATE)) OVER w,
+                  cast(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT c_mktsegment, count(*) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS p50_gap_days,
+       quantile_cont(gap_days, 0.9) AS p90_gap_days
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
+def _brand_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (brand, ship month-of-year): revenue seasonality index in
+    basis points — month share x 12, so 10000 bp = perfectly flat.
+    Integer end-to-end: cents sums, x120000, truncating DIV by the
+    brand total."""
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+                " as bigint))"
+            ).alias("q")
+        )
+    )
+    return cells.select(
+        "p_brand",
+        "ship_month",
+        F.expr("CAST((q * 120000) DIV (sum(q) OVER (PARTITION BY p_brand)) AS BIGINT)")
+        .alias("season_idx_bp"),
+    )
+
+
+_SEASONALITY_ORACLE = """
+WITH cells AS (
+  SELECT p_brand, cast(month(l_shipdate) AS BIGINT) AS ship_month,
+         sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+             as bigint)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, ship_month,
+       cast((q * 120000) // (sum(q) OVER (PARTITION BY p_brand)) AS BIGINT)
+         AS season_idx_bp
+FROM cells
+"""
+
+
+_DISCOUNT_BAND = (
+    "CASE WHEN l_discount <= 0.0 THEN 'none' WHEN l_discount <= 0.05 THEN 'shallow' "
+    "WHEN l_discount <= 0.1 THEN 'mid' ELSE 'deep' END"
+)
+
+
+def _discount_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-flag rate by discount depth band in basis points — does
+    discounting correlate with returns? Pure scan-local CASE + one
+    aggregate; the rate is integer bp."""
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(_DISCOUNT_BAND).alias("discount_band"),
+        (F.col("l_returnflag") == "R").cast("long").alias("_ret"),
+    )
+    return (
+        li.groupBy("discount_band")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum("_ret").alias("_r"))
+        .select(
+            "discount_band",
+            "n_lines",
+            F.expr("CAST((_r * 10000) DIV n_lines AS BIGINT)").alias("return_rate_bp"),
+        )
+    )
+
+
+_DISCOUNT_RETURN_ORACLE = f"""
+WITH flagged AS (
+  SELECT {_DISCOUNT_BAND} AS discount_band,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+)
+SELECT discount_band, count(*) AS n_lines,
+       cast((sum(ret) * 10000) // count(*) AS BIGINT) AS return_rate_bp
+FROM flagged GROUP BY discount_band
+"""
+
+
+_CONC_TOPK = 5
+
+
+def _customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer nation: the revenue share (bp) held by the top-5
+    customers — the concentration-risk metric HHI summarizes away. Two
+    windows over one nation partition; top-k picked by the same
+    deterministic (spend DESC, custkey) order as everywhere else."""
+    from pyspark.sql.window import Window
+
+    from timedf_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+                " as bigint))"
+            ).alias("q")
+        )
+    )
+    w_rank = Window.partitionBy("n_name").orderBy(F.desc("q"), F.asc("o_custkey"))
+    w_all = Window.partitionBy("n_name")
+    return (
+        per_cust.select(
+            "n_name",
+            "q",
+            F.row_number().over(w_rank).alias("_rk"),
+            F.sum("q").over(w_all).alias("_total"),
+            F.count(F.lit(1)).over(w_all).alias("n_customers"),
+        )
+        .filter(F.col("_rk") <= _CONC_TOPK)
+        .groupBy("n_name")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            F.expr("CAST((sum(q) * 10000) DIV max(_total) AS BIGINT)").alias(
+                "top5_share_bp"
+            ),
+        )
+    )
+
+
+_CONCENTRATION_ORACLE = f"""
+WITH per_cust AS (
+  SELECT n_name, o_custkey,
+         sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+             as bigint)) AS q
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n_name, q,
+         row_number() OVER (PARTITION BY n_name ORDER BY q DESC, o_custkey) AS rk,
+         sum(q) OVER (PARTITION BY n_name) AS total,
+         count(*) OVER (PARTITION BY n_name) AS n_customers
+  FROM per_cust
+)
+SELECT n_name, cast(max(n_customers) AS BIGINT) AS n_customers,
+       cast((sum(q) * 10000) // max(total) AS BIGINT) AS top5_share_bp
+FROM ranked WHERE rk <= {_CONC_TOPK}
+GROUP BY n_name
+"""
+
+
+SUITE.update(
+    {
+        "supplier_share_of_wallet": QuerySpec(
+            "supplier_share_of_wallet",
+            _supplier_share_of_wallet,
+            _WALLET_ORACLE,
+            "top supplier + wallet share bp per customer; one custkey exchange for both windows",
+        ),
+        "repeat_purchase_intervals": QuerySpec(
+            "repeat_purchase_intervals",
+            _repeat_purchase_intervals,
+            _CADENCE_ORACLE,
+            "exact p50/p90 inter-order gap days per market segment",
+        ),
+        "brand_seasonality_index": QuerySpec(
+            "brand_seasonality_index",
+            _brand_seasonality_index,
+            _SEASONALITY_ORACLE,
+            "per-brand month seasonality index in bp (10000 = flat)",
+        ),
+        "discount_return_rates": QuerySpec(
+            "discount_return_rates",
+            _discount_return_rates,
+            _DISCOUNT_RETURN_ORACLE,
+            "return rate bp by discount depth band; scan-local CASE",
+        ),
+        "customer_concentration": QuerySpec(
+            "customer_concentration",
+            _customer_concentration,
+            _CONCENTRATION_ORACLE,
+            "top-5 customer revenue share bp per nation",
+        ),
+    }
+)

@@ -108,6 +108,11 @@ QUERIES = [
     "user_acquisition_curve",
     "customer_value_migration",
     "split_drift_report",
+    "supplier_share_of_wallet",
+    "repeat_purchase_intervals",
+    "brand_seasonality_index",
+    "discount_return_rates",
+    "customer_concentration",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
