@@ -125,3 +125,50 @@ def test_event_hour_grid_shares_sum_to_one(spark):
     for t, bps in per_type.items():
         # truncating division: total in (10000 - n_cells, 10000]
         assert 10000 - len(bps) < sum(bps) <= 10000, t
+
+
+def test_wallet_share_bounds_and_rank(spark):
+    rows = _q("supplier_share_of_wallet").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["share_bp"] <= 10000
+        assert r["n_suppliers"] >= 1
+        # a top supplier's share can't be below an equal split
+        assert r["share_bp"] >= 10000 // r["n_suppliers"] - 1
+
+
+def test_seasonality_index_sums_to_twelve_flat_units(spark):
+    rows = _q("brand_seasonality_index").fn(spark, SF).collect()
+    per_brand = {}
+    for r in rows:
+        assert 1 <= r["ship_month"] <= 12
+        per_brand.setdefault(r["p_brand"], []).append(r["season_idx_bp"])
+    for b, idxs in per_brand.items():
+        # truncating division: total within n_cells of 12 x 10000
+        assert 120000 - len(idxs) < sum(idxs) <= 120000, b
+
+
+def test_concentration_share_bounds(spark):
+    rows = _q("customer_concentration").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["top5_share_bp"] <= 10000
+        # 5 of n customers hold at least ~5/n of revenue
+        if r["n_customers"] > 5:
+            assert r["top5_share_bp"] >= (5 * 10000) // r["n_customers"] - 1
+
+
+def test_discount_bands_cover_all_lines(spark):
+    rows = _q("discount_return_rates").fn(spark, SF).collect()
+    assert sum(r["n_lines"] for r in rows) == load_table(
+        spark, SF, "lineitem"
+    ).count()
+    for r in rows:
+        assert 0 <= r["return_rate_bp"] <= 10000
+
+
+def test_cadence_percentiles_ordered(spark):
+    rows = _q("repeat_purchase_intervals").fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_gap_days"] <= r["p90_gap_days"]
