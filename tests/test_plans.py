@@ -731,3 +731,17 @@ def test_brand_triples_broadcasts_dim_and_canonical_generation(spark):
     # dedup-to-basket-grain aggregates feed the joins (one per alias,
     # AQE may reuse the stage)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_wallet_share_two_windows_one_exchange(spark):
+    """supplier_share_of_wallet: the rank window and the per-customer
+    total/count windows all partition by o_custkey — Spark must evaluate
+    them over ONE custkey exchange on top of the (cust, supp) aggregate
+    exchange. A third exchange means a window stopped reusing the
+    partitioning."""
+    plan = _executed_plan(spark, "supplier_share_of_wallet")
+    import re
+
+    cust_ex = re.findall(r"Exchange hashpartitioning\(o_custkey[^)]*\)", plan)
+    assert len(cust_ex) <= 2, plan  # agg exchange + (at most) window exchange
+    assert plan.count("Window") >= 1
