@@ -689,7 +689,7 @@ def _customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(n).alias("_n"),
         ).select(
             "o_custkey",
-            F.expr(f"CAST((_rn - 1) * 10 DIV _n AS BIGINT) + 1").alias(out),
+            F.expr("CAST((_rn - 1) * 10 DIV _n AS BIGINT) + 1").alias(out),
         )
     d1 = decile(_MIG_Y1, "decile_from")
     d2 = decile(_MIG_Y2, "decile_to")
