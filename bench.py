@@ -49,21 +49,36 @@ CHUNK_LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_LIMIT", "64"))
 ISOLATED_QUERIES = ("join_size_sketch", "brand_lift_rules")
 
 
+def _plan_chunks(names: list[str]) -> tuple[list[list[str]], int]:
+    """Chunk layout: regular queries in <=CHUNK_LIMIT slices, then each
+    ISOLATED query in its own trailing fresh-JVM chunk. Returns (chunks,
+    index of the chunk that runs evidence) — the last REGULAR chunk, or,
+    when every requested name is isolated (regular empty — the
+    ZeroDivision case), the last chunk overall."""
+    import math
+
+    isolated = [n for n in names if n in ISOLATED_QUERIES]
+    regular = [n for n in names if n not in ISOLATED_QUERIES]
+    chunks: list[list[str]] = []
+    if regular:
+        n_chunks = math.ceil(len(regular) / CHUNK_LIMIT)
+        size = math.ceil(len(regular) / n_chunks)
+        chunks = [regular[i * size : (i + 1) * size] for i in range(n_chunks)]
+    evidence_chunk = len(chunks) - 1
+    chunks.extend([n] for n in isolated)
+    if evidence_chunk < 0:
+        evidence_chunk = len(chunks) - 1
+    return chunks, evidence_chunk
+
+
 def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     """Parent mode: split the registry into <=CHUNK_LIMIT-query chunks,
     run each in a subprocess (fresh JVM), merge detail reports, then do
     the shuffle gate + BENCH_local write + tail printing exactly as a
     single-process run would."""
-    import math
     import subprocess
 
-    isolated = [n for n in names if n in ISOLATED_QUERIES]
-    regular = [n for n in names if n not in ISOLATED_QUERIES]
-    n_chunks = math.ceil(len(regular) / CHUNK_LIMIT)
-    size = math.ceil(len(regular) / n_chunks)
-    chunks = [regular[i * size : (i + 1) * size] for i in range(n_chunks)]
-    evidence_chunk = len(chunks) - 1  # last REGULAR chunk runs evidence
-    chunks.extend([n] for n in isolated)
+    chunks, evidence_chunk = _plan_chunks(names)
     per_query: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     scan_baseline = -1.0

@@ -154,6 +154,13 @@ def interval_overlap_topk(
         .withColumn("overlap_us", end_min - start_max)
     )
     tie = order_cols or [c for c in pairs.columns if c.startswith("b_") and c.endswith(("_id",))]
+    if not tie:
+        # right frame has no *_id columns: an empty tie list would rank
+        # by overlap_us alone — nondeterministic top-k among ties across
+        # runs/partitions. Order by EVERY b_ column instead: the ranking
+        # is then total up to fully-identical right rows, for which any
+        # pick yields the same output set.
+        tie = sorted(c for c in pairs.columns if c.startswith("b_"))
     order = [F.desc("overlap_us")] + [F.asc(c) for c in tie]
     w_cell = Window.partitionBy("cell", *key_cols).orderBy(*order)
     pruned = (

@@ -108,6 +108,43 @@ def _epoch_dir(path: str, epoch: int) -> str:
     return os.path.join(path, "_compaction", f"epoch={epoch}")
 
 
+# Derived floors for LEGACY manifests (written before "floor" existed),
+# memoized per (path, epoch): the epoch data is immutable once published,
+# so one driver-side read answers every later call. NOT written back into
+# the manifest from readers — a reader republishing the manifest could
+# race a concurrent compaction's publish and roll covered/epoch BACK to
+# a generation whose directories step-4 cleanup already deleted.
+_FLOOR_CACHE: dict[tuple[str, int], int | None] = {}
+
+
+def _epoch_floor(path: str, epoch: int) -> int | None:
+    """True min(batch_id) present in a compacted epoch — the coverage
+    floor for legacy manifests without a ``floor`` key. Driver-side
+    pyarrow column read (no Spark job — same contract as the directory
+    checks around it); ``batch_id`` is a materialized column in the
+    compacted store, so the parquet files carry it directly. Returns
+    None when the epoch holds no rows (claiming anything for an empty
+    epoch would route batches to an index tier with zero rows)."""
+    key = (os.path.abspath(path), epoch)
+    if key in _FLOOR_CACHE:
+        return _FLOOR_CACHE[key]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    lo: int | None = None
+    for f in glob.glob(os.path.join(_epoch_dir(path, epoch), "*.parquet")):
+        try:
+            m = pc.min(
+                pq.read_table(f, columns=["batch_id"]).column("batch_id")
+            ).as_py()
+        except Exception:  # noqa: BLE001 — unreadable file: claim nothing
+            continue
+        if m is not None and (lo is None or m < lo):
+            lo = int(m)
+    _FLOOR_CACHE[key] = lo
+    return lo
+
+
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
     """Exactly-once view of the sink: published compacted store UNION
     batch directories newer than its coverage. ``batch_id`` survives as a
@@ -195,9 +232,16 @@ def compact_sink(
     # index turned on at batch 2) has no rows for earlier batches, and
     # coverage consumers (ingest_dedup._store_bids) must not assume the
     # compacted epoch reaches back to batch 0. Later compactions carry
-    # the floor forward unchanged. Legacy manifests without a floor keep
-    # their (pre-fix) batch-0 assumption via the .get default.
-    floor = int(manifest.get("floor", min(live)))
+    # the floor forward unchanged. A LEGACY manifest (pre-floor code,
+    # epoch already published) derives the floor from the epoch data's
+    # true min(batch_id): min(live) here would be > covered (the folded
+    # dirs are deleted) and would permanently orphan the epoch's batch
+    # range from every coverage consumer. min(live) is correct only for
+    # a store with no prior epoch (or an empty one).
+    floor = manifest.get("floor")
+    if floor is None and epoch >= 0:
+        floor = _epoch_floor(path, epoch)
+    floor = int(floor) if floor is not None else min(live)
     parts: list[DataFrame] = []
     if epoch >= 0:
         parts.append(spark.read.parquet(_epoch_dir(path, epoch)))

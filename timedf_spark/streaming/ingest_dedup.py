@@ -67,6 +67,7 @@ from timedf_spark.operators.dedup import (
 from timedf_spark.streaming.cdc_apply import _current_version, _publish
 from timedf_spark.streaming.cluster_apply import read_assignments, seed_assignments
 from timedf_spark.streaming.compaction import (
+    _epoch_floor,
     _live_batch_dirs,
     _load_manifest,
     read_sink,
@@ -91,9 +92,15 @@ def _store_bids(path: str | None, before: int) -> set[int]:
     enabled mid-stream (sig index turned on at batch 2, the exact
     scenario the tiering supports) never held the earlier batches;
     claiming them here would route those batches to an index tier with
-    zero rows for them — silently missed pairs. Legacy manifests
-    without a floor conservatively claim nothing for the epoch (the
-    batches re-probe via the rehash tier: slower, never wrong)."""
+    zero rows for them — silently missed pairs. A LEGACY manifest
+    (pre-floor code) derives the floor from the epoch data's true
+    min(batch_id) (memoized driver-side parquet read): for sig/shingle
+    stores the derived floor is exact either way, and for the CORPUS
+    store under-claiming is a correctness loss, not a slow path — this
+    function defines which corpus batches are probed AT ALL, so a
+    legacy epoch claiming nothing would silently drop every compacted
+    batch from the probe set (missed pairs against the compacted
+    corpus). Only a truly empty/unreadable epoch claims nothing."""
     if path is None or not os.path.isdir(path):
         return set()
     bids = {b for b in _live_batch_dirs(path, committed_only=True) if b < before}
@@ -101,8 +108,14 @@ def _store_bids(path: str | None, before: int) -> set[int]:
         m = _load_manifest(path)
     except (OSError, ValueError):
         return bids
-    if m.get("epoch", -1) >= 0 and "floor" in m:
-        bids |= set(range(int(m["floor"]), min(int(m["covered"]), before - 1) + 1))
+    if m.get("epoch", -1) >= 0:
+        floor = m.get("floor")
+        if floor is None:
+            floor = _epoch_floor(path, int(m["epoch"]))
+        if floor is not None:
+            bids |= set(
+                range(int(floor), min(int(m["covered"]), before - 1) + 1)
+            )
     return bids
 
 
