@@ -35,31 +35,68 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
 
 
 def test_approx_cardinalities_within_tolerance(spark, sf_dir):
-    """HLL++ at rsd=0.02 must land within 5% of the exact distinct counts
-    (no equality oracle: sketches are engine-specific by design)."""
-    from timedf_spark.queries import all_queries
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct counts.
+    The registry query now attests this bound IN-QUERY (ok_* flags, oracle-
+    checked); this test pins the RAW estimates independently so weakening
+    the in-query flags can't silently pass."""
+    import pyspark.sql.functions as F
 
-    approx = all_queries()["approx_cardinalities"].fn(spark, sf_dir).first()
+    from timedf_spark.queries import all_queries
+    from timedf_spark.sources import load_table
+
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            *[
+                F.approx_count_distinct(c, rsd=0.02).alias(n)
+                for n, c in [
+                    ("n_status", "o_orderstatus"),
+                    ("n_priority", "o_orderpriority"),
+                    ("n_custkey", "o_custkey"),
+                ]
+            ]
+        )
+        .first()
+    )
     exact = all_queries()["column_cardinalities"].fn(spark, sf_dir).first()
     for col in ["n_status", "n_priority", "n_custkey"]:
-        a, e = approx[col], exact[col]
+        a, e = raw[col], exact[col]
         assert abs(a - e) <= max(1, 0.05 * e), (col, a, e)
+    attested = all_queries()["approx_cardinalities"].fn(spark, sf_dir).first()
+    assert all(attested[f"ok_{s}"] for s in ["status", "priority", "custkey"])
 
 
 def test_approx_quantiles_within_tolerance(spark, sf_dir):
     """approx_percentile at accuracy=10000 must land within 2% relative of
-    the exact per-group percentiles (sketches are engine-specific, so no
-    equality oracle — same precedent as approx_cardinalities)."""
+    the exact per-group percentiles. The registry query attests the bound
+    in-query (ok_* flags, oracle-checked); this pins the raw sketch."""
+    import pyspark.sql.functions as F
+
     from timedf_spark.queries import all_queries
+    from timedf_spark.sources import load_table
 
     qs = all_queries()
+    pcts = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
     exact = {r["l_returnflag"]: r for r in qs["quantile_profile"].fn(spark, sf_dir).collect()}
-    approx = {r["l_returnflag"]: r for r in qs["approx_quantile_profile"].fn(spark, sf_dir).collect()}
-    assert set(exact) == set(approx)
+    raw = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"approx_percentile(l_quantity, {v}, 10000)").alias(n)
+                for n, v in pcts.items()
+            ]
+        )
+        .collect()
+    }
+    assert set(exact) == set(raw)
     for flag, e in exact.items():
-        a = approx[flag]
-        for p in ["p25", "p50", "p75", "p95"]:
+        a = raw[flag]
+        for p in pcts:
             assert abs(a[p] - e[p]) <= max(1.0, 0.02 * abs(e[p])), (flag, p, a[p], e[p])
+    for r in qs["approx_quantile_profile"].fn(spark, sf_dir).collect():
+        assert all(r[f"ok_{p}"] for p in pcts), r
 
 
 _ANSI_REPRESENTATIVES = [

