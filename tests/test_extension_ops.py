@@ -32,7 +32,8 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     for q, v in rank1.items():
         assert q == v, f"query {q} rank-1 is {v}, expected itself"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"recall@10 too low: {recall}"
+    # rerank=16 default (r08): measured 0.84/0.81/0.82 at sf0.001/0.01/0.1
+    assert recall >= 0.7, f"recall@10 too low: {recall}"
 
 
 def test_minhash_candidates_contain_true_pairs(spark, sf_dir):
@@ -283,7 +284,8 @@ def test_ivfpq_ann_recall_vs_brute_force(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"recall@10 too low: {recall}"
+    # rerank=16 default (r08): measured 0.84/0.81/0.82 at sf0.001/0.01/0.1
+    assert recall >= 0.7, f"recall@10 too low: {recall}"
 
 
 def test_opq_rotation_cuts_distortion_on_anisotropic_vectors():
@@ -336,7 +338,7 @@ def test_ivfpq_opq_end_to_end_recall(spark, sf_dir):
     for q_id, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q_id
     recall = len(exact & {(r.q_id, r.vec_id) for r in rows}) / len(exact)
-    assert recall >= 0.6, f"recall@10 too low: {recall}"
+    assert recall >= 0.7, f"recall@10 too low: {recall}"
 
 
 def test_pagerank_matches_numpy_and_duckdb_twin(spark):

@@ -659,17 +659,18 @@ def ivf_topk(
 
 _PQ_M = 8          # subspaces (dim 64 → 8 dims each)
 _PQ_CODES = 64     # codewords per subspace (6-bit codes)
-_PQ_RERANK = 8     # exact re-rank window = _PQ_RERANK * k ADC candidates
+_PQ_RERANK = 16    # exact re-rank window = _PQ_RERANK * k ADC candidates
 # Operating points (VERDICT r06 item 4) — measured recall@10 vs brute at
 # sf0.1, median sec, defaults in caps:
 #   IVF  (cells, nprobe): (32,6) 0.61/1.2 -> (48,16) 0.83/1.2  [DEFAULT]
 #        (32,12) 0.77, (64,24) 0.82 — recall is probe-fraction-bound here;
 #        at 100 TB cells scale to 2^16 and nprobe keeps the same fraction.
-#   IVFPQ (cells=48, nprobe=16): rerank 4 -> 0.67, rerank 8 -> 0.73
-#        [DEFAULT], rerank 16 -> 0.82 (~= the IVF ceiling: PQ recall is
-#        rerank-window-bound, not probe-bound — nprobe 8 vs 16 changed
-#        nothing at rerank 4). codes 64 vs 128: no recall change at this
-#        dim; rerank cost is rerank*k exact fetches per query — still
+#   IVFPQ (cells=48, nprobe=16): rerank 4 -> 0.67/1.85, rerank 8 ->
+#        0.73/1.9, rerank 16 -> 0.82/1.99 [DEFAULT — VERDICT r07 item 5:
+#        +5% latency buys the IVF ceiling; PQ recall is rerank-window-
+#        bound, not probe-bound — nprobe 8 vs 16 changed nothing at
+#        rerank 4]. codes 64 vs 128: no recall change at this dim;
+#        rerank cost is rerank*k exact fetches per query — still
 #        corpus-size-independent.
 
 
