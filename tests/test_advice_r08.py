@@ -176,3 +176,46 @@ def test_bench_plan_chunks_all_isolated_and_mixed():
     assert all(len(c) <= bench.CHUNK_LIMIT for c in chunks)
     assert sum(len(c) for c in chunks) == len(many)
     assert os.path.basename(bench.__file__) == "bench.py"
+
+
+def test_bench_graph_family_gets_its_own_chunk():
+    """VERDICT r07 item 1: the iterative-graph queries share ONE dedicated
+    fresh-JVM chunk — never mixed into the regular slices."""
+    import bench
+
+    fam = list(bench.FAMILY_CHUNKS["graph"])
+    names = ["q1", *fam, "q2", bench.ISOLATED_QUERIES[0]]
+    chunks, ev = bench._plan_chunks(names)
+    assert fam in chunks
+    assert chunks[ev] == ["q1", "q2"]
+    for c in chunks:
+        if c != fam:
+            assert not set(c) & set(fam)
+
+
+def test_bench_local_pin_relative_suspect_trigger(monkeypatch):
+    """A driver-env query inflated vs the scan-adjusted LOCAL pin must be
+    re-measured even when its own driver pin is equally inflated (the
+    supplier_communities r07 blind spot)."""
+    import bench
+
+    driver_pin = {"sf": 0.1, "queries": {"slowq": 11.5, "fineq": 1.0},
+                  "scan_baseline_sec": 2.1}
+    local_pin = {"sf": 0.1, "queries": {"slowq": 6.3, "fineq": 1.0},
+                 "scan_baseline_sec": 1.8}
+    monkeypatch.setattr(bench, "_read_pin", lambda: driver_pin)
+    monkeypatch.setattr(
+        bench, "_read_pin_for",
+        lambda tag: local_pin if tag == "local" else driver_pin,
+    )
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ENV", raising=False)
+    # 11.4 s is within 2.5x of its own (inflated) pin -> pre-fix: no
+    # suspect; the local-pin rule flags it (11.4 > 1.5 * (2.1/1.8) * 6.3)
+    got = bench._find_suspects({"slowq": 11.4, "fineq": 1.05}, 0.1, 2.1)
+    assert got == ["slowq"]
+    # a local-tagged run must NOT apply the cross-env rule to itself
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ENV", "local")
+    monkeypatch.setattr(bench, "_read_pin", lambda: local_pin)
+    assert bench._find_suspects({"slowq": 11.4, "fineq": 1.05}, 0.1, 1.8) == []
+    # ...until it crosses its own-pin threshold
+    assert bench._find_suspects({"slowq": 16.0, "fineq": 1.05}, 0.1, 1.8) == ["slowq"]
