@@ -167,8 +167,9 @@ def test_source_cap_no_sort_merge_join(spark):
 
 
 def test_fingerprint_candidates_are_real_shared_substrings(spark):
-    """Every candidate pair must share a literal k-char substring — the
-    precision-1.0-by-construction property that justifies min_shared=1."""
+    """Every candidate pair must share a literal k-char substring
+    (collisions aside) — the precision-by-construction property that
+    justifies min_shared=1."""
     from timedf_spark.operators.substring import fingerprint_candidate_pairs
 
     shared = "The quick brown fox jumps over the lazy dog!"
@@ -180,14 +181,14 @@ def test_fingerprint_candidates_are_real_shared_substrings(spark):
             (3, "totally different content with no overlap at all here"),
         ],
     )
-    pairs = fingerprint_candidate_pairs(docs, k=20, p=2, min_shared=1).collect()
+    pairs = fingerprint_candidate_pairs(docs, k=20, min_shared=1).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
 
 
 def test_substring_tier_recall_floor(spark):
     """The self-evaluating report must hold the tier's recall at its
-    design point (p=4, min_shared=1): >= 0.80 doc-level on the test
-    corpus (measured 0.91 at sf0.01, 0.9+ at sf0.001)."""
+    design point (word-boundary anchors, min_shared=1): >= 0.80
+    doc-level on the audit sample."""
     from timedf_spark.queries import all_queries
 
     row = all_queries()["substring_tier_report"].fn(
@@ -225,15 +226,15 @@ def test_incremental_probe_equals_full_filtered(spark):
     pred = "doc_id % 10 = 7"
     new = docs.filter(pred).select("doc_id", "text")
     corpus = docs.filter(f"NOT ({pred})").select("doc_id", "text")
-    fps = corpus_fingerprints(corpus, "text", 20, 4)
+    fps = corpus_fingerprints(corpus, "text", 20)
     probe = {
         (r["doc_a"], r["doc_b"], r["n_shared"])
-        for r in incremental_fingerprint_probe(new, fps, "text", 20, 4, 1).collect()
+        for r in incremental_fingerprint_probe(new, fps, "text", 20, 1).collect()
     }
     batch_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
     full = {
         (r["doc_a"], r["doc_b"], r["n_shared"])
-        for r in fingerprint_candidate_pairs(docs, "text", 20, 4, 1).collect()
+        for r in fingerprint_candidate_pairs(docs, "text", 20, 1).collect()
         if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
     }
     assert probe == full and len(probe) > 0

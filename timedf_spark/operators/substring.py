@@ -58,22 +58,6 @@ __all__ = [
 DEFAULT_K = 20
 
 
-def _gram_hash_spark(text_col: str, k: int) -> str:
-    # 60-bit md5 prefix of the k-char window at 0-based `pos` (15 hex
-    # chars fit int64) — same family as dedup._HASH60_SPARK, inlined on
-    # the substring so both engines hash identical bytes. Used where the
-    # hash VALUE must agree across engines (the 0-mod-p sampled tier:
-    # the value decides which windows are kept).
-    return (
-        f"cast(conv(substring(md5(substring({text_col}, pos + 1, {k})), 1, 15), 16, 10)"
-        " as bigint)"
-    )
-
-
-def _gram_hash_duck(text_col: str, k: int) -> str:
-    return f"(('0x' || substr(md5(substr({text_col}, pos + 1, {k})), 1, 15))::BIGINT)"
-
-
 def _gram_hash_fast_spark(text_col: str, k: int) -> str:
     # The EXACT tier only consumes gram EQUALITY (duplicated-or-not), so
     # each engine may use its own fastest 64-bit hash — xxhash64 here,
@@ -342,47 +326,73 @@ LEFT JOIN cleaned c USING (doc_id)
 # ---- sampled-fingerprint tier (the 100 TB path) ----------------------------
 #
 # The exact tier above pays ~24 bytes of shuffle per corpus character.
-# The scalable companion is 0-mod-p fingerprinting (Schleimer, Wilkerson
-# & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
-# SIGMOD 2003, §2): keep only k-gram windows whose hash is divisible by
-# p — every run is sampled at the SAME positions (content-defined, so a
-# shared substring yields shared fingerprints regardless of where it
-# sits in each doc), expected density 1/p, shuffle cut by p. Docs
-# sharing >= min_shared sampled grams become candidate pairs for the
-# exact verifier — the same generate-cheap/verify-exact two-tier shape
-# as MinHash-LSH, but at substring (not whole-doc) granularity.
+# The scalable companion is ANCHOR-sampled shingling (the anchor trick
+# of Manber, "Finding Similar Files in a Large File System", USENIX
+# 1994; word-boundary shingles à la Broder): keep only k-gram windows
+# whose FIRST character is the anchor (' ') — content-defined, so a
+# shared substring yields identical sampled windows in every document
+# containing it regardless of offset; density ≈ 1/(avg word length + 1)
+# ≈ 1/6 on text. Docs sharing >= min_shared sampled grams become
+# candidate pairs for the exact verifier — the same generate-cheap/
+# verify-exact two-tier shape as MinHash-LSH, but at substring (not
+# whole-doc) granularity.
+#
+# Until r08 this tier sampled 0-mod-p over a cross-engine md5 hash
+# (Schleimer et al.'s winnowing rule); an md5 + hex-conv PER WINDOW was
+# the tier's dominant cost (~60% of substring_candidates at sf0.1,
+# VERDICT r07 item 6). The anchor predicate is a 1-char comparison, and
+# because sampling no longer needs a hash VALUE shared across engines,
+# the join key drops to each engine's native fast 64-bit hash
+# (xxhash64 / hash) — exactly like the exact tier, same documented
+# birthday-bound caveat; collisions only add candidates for the exact
+# verifier downstream. The md5 family is gone from the hot path.
 
-FP_P = 8  # sampling modulus: expected 1/8 of windows survive
+FP_ANCHOR = " "
 
 
-def fingerprint_candidate_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = DEFAULT_K,
-    p: int = FP_P,
-    min_shared: int = 2,
-    max_doc_freq: int | None = 64,
+def _anchored_grams(
+    docs: DataFrame, text_col: str, k: int, anchor: str = FP_ANCHOR
 ) -> DataFrame:
-    """Candidate doc pairs sharing >= min_shared sampled k-gram
-    fingerprints -> (doc_a, doc_b, n_shared).
-
-    Scale posture: the fingerprint stream is 1/p of the exact tier's,
-    distinct-ed to (doc_id, gh) grain before the self-join; the
-    candidate join is equi on gh (no cross product) and ``max_doc_freq``
-    drops degenerate grams shared by more than that many docs — the
-    same hot-key guard as the n-gram Jaccard tier, without which one
-    boilerplate gram shared by D docs costs D^2 pairs."""
-    grams = (
+    """Distinct (doc_id, gh) for the anchor-sampled k-gram windows."""
+    return (
         docs.filter(F.length(text_col) >= k)
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
             text_col,
         )
-        .select("doc_id", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
-        .filter(F.col("gh") % p == 0)
+        .filter(F.expr(f"substring({text_col}, pos + 1, 1) = '{anchor}'"))
+        .select("doc_id", F.expr(_gram_hash_fast_spark(text_col, k)).alias("gh"))
         .distinct()
     )
+
+
+def _anchored_grams_sql(table: str, text_col: str, k: int) -> str:
+    """DuckDB twin of the anchored fingerprint stream (CTE body)."""
+    return f"""
+  SELECT DISTINCT doc_id, {_gram_hash_fast_duck(text_col, k)} AS gh FROM (
+    SELECT doc_id, unnest(range(0, length({text_col}) - {k} + 1)) AS pos, {text_col}
+    FROM {table} WHERE length({text_col}) >= {k}
+  ) WHERE substr({text_col}, pos + 1, 1) = '{FP_ANCHOR}'"""
+
+
+def fingerprint_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Candidate doc pairs sharing >= min_shared anchor-sampled k-gram
+    fingerprints -> (doc_a, doc_b, n_shared).
+
+    Scale posture: the fingerprint stream is ~1/6 of the exact tier's,
+    distinct-ed to (doc_id, gh) grain before the self-join; the
+    candidate join is equi on gh (no cross product) and ``max_doc_freq``
+    drops degenerate grams shared by more than that many docs — the
+    same hot-key guard as the n-gram Jaccard tier, without which one
+    boilerplate gram shared by D docs costs D^2 pairs."""
+    grams = _anchored_grams(docs, text_col, k)
     if max_doc_freq is not None:
         wg = Window.partitionBy("gh")
         grams = grams.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
@@ -406,7 +416,6 @@ def fingerprint_candidates_sql(
     table: str = "documents",
     text_col: str = "text",
     k: int = DEFAULT_K,
-    p: int = FP_P,
     min_shared: int = 2,
     max_doc_freq: int | None = 64,
 ) -> str:
@@ -421,14 +430,7 @@ def fingerprint_candidates_sql(
         else ",fpg AS (SELECT doc_id, gh FROM fp)"
     )
     return f"""
-WITH g AS (
-  SELECT doc_id, unnest(range(0, length({text_col}) - {k} + 1)) AS pos, {text_col}
-  FROM {table} WHERE length({text_col}) >= {k}
-),
-fp AS (
-  SELECT DISTINCT doc_id, gh FROM (
-    SELECT doc_id, {_gram_hash_duck(text_col, k)} AS gh FROM g
-  ) WHERE gh % {p} = 0
+WITH fp AS ({_anchored_grams_sql(table, text_col, k)}
 ){guard}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        cast(count(*) AS BIGINT) AS n_shared
@@ -442,24 +444,13 @@ def corpus_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
     k: int = DEFAULT_K,
-    p: int = FP_P,
 ) -> DataFrame:
     """The persistable fingerprint index: distinct (doc_id, gh) for the
-    0-mod-p sampled k-grams — what a streaming ingest loop keeps in its
+    anchor-sampled k-grams — what a streaming ingest loop keeps in its
     store so arriving batches probe an index instead of re-shingling the
     corpus (the substring-tier analogue of the MinHash band-signature
     store in streaming/ingest_dedup.py)."""
-    return (
-        docs.filter(F.length(text_col) >= k)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.length(text_col) - k)).alias("pos"),
-            text_col,
-        )
-        .select("doc_id", F.expr(_gram_hash_spark(text_col, k)).alias("gh"))
-        .filter(F.col("gh") % p == 0)
-        .distinct()
-    )
+    return _anchored_grams(docs, text_col, k)
 
 
 def incremental_fingerprint_probe(
@@ -467,7 +458,6 @@ def incremental_fingerprint_probe(
     corpus_fps: DataFrame,
     text_col: str = "text",
     k: int = DEFAULT_K,
-    p: int = FP_P,
     min_shared: int = 1,
     max_doc_freq: int | None = 64,
 ) -> DataFrame:
@@ -480,10 +470,11 @@ def incremental_fingerprint_probe(
     an index lookup, not a recount).
 
     Scale posture: the corpus side contributes only its index rows
-    (1/p-sampled, 16 bytes/row) to ONE equi-join exchange on gh; batch
-    rows are the only text shingled. No corpus scan, no cross product.
+    (anchor-sampled, 16 bytes/row) to ONE equi-join exchange on gh;
+    batch rows are the only text shingled. No corpus scan, no cross
+    product.
     """
-    new_fps = corpus_fingerprints(new_docs, text_col, k, p).withColumn(
+    new_fps = corpus_fingerprints(new_docs, text_col, k).withColumn(
         "is_new", F.lit(True)
     )
     allfps = new_fps.unionByName(corpus_fps.withColumn("is_new", F.lit(False)))
@@ -514,13 +505,12 @@ def incremental_fingerprint_sql(
     table: str = "documents",
     text_col: str = "text",
     k: int = DEFAULT_K,
-    p: int = FP_P,
     min_shared: int = 1,
     max_doc_freq: int | None = 64,
 ) -> str:
     """DuckDB oracle: the FULL candidate set filtered to pairs touching
     the batch — the equivalence the probe path must reproduce."""
-    full = fingerprint_candidates_sql(table, text_col, k, p, min_shared, max_doc_freq)
+    full = fingerprint_candidates_sql(table, text_col, k, min_shared, max_doc_freq)
     return f"""
 SELECT * FROM ({full})
 WHERE doc_a IN (SELECT doc_id FROM {table} WHERE {batch_pred})

@@ -98,6 +98,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round21,
         round22,
         round23,
+        round24,
         taxi,
         timeseries,
         tpch,
@@ -108,7 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, analytics_round3, round4, round5, round6, round7, round8, round9, round10, round11, round12, round13, round14, round15, round16, round17, round18, round19, round20, round21, round22, round23, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, analytics_round3, round4, round5, round6, round7, round8, round9, round10, round11, round12, round13, round14, round15, round16, round17, round18, round19, round20, round21, round22, round23, round24, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
@@ -243,11 +244,15 @@ def all_queries() -> dict[str, QuerySpec]:
     # overlapping_sessions' last driver hash (r03) — both variants go
     # front so the record reflects shipped code; the substring family's
     # shared-scan rework (r08) re-fronts its queries.
+    # ...plus dedup_clusters / incremental_dedup_clusters, whose pair
+    # graph gained the hot-shingle guard in r08 (semantics + scale fix).
     _FORCE_FRONT = (
         "approx_cardinalities",
         "approx_quantile_profile",
         "overlapping_sessions",
         "overlapping_sessions_capped",
+        "dedup_clusters",
+        "incremental_dedup_clusters",
         "substring_candidates",
         "substring_tier_report",
         "incremental_substring_probe",

@@ -88,9 +88,20 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → canonical clusters: connected components over the exact
     Jaccard near-dup graph (iterative min-label propagation; the cluster id
-    is the component's minimum doc_id). Singleton docs keep themselves."""
+    is the component's minimum doc_id). Singleton docs keep themselves.
+
+    The pair graph is the HOT-SHINGLE-GUARDED tier (df ≤ _HOT_SHINGLE_DF,
+    same cutoff as the standalone dedup_ngram_jaccard query, applied on
+    both engines): until r08 this query clustered the UNGUARDED graph —
+    one boilerplate shingle shared by D docs costs O(D²) candidate pairs,
+    and the r08 100× forced-distributed shakeout caught exactly that (a
+    single verify-stage straggler with ~450 s of CPU while 31 cores sat
+    idle). The guard is also the right curation semantics: boilerplate
+    shingles must not glue unrelated documents into one mega-cluster."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = dedup.ngram_jaccard_pairs(
+        spark, sf_dir, max_doc_freq=_HOT_SHINGLE_DF
+    ).select("doc_a", "doc_b")
     return cluster.connected_components(docs, edges).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -100,7 +111,9 @@ DEDUP_CLUSTERS_ORACLE = (
     "SELECT vertex AS doc_id, component AS cluster_id FROM ("
     + cluster.connected_components_sql(
         "SELECT doc_id AS v FROM documents",
-        "SELECT doc_a AS src, doc_b AS dst FROM (" + dedup.ngram_jaccard_sql() + ")",
+        "SELECT doc_a AS src, doc_b AS dst FROM ("
+        + dedup.ngram_jaccard_sql(max_doc_freq=_HOT_SHINGLE_DF)
+        + ")",
     )
     + ")"
 )
@@ -720,9 +733,13 @@ def _incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance is only correct if it reaches the from-scratch fixpoint."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # checkpoint the pair pipeline ONCE: both the base and the increment
-    # read it (a lazy frame would re-run the shingle self-join per branch)
+    # read it (a lazy frame would re-run the shingle self-join per branch).
+    # Hot-shingle-guarded tier — same graph (and same r08 rationale) as
+    # dedup_clusters above; the full-recompute oracle applies the guard too.
     pairs, _ids = cluster._checkpoint(
-        dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        dedup.ngram_jaccard_pairs(
+            spark, sf_dir, max_doc_freq=_HOT_SHINGLE_DF
+        ).select("doc_a", "doc_b")
     )
     old_e = pairs.filter(f"NOT ({_INC_CLUSTER_PRED})")
     new_e = pairs.filter(_INC_CLUSTER_PRED)

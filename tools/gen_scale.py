@@ -216,24 +216,79 @@ def gen_part(n: int, seed: int = 29) -> pa.Table:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/scale{factor}x"
+    # GEN_TABLES=lineitem,orders,... generates a subset (e.g. only the
+    # graph-tier tables for the 1000x decade); GEN_CHUNKS=N splits each
+    # fact table into N part files generated independently (per-chunk
+    # seeds, disjoint key ranges where the column is a row id) so the
+    # driver-side numpy working set stays bounded at any factor.
+    only = os.environ.get("GEN_TABLES")
+    only_set = {t.strip() for t in only.split(",")} if only else None
+    chunks = max(1, int(os.environ.get("GEN_CHUNKS", "1")))
     os.makedirs(out, exist_ok=True)
-    specs = {
-        "documents": gen_documents(5000 * factor),
-        "embeddings": gen_embeddings(2000 * factor),
-        "orders": gen_orders(150000 * factor),
-        "events": gen_events(100000 * factor, 1500 * factor),
-        "lineitem": gen_lineitem(
-            600000 * factor, 150000 * factor, 20000 * factor, 1000 * factor
+    # builders: name -> (row_count, chunk_fn(chunk_rows, row_offset, seed))
+    n_orders, n_parts, n_supp = 150000 * factor, 20000 * factor, 1000 * factor
+
+    def _shift(table: pa.Table, col: str, off: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = table.schema.get_field_index(col)
+        return table.set_column(
+            idx, col, pc.add(table.column(col), pa.scalar(off, pa.int64()))
+        )
+
+    builders = {
+        "documents": (
+            5000 * factor, 7,
+            lambda n, off, seed: _shift(gen_documents(n, seed), "doc_id", off),
         ),
-        "customer": gen_customer(15000 * factor),
-        "part": gen_part(20000 * factor),
-        "supplier": gen_supplier(1000 * factor),
+        "embeddings": (
+            2000 * factor, 11,
+            lambda n, off, seed: _shift(gen_embeddings(n, seed=seed), "vec_id", off),
+        ),
+        "orders": (
+            150000 * factor, 13,
+            lambda n, off, seed: _shift(gen_orders(n, seed), "o_orderkey", off),
+        ),
+        "events": (
+            100000 * factor, 17,
+            lambda n, off, seed: _shift(
+                gen_events(n, 1500 * factor, seed), "event_id", off
+            ),
+        ),
+        # lineitem has no row-id column: chunks draw FKs over the full
+        # key spaces with distinct seeds — same distribution as one shot
+        "lineitem": (
+            600000 * factor, 19,
+            lambda n, off, seed: gen_lineitem(n, n_orders, n_parts, n_supp, seed),
+        ),
+        "customer": (
+            15000 * factor, 23,
+            lambda n, off, seed: _shift(gen_customer(n, seed), "c_custkey", off),
+        ),
+        "part": (
+            20000 * factor, 29,
+            lambda n, off, seed: _shift(gen_part(n, seed), "p_partkey", off),
+        ),
+        "supplier": (
+            1000 * factor, 31,
+            lambda n, off, seed: _shift(gen_supplier(n, seed), "s_suppkey", off),
+        ),
     }
-    for name, table in specs.items():
+    for name, (total, seed0, build) in builders.items():
+        if only_set is not None and name not in only_set:
+            continue
         d = os.path.join(out, f"{name}.parquet")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(table, os.path.join(d, "part-0.parquet"))
-        print(name, table.num_rows, "->", d)
+        per = total // chunks
+        written = 0
+        for i in range(chunks):
+            n = per if i < chunks - 1 else total - per * (chunks - 1)
+            # chunk 0 keeps the table's historical seed so a 1-chunk run
+            # is byte-identical to the pre-chunking generator
+            table = build(n, written, seed0 if i == 0 else 1000 * seed0 + i)
+            pq.write_table(table, os.path.join(d, f"part-{i}.parquet"))
+            written += table.num_rows
+        print(name, written, "->", d, f"({chunks} chunks)")
     # nation/region are scale-independent 25/5-row dimensions: copy them
     # verbatim so nation-joining queries run at every factor
     import shutil
