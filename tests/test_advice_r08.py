@@ -219,3 +219,24 @@ def test_bench_local_pin_relative_suspect_trigger(monkeypatch):
     assert bench._find_suspects({"slowq": 11.4, "fineq": 1.05}, 0.1, 1.8) == []
     # ...until it crosses its own-pin threshold
     assert bench._find_suspects({"slowq": 16.0, "fineq": 1.05}, 0.1, 1.8) == ["slowq"]
+
+
+def test_pagerank_scale_autofit():
+    """Past ~9M nodes the fixed scale-9 envelope fails; _fit_scale must
+    lower the quantum (loudly) instead of refusing, stay a pure function
+    of n, and refuse only below the scale-5 floor."""
+    import warnings
+
+    from timedf_spark.operators.pagerank import _fit_scale
+
+    assert _fit_scale(1_600, 9) == 9  # small graph untouched
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _fit_scale(16_000_000, 9)  # the 1000x graph tier
+        assert got == 8 and 16_000_000 * 10**8 < (1 << 53)
+        assert any("scale lowered" in str(x.message) for x in w)
+    assert _fit_scale(16_000_000, 9) == got  # deterministic
+    import pytest
+
+    with pytest.raises(AssertionError):
+        _fit_scale(10**14, 9)  # beyond even scale-5: refuse

@@ -397,3 +397,20 @@ def test_asof_join_tolerance_matches_pandas(spark, direction):
             assert pd.isna(row["rv_got"]), row
         else:
             assert row["rv_exp"] == pytest.approx(row["rv_got"]), row
+
+
+def test_fan_out_size_gate(spark, sf_dir):
+    """fan_out (r08): sub-min_bytes scans are left alone even when
+    under-split (the repartition costs more than the serialism there —
+    A/B-measured on the jaccard/minhash pipelines at sf0.1); min_bytes=0
+    forces the partition-count-only behavior; an already-wide frame is
+    a no-op either way."""
+    from timedf_spark.sources import fan_out, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert fan_out(docs) is docs  # small scan: gated no-op
+    forced = fan_out(docs, min_bytes=0)
+    assert (
+        forced.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )

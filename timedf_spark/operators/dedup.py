@@ -101,7 +101,7 @@ def ngram_jaccard_pairs(
     collision needs ~2^30 distinct shingles per joined pair to matter.
     """
     return ngram_jaccard_pairs_df(
-        load_table(spark, sf_dir, "documents"),
+        fan_out(load_table(spark, sf_dir, "documents")),
         k=k,
         threshold=threshold,
         max_doc_freq=max_doc_freq,
@@ -135,6 +135,10 @@ def ngram_jaccard_pairs_df(
     if max_doc_freq is not None:
         # Heavy hitters are few by definition (df > f) → broadcast anti-join;
         # costs one extra agg over sh but removes the quadratic hot buckets.
+        # (A/B-measured at sf0.1: caching the RAW stream before the guard
+        # and re-filtering per consumer is ~2x SLOWER than paying the one
+        # extra shingle pass here — three broadcast-join passes over the
+        # cached stream cost more than one md5 projection.)
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -245,7 +249,7 @@ def minhash_lsh_pairs(
     Verification: exact Jaccard on the candidates only.
     """
     return minhash_lsh_pairs_df(
-        load_table(spark, sf_dir, "documents"),
+        fan_out(load_table(spark, sf_dir, "documents")),
         k=k,
         n_hashes=n_hashes,
         bands=bands,

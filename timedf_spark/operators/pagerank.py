@@ -30,7 +30,9 @@ iteration arithmetic as unrolled DuckDB CTEs (recursive-term aggregates
 are not portable SQL; unrolling k iterations is), and the driver's hash
 compare passes exactly. Quantization is part of the algorithm's
 semantics, not noise: scale=9 ⇒ 1e-9 per-term grid, exact-sum bound
-N·10^9 < 2^53 ⇒ graphs to ~9M nodes; drop the scale for larger graphs.
+N·10^9 < 2^53 ⇒ graphs to ~9M nodes; past that ``_fit_scale`` lowers the
+scale automatically (and loudly) instead of refusing — the 100 TB regime
+lives above a fixed scale-9 envelope.
 """
 
 from __future__ import annotations
@@ -109,6 +111,36 @@ def _driver_iterate(nodes_np, src_np, dst_np, iters, scale, n_value, pv_np=None)
     return nodes_sorted, rank
 
 
+def _fit_scale(n: int, scale: int) -> int:
+    """Largest quantization scale ≤ ``scale`` whose exact-sum envelope
+    holds (n · 10^scale < 2^53 — the float64-exact integer range the
+    quantized rounds rely on). A FIXED scale=9 refuses graphs past ~9 M
+    nodes, which is exactly the regime a 100 TB deployment lives in; the
+    fit is a pure function of (n, scale), so results stay deterministic
+    and run-to-run identical — they depend on n either way (the rank
+    quantum is part of the algorithm's contract, and the DuckDB twins
+    take the same scale explicitly). Lowering is LOUD (warnings.warn);
+    below scale 5 the quantum is coarser than (1-d)/n for any n inside
+    the envelope, so refuse instead of silently degrading."""
+    fitted = scale
+    while fitted > 4 and n * (10**fitted) >= (1 << 53):
+        fitted -= 1
+    assert n * (10**fitted) < (1 << 53), (
+        f"{n} nodes exceeds the exact-sum envelope even at scale=5"
+    )
+    if fitted != scale:
+        import warnings
+
+        warnings.warn(
+            f"pagerank: quantization scale lowered {scale} -> {fitted} to "
+            f"keep exact integer sums for {n} nodes (rank quantum "
+            f"1e-{fitted})",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return fitted
+
+
 def _update_expr(n_lit: str) -> str:
     """rank'(v) for one node: identical text on both sides. contrib and
     dang_m may be NULL (no in-edges / no dangling nodes)."""
@@ -141,9 +173,7 @@ def pagerank(
     nodes = nodes.select(F.col(node_col).alias("node")).distinct()
     n = nodes.count()
     assert n > 0, "empty node set"
-    assert n * (10**scale) < (1 << 53), (
-        f"{n} nodes at scale={scale} exceeds the exact-sum envelope; lower scale"
-    )
+    scale = _fit_scale(n, scale)
     n_lit = repr(float(n))  # identical literal text in both engines
 
     # materialize the edge pipeline ONCE; count + collect (or the
@@ -242,9 +272,7 @@ def personalized_pagerank(
     s = seeds.count()
     assert s > 0, "empty seed set"
     n = nodes.count()
-    assert n * (10**scale) < (1 << 53), (
-        f"{n} nodes at scale={scale} exceeds the exact-sum envelope; lower scale"
-    )
+    scale = _fit_scale(n, scale)
     s_lit = repr(float(s))
     nodes_p = nodes.join(
         seeds.withColumn("is_seed", F.lit(1)), "node", "left"

@@ -45,7 +45,14 @@ _COMMON: dict[str, Any] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
-    "spark.sql.shuffle.partitions": "32",
+    # 32 fits this box's 32 threads at test SFs; SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # overrides it for outsized local runs (the 1000x graph shakeout OOMed at
+    # 32: 600M edge rows / 32 reduce partitions × 32 concurrent BytesToBytesMap
+    # builds exhausted unified memory — partition sizing, not operator shape;
+    # AQE coalesces the small stages back down either way).
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     # Parquet INT64 TIMESTAMP(NANOS) (the events table) is otherwise an
     # illegal type for Spark's reader; read as epoch-ns long and convert in
     # the loader (sources/readers.py).

@@ -138,7 +138,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
-def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 24 << 20) -> DataFrame:
     """Scan-parallelism guard for per-row-CPU-heavy pipelines (shingling,
     regex, hashing, vector math).
 
@@ -157,8 +157,25 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     connected-components rounds), where downstream exchanges re-partition
     anyway and the extra stage is pure overhead — both measured, both
     reverted. Apply per call site with a measurement, not globally.
+
+    ``min_bytes`` (r08): under-split is only worth FIXING when the
+    serial work is material — for a few-MB scan the repartition costs
+    more than the serialism (A/B-measured at sf0.1 on the jaccard and
+    minhash pipelines: fan_out LOST 0.3-1.6 s per query there, while at
+    100x the same single-row-group scan serialized ~2 min of shingling
+    onto one core). Plan-stats size below the floor → no-op, so the
+    guard engages exactly where it pays.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if min_bytes > 0:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if size < min_bytes:
+                return df
+        except Exception:  # noqa: BLE001 — stats unavailable: fall through
+            pass
     # Partition count from the planned physical scan — NOT df.rdd, which
     # converts the whole plan to an RDD (forcing a second physical planning
     # pass + Python<->JVM round trips) on every call.

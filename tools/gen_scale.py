@@ -286,7 +286,15 @@ def main() -> None:
             # chunk 0 keeps the table's historical seed so a 1-chunk run
             # is byte-identical to the pre-chunking generator
             table = build(n, written, seed0 if i == 0 else 1000 * seed0 + i)
-            pq.write_table(table, os.path.join(d, f"part-{i}.parquet"))
+            # bounded row groups: pyarrow's default writes ONE row group
+            # per call, and Spark cannot split a file below row-group
+            # granularity — a 500k-doc single-group file scans as one
+            # task no matter how many cores exist (observed as the r08
+            # 100x shingle straggler). 32k-row groups keep every
+            # generated file splittable.
+            pq.write_table(
+                table, os.path.join(d, f"part-{i}.parquet"), row_group_size=32768
+            )
             written += table.num_rows
         print(name, written, "->", d, f"({chunks} chunks)")
     # nation/region are scale-independent 25/5-row dimensions: copy them
