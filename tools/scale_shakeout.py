@@ -113,6 +113,24 @@ QUERIES = [
     "brand_seasonality_index",
     "discount_return_rates",
     "customer_concentration",
+    # round-8 session: sequence/finance/IVM/ER tier (round24) and the
+    # hypothesis-test/audit tier (round25)
+    "event_type_trigrams",
+    "customer_drawdown",
+    "twap_value",
+    "ivm_join_delta",
+    "sorted_neighborhood_pairs",
+    "fano_burstiness",
+    "price_divergence_report",
+    "mann_whitney_discount",
+    "corr_matrix_lineitem",
+    "keyness_odds_terms",
+    "blocking_profile",
+    "simpson_slope_audit",
+    "nelson_aalen_conversion",
+    "cuped_adjusted_ab",
+    "fs_match_scores",
+    "neyman_allocation",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
