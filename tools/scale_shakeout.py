@@ -131,6 +131,10 @@ QUERIES = [
     "cuped_adjusted_ab",
     "fs_match_scores",
     "neyman_allocation",
+    "ipf_raking",
+    "order_reconciliation_report",
+    "forecast_backtest_naive",
+    "price_heaping_audit",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
