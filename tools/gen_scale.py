@@ -304,9 +304,17 @@ def main() -> None:
     for dim in ("nation", "region"):
         src = os.path.join(BASE, f"{dim}.parquet")
         dst = os.path.join(out, f"{dim}.parquet")
-        if os.path.isdir(src) and not os.path.isdir(dst):
+        if os.path.exists(dst):
+            continue
+        # the driver's testdata ships these as single parquet FILES;
+        # generated dirs from older rounds were directories — handle both
+        if os.path.isdir(src):
             shutil.copytree(src, dst)
-            print(dim, "copied ->", dst)
+        elif os.path.isfile(src):
+            shutil.copyfile(src, dst)
+        else:
+            continue
+        print(dim, "copied ->", dst)
 
 
 if __name__ == "__main__":
