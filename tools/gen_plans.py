@@ -97,6 +97,13 @@ HEADLINERS = {
     "supply_reach": "BFS frontier expansion: frontier⋈edges equi-join + min-agg per round over a checkpointed frontier",
     "substring_tier_report": "per-position k-gram hashes: ONE exchange of corpus bytes at gram grain; tier report is aggregate-grain only",
     "semantic_dedup_capped": "SRP buckets in-scan (Arrow matmul); window rank within (table,bucket); degree-bounded range join — candidate volume linear, no all-pairs",
+    # round-8 session: statistics / ER-audit / survival / raking tiers
+    "price_divergence_report": "KS + EMD in one pass: the only global-order window runs over the post-aggregation $1000 grid (~500 rows); totals join back as 1-row broadcasts",
+    "corr_matrix_lineitem": "all 15 co-moments from ONE partial+final aggregate; 6 corr rows unfold via stack (Generate) — no join, no window",
+    "fs_match_scores": "all 3x4 leads ride ONE (size)-partitioned window; candidates unfold via stack — no self-join, one sort",
+    "nelson_aalen_conversion": "user-grain duration agg, then both risk-set windows over the day-grain grid (<= span-days rows)",
+    "ipf_raking": "75-cell grid aggregated once; every IPF sweep joins margins back as broadcasts (no shuffled join in the sweep chain)",
+    "blocking_profile": "block-grain groupBy per scheme; candidate-pair volume computed WITHOUT materializing any pair (no Generate, no join)",
 }
 
 
