@@ -102,8 +102,29 @@ def _checkpoint(df: DataFrame):
     the life of the session — on a long-running cluster job the iterative
     operator slowly eats executor storage memory it no longer needs.
     The returned frame is metadata-stripped (see _strip_plan_metadata) so
-    iterative chains cannot compound planner metadata round over round."""
+    iterative chains cannot compound planner metadata round over round.
+
+    SPARK_GRAFT_CHECKPOINT_DIR switches every iterative operator to
+    RELIABLE (disk-file) checkpoints instead: localCheckpoint caches
+    whole partitions through the block manager, which materializes each
+    partition as one in-heap array — at the 1000x decade (16M nodes over
+    a 600M-row edge build) that array construction OOMed a 100g
+    single-JVM heap twice (r08). A reliable checkpoint streams the
+    partition to disk files and reads it back, so peak heap stays at
+    task-buffer size; on a real cluster the same switch is how an
+    iterative job survives executor-storage pressure. The planner-
+    metadata strip applies on both paths (the r06 blowup reproduced
+    under reliable checkpoints too — it is metadata-, not
+    storage-driven)."""
+    import os
+
     sc = df.sparkSession.sparkContext
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(ckdir)
+        out = df.checkpoint()  # eager, disk-backed, lineage-truncating
+        return _strip_plan_metadata(out), set()
     before = _persistent_ids(sc)
     out = df.localCheckpoint()  # eager: materialized here
     ids = _persistent_ids(sc) - before

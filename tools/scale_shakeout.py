@@ -189,6 +189,11 @@ def main() -> None:
             # stop-the-world pauses on hot executors.
             "spark.network.timeout": "600s",
             "spark.executor.heartbeatInterval": "60s",
+            # with SPARK_GRAFT_CHECKPOINT_DIR (reliable disk checkpoints
+            # for the iterative tier) old checkpoint files must be GC'd
+            # as their frames go out of scope, or a multi-query run
+            # fills the disk
+            "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         },
     )
     qs = all_queries()
