@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round25,
         round26,
         round27,
+        round28,
         taxi,
         timeseries,
         tpch,
@@ -112,7 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, analytics_round3, round4, round5, round6, round7, round8, round9, round10, round11, round12, round13, round14, round15, round16, round17, round18, round19, round20, round21, round22, round23, round24, round25, round26, round27, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
+    for mod in (taxi, ml_etl, plasticc, tpch, tpch_deep, tpch_round2, tpch_round3, analytics_round3, round4, round5, round6, round7, round8, round9, round10, round11, round12, round13, round14, round15, round16, round17, round18, round19, round20, round21, round22, round23, round24, round25, round26, round27, round28, advanced, windows_suite, timeseries, extension, curation_suite, lakehouse, ml_train):
         for name, spec in mod.SUITE.items():
             assert name not in merged, f"duplicate query name {name}"
             merged[name] = spec
