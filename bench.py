@@ -65,6 +65,19 @@ FAMILY_CHUNKS = {
     ),
 }
 
+# Intentional-plan-change waivers for the shuffle gate (VERDICT r08
+# item 3): a commit that deliberately moves a query's shuffle footprint
+# must not ship a spurious `shuffle_regressions` finding on the NEXT
+# run in an env whose pin predates the change (r08: the hot-shingle
+# guard re-pinned the local baselines but the driver pin still carried
+# the old ones → two spurious findings). Entry: name -> (ceiling_mb,
+# reason). A waived query that trips the 2x gate BELOW its ceiling is
+# reported under `shuffle_waived` and its baseline self-heals to the
+# new value; ABOVE the ceiling it is a regression like any other — the
+# ceiling is what keeps a waiver from masking a later real regression.
+# Remove entries once both env pins carry the post-change baseline.
+SHUFFLE_WAIVERS: dict[str, tuple[float, str]] = {}
+
 
 def _plan_chunks(names: list[str]) -> tuple[list[list[str]], int]:
     """Chunk layout: regular queries in <=CHUNK_LIMIT slices, then one
@@ -310,12 +323,20 @@ def _report(
         gate_skipped = "no pin baseline (first run seeds it)"
     if gate_skipped:
         print(json.dumps({"shuffle_gate_skipped": gate_skipped}), file=sys.stderr)
+    shuffle_waived: dict[str, dict] = {}
     for name, mb in shuffle_mb.items():
         base_mb = shuffle_baseline.get(name)
         if base_mb is None:
             shuffle_baseline[name] = mb  # new query: first value is its pin
         elif mb > 2 * base_mb and mb > 1.0:
-            shuffle_regressions[name] = {"baseline_mb": base_mb, "now_mb": mb}
+            ceiling, reason = SHUFFLE_WAIVERS.get(name, (0.0, ""))
+            if mb <= ceiling:
+                shuffle_waived[name] = {
+                    "baseline_mb": base_mb, "now_mb": mb, "reason": reason
+                }
+                shuffle_baseline[name] = mb  # self-heal the pin
+            else:
+                shuffle_regressions[name] = {"baseline_mb": base_mb, "now_mb": mb}
 
     detail = {
         "metric": "sum_of_median_query_seconds",
@@ -327,6 +348,7 @@ def _report(
         "scan_baseline_sec": scan_baseline,
         "evidence": evidence,
         "shuffle_regressions": shuffle_regressions,
+        "shuffle_waived": shuffle_waived,
         "shuffle_baseline_mb": shuffle_baseline,
         "env_tag": _env_tag(),
     }

@@ -400,16 +400,17 @@ def test_asof_join_tolerance_matches_pandas(spark, direction):
 
 
 def test_fan_out_size_gate(spark, sf_dir):
-    """fan_out (r08): sub-min_bytes scans are left alone even when
-    under-split (the repartition costs more than the serialism there —
-    A/B-measured on the jaccard/minhash pipelines at sf0.1); min_bytes=0
-    forces the partition-count-only behavior; an already-wide frame is
-    a no-op either way."""
+    """fan_out (r08/r09): the min_bytes floor is OPT-IN — the default
+    (0) fans out any under-split scan (r08 shipped 24 MB as the default
+    and regressed seven per-row-CPU queries, VERDICT r08 item 1); an
+    explicit floor leaves sub-floor scans alone (the repartition costs
+    more than the serialism there — A/B-measured on the jaccard/minhash
+    pipelines at sf0.1)."""
     from timedf_spark.sources import fan_out, load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    assert fan_out(docs) is docs  # small scan: gated no-op
-    forced = fan_out(docs, min_bytes=0)
+    assert fan_out(docs, min_bytes=24 << 20) is docs  # floored: no-op
+    forced = fan_out(docs)  # default: partition-count-only behavior
     assert (
         forced.rdd.getNumPartitions()
         >= spark.sparkContext.defaultParallelism

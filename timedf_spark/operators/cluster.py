@@ -38,6 +38,8 @@ recursive CTE (tests/oracle via ``connected_components_sql``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -116,13 +118,34 @@ def _checkpoint(df: DataFrame):
     metadata strip applies on both paths (the r06 blowup reproduced
     under reliable checkpoints too — it is metadata-, not
     storage-driven)."""
-    import os
-
     sc = df.sparkSession.sparkContext
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckdir:
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        cur = sc._jsc.sc().getCheckpointDir()
+        if cur.isEmpty():
             sc.setCheckpointDir(ckdir)
+        else:
+            # ADVICE r08: setCheckpointDir nests a per-context UUID dir
+            # under the requested path, so compare the PARENT of the
+            # current dir (scheme-stripped) against the env value — if an
+            # earlier call (or user code) pinned a different directory,
+            # silently keeping it would land checkpoints on the wrong
+            # volume. Re-point and warn instead.
+            cur_parent = os.path.dirname(str(cur.get()).rstrip("/"))
+            for scheme in ("file://", "file:"):
+                if cur_parent.startswith(scheme):
+                    cur_parent = cur_parent[len(scheme):]
+                    break
+            if os.path.abspath(cur_parent) != os.path.abspath(ckdir):
+                import warnings
+
+                warnings.warn(
+                    "SPARK_GRAFT_CHECKPOINT_DIR=%r differs from the "
+                    "context's current checkpoint dir %r — re-pointing to "
+                    "the env value" % (ckdir, str(cur.get())),
+                    stacklevel=2,
+                )
+                sc.setCheckpointDir(ckdir)
         out = df.checkpoint()  # eager, disk-backed, lineage-truncating
         return _strip_plan_metadata(out), set()
     before = _persistent_ids(sc)
@@ -203,6 +226,20 @@ def connected_components(
     if vertices is None:
         # both orientations are in e, so src alone covers every endpoint
         vertices = e.select(F.col("src").alias("v")).distinct()
+    # Distributed-implementation switch (VERDICT r08 item 2):
+    # SPARK_GRAFT_CC_IMPL=star routes the at-scale path to the
+    # alternating large-star/small-star rewrite (fixpoint-identical,
+    # property-tested) instead of pointer jumping. The A/B at
+    # forced-distributed 100x (SCALE_SHAKEOUT.json, r09) measured star
+    # SLOWER on the dedup graph (its per-round distinct() on the edge
+    # multiset costs more than the label re-join at this skew level —
+    # the hot-shingle guard already caps the degree distribution), so
+    # pointer jumping stays the default; the knob exists for power-law
+    # graphs where a single hub would funnel one reducer.
+    if os.environ.get("SPARK_GRAFT_CC_IMPL") == "star":
+        out = connected_components_star(vertices, e, max_rounds=max_rounds)
+        _release(e, e_ids)
+        return out
     vcol = vertices.columns[0]
     labels, label_ids = _checkpoint(
         vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl"))

@@ -101,7 +101,12 @@ def ngram_jaccard_pairs(
     collision needs ~2^30 distinct shingles per joined pair to matter.
     """
     return ngram_jaccard_pairs_df(
-        fan_out(load_table(spark, sf_dir, "documents")),
+        # 24 MB floor: join-dominated pipeline — the r08 A/B at sf0.1
+        # measured the fan-out repartition LOSING 0.3-1.6 s on small
+        # scans here (downstream exchanges re-partition anyway), while
+        # at 100x the floor passes and the single-row-group scan still
+        # fans out. Opt-in per call site (VERDICT r08 item 1).
+        fan_out(load_table(spark, sf_dir, "documents"), min_bytes=24 << 20),
         k=k,
         threshold=threshold,
         max_doc_freq=max_doc_freq,
@@ -249,7 +254,10 @@ def minhash_lsh_pairs(
     Verification: exact Jaccard on the candidates only.
     """
     return minhash_lsh_pairs_df(
-        fan_out(load_table(spark, sf_dir, "documents")),
+        # 24 MB floor: same r08 A/B as the jaccard entry point — band
+        # equi-joins re-partition downstream, small-scan fan-out is pure
+        # overhead here; floor passes at 100x where it pays.
+        fan_out(load_table(spark, sf_dir, "documents"), min_bytes=24 << 20),
         k=k,
         n_hashes=n_hashes,
         bands=bands,

@@ -240,28 +240,76 @@ def all_queries() -> dict[str, QuerySpec]:
         "asof_click_purchase",
     })
     rotate_back |= _R07_DRIVER_GREEN
-    # Round-8 front (VERDICT r07 directives #3/#4): the approx-sketch
-    # pair now carries a deterministic-bound oracle (exact values +
-    # in-query tolerance flags) — their first-ever hash check; the
-    # interval family's operator file (operators/intervals.py) changed
-    # in r07 (+84 lines) and again in r08 (tie-break fallback) after
-    # overlapping_sessions' last driver hash (r03) — both variants go
-    # front so the record reflects shipped code; the substring family's
-    # shared-scan rework (r08) re-fronts its queries.
-    # ...plus dedup_clusters / incremental_dedup_clusters, whose pair
-    # graph gained the hot-shingle guard in r08 (semantics + scale fix).
+    # Round-9 window: CORRECTNESS_r08.json was 50/50 hash-green (the
+    # first perfect window) — fold every r08-checked query into the
+    # cumulative rotation.
+    _R08_DRIVER_GREEN = frozenset({
+        "approx_cardinalities", "approx_quantile_profile",
+        "overlapping_sessions", "overlapping_sessions_capped",
+        "dedup_clusters", "incremental_dedup_clusters",
+        "substring_candidates", "substring_tier_report",
+        "incremental_substring_probe", "duplicate_substring_spans",
+        "strip_duplicate_spans", "event_type_trigrams",
+        "customer_drawdown", "twap_value", "ivm_join_delta",
+        "sorted_neighborhood_pairs", "fano_burstiness",
+        "price_divergence_report", "mann_whitney_discount",
+        "corr_matrix_lineitem", "keyness_odds_terms", "blocking_profile",
+        "simpson_slope_audit", "nelson_aalen_conversion",
+        "cuped_adjusted_ab", "fs_match_scores", "neyman_allocation",
+        "ipf_raking", "order_reconciliation_report",
+        "forecast_backtest_naive", "price_heaping_audit",
+        "activity_streaks", "asof_next_error", "churned_customers",
+        "clicks_before_errors", "column_cardinalities",
+        "concentrated_suppliers", "cube_revenue", "cumulative_value",
+        "customers_anti_join", "disjunctive_revenue", "event_type_pivot",
+        "idle_customer_balance", "important_parts", "key_skew_stats",
+        "large_order_customers", "latest_order_per_customer",
+        "linreg_by_flag", "median_quantity", "min_cost_supplier",
+    })
+    rotate_back |= _R08_DRIVER_GREEN
+    # Round-9 front (VERDICT r08 items 1/5): every query whose plan or
+    # semantics changed since its last driver hash.
+    #  - blocking_profile: r09 made the lang_len block key's NULL
+    #    semantics explicit on BOTH engines (ADVICE r08) — expression
+    #    change, re-hash first.
+    #  - the fan_out retune (min_bytes floor now opt-in, VERDICT r08
+    #    item 1) re-plans every per-row-CPU documents/lineitem pipeline:
+    #    all fan_out call-site queries go front.
+    #  - cluster.py gained the SPARK_GRAFT_CC_IMPL routing knob (r09) and
+    #    dedup.py the explicit jaccard/minhash floors after the
+    #    dedup-cluster pair's r08 hash.
+    #  - r08 edited tpch.py / extension.py / pagerank.py / similarity.py
+    #    after these queries' last hashes: top_unshipped_orders,
+    #    curate_corpus, supplier_pagerank, semantic_dedup_keepers,
+    #    dedup_embedding_cosine.
     _FORCE_FRONT = (
-        "approx_cardinalities",
-        "approx_quantile_profile",
-        "overlapping_sessions",
-        "overlapping_sessions_capped",
+        "blocking_profile",
+        "join_size_sketch",
+        "contamination_probe",
+        "doc_fingerprint",
+        "trigram_lang_profile",
+        "text_stats",
+        "lang_id",
+        "token_counts",
+        "doc_chunks",
+        "repetition_stats",
+        "pii_redact",
+        "charlm_score",
+        "duplicate_paragraphs",
+        "token_budget_pack",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
         "dedup_clusters",
         "incremental_dedup_clusters",
-        "substring_candidates",
-        "substring_tier_report",
-        "incremental_substring_probe",
-        "duplicate_substring_spans",
-        "strip_duplicate_spans",
+        "plasticc_etl",
+        "plasticc_multi_agg",
+        "semantic_dedup_keepers",
+        "ann_brute_topk",
+        "dedup_embedding_cosine",
+        "curate_corpus",
+        "top_unshipped_orders",
+        "supplier_pagerank",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
@@ -291,6 +339,8 @@ def all_queries() -> dict[str, QuerySpec]:
     def _last_checked(n: str) -> int:
         if n in _NO_ORACLE_BACK:
             return 99
+        if n in _R08_DRIVER_GREEN:
+            return 8
         if n in _R07_DRIVER_GREEN:
             return 7
         if n in _R06_RECHECKED or n in _R06_DRIVER_GREEN:

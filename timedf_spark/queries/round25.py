@@ -23,6 +23,11 @@ Scale posture (the 100 TB lens, per query):
   (2·cum_before + count + 1) stay integer, so U, and the AUC estimate
   U/(n1·n2), are exact. No per-row ranking anywhere — the classic
   rank-sum trick that makes MW a two-shuffle statistic at any scale.
+  Overflow bound (ADVICE r08): the rank-sum product r1x2 = Σ ca·rank2
+  grows as ~2·n_a·N — with ANSI off Spark silently wraps past 2^63
+  while DuckDB promotes to HUGEINT, so results diverge above ~2e9
+  qualifying rows; add a HUGEINT-style two-step guard (the keyness
+  pattern) before a >1000× port.
 
 - ``corr_matrix_lineitem`` — Pearson correlation for all 6 pairs of 4
   quantized lineitem measures from ONE aggregation pass (15 exact int64
@@ -393,10 +398,17 @@ def blocking_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 10000, 1) AS reduction_bp",
         )
 
+    # NULL semantics made explicit on BOTH sides (ADVICE r08): concat_ws
+    # SKIPS null operands while the oracle's || PROPAGATES them, so a null
+    # lang/n_chars would land the row in different blocks across engines.
+    # coalesce(lang,'') and coalesce(n_chars, -bucket) (→ bucket -1, exact
+    # division so DIV-vs-// rounding can't differ) pin one shared key.
     a = _profile(
         docs.select(
-            F.concat_ws(
-                "|", "lang", F.expr(f"CAST(n_chars DIV {_LEN_BUCKET} AS STRING)")
+            F.expr(
+                "concat(coalesce(lang, ''), '|', "
+                f"CAST(coalesce(n_chars, -{_LEN_BUCKET}) DIV {_LEN_BUCKET}"
+                " AS STRING))"
             ).alias("bkey")
         ),
         "lang_len",
@@ -410,7 +422,9 @@ def blocking_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOCKING_ORACLE = f"""
 WITH keyed AS (
   SELECT 'lang_len' AS scheme,
-         lang || '|' || CAST(n_chars // {_LEN_BUCKET} AS VARCHAR) AS bkey
+         coalesce(lang, '') || '|'
+           || CAST(coalesce(n_chars, -{_LEN_BUCKET}) // {_LEN_BUCKET} AS VARCHAR)
+           AS bkey
   FROM documents
   UNION ALL
   SELECT 'first_token' AS scheme, str_split(text, ' ')[1] AS bkey FROM documents

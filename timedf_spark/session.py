@@ -95,12 +95,31 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if profile == "local":
         builder = builder.master(f"local[{cpus}]")
-    conf = dict(PROFILES[profile])
-    if extra_conf:
-        conf.update(extra_conf)
-    for k, v in conf.items():
+    for k, v in _resolve_conf(profile, extra_conf).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _resolve_conf(
+    profile: str, extra_conf: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """The full conf map ``get_spark`` applies for a profile.
+
+    Reliable-checkpoint GC (ADVICE r08): when SPARK_GRAFT_CHECKPOINT_DIR
+    routes iterative operators to disk checkpoints (operators/cluster.py::
+    _checkpoint), the files are only reclaimed by the ContextCleaner if
+    cleanCheckpoints is on — otherwise EVERY entry point (bench, CLI,
+    tests) accumulates checkpoint files for the whole session and a long
+    multi-query run can fill the disk. Must be set before the SparkContext
+    starts (the cleaner reads it once at startup), hence here and not at
+    the first setCheckpointDir call.
+    """
+    conf = dict(PROFILES[profile])
+    if os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"):
+        conf.setdefault("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
 
 
 def stop_spark() -> None:

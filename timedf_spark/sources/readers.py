@@ -138,7 +138,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 
 
-def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 24 << 20) -> DataFrame:
+def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 0) -> DataFrame:
     """Scan-parallelism guard for per-row-CPU-heavy pipelines (shingling,
     regex, hashing, vector math).
 
@@ -158,13 +158,20 @@ def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 24 << 20) -> Da
     anyway and the extra stage is pure overhead — both measured, both
     reverted. Apply per call site with a measurement, not globally.
 
-    ``min_bytes`` (r08): under-split is only worth FIXING when the
-    serial work is material — for a few-MB scan the repartition costs
+    ``min_bytes`` (r08/r09): under-split is only worth FIXING when the
+    serial work is material — for a few-MB scan the repartition can cost
     more than the serialism (A/B-measured at sf0.1 on the jaccard and
     minhash pipelines: fan_out LOST 0.3-1.6 s per query there, while at
     100x the same single-row-group scan serialized ~2 min of shingling
     onto one core). Plan-stats size below the floor → no-op, so the
-    guard engages exactly where it pays.
+    guard engages exactly where it pays. The floor is OPT-IN per call
+    site (default 0 = always fan out below parallelism): r08 shipped
+    24 MB as the default and the per-row-CPU pipelines that fan-out was
+    originally measured 3-5x on silently lost it at sf0.1 (~+9 s across
+    seven queries, join_size_sketch 4.41 -> 8.09 s — VERDICT r08 item 1).
+    Pass ``min_bytes=24 << 20`` only at sites whose A/B showed the
+    repartition losing on small scans (dedup jaccard/minhash entry
+    points).
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     if min_bytes > 0:
