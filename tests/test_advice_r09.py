@@ -167,11 +167,13 @@ def test_shuffle_waiver_self_heals_below_ceiling(monkeypatch, tmp_path, capsys):
     }
 
 
-def test_cc_impl_star_knob_routes_to_identical_fixpoint(spark, monkeypatch):
-    """SPARK_GRAFT_CC_IMPL=star (VERDICT r08 item 2) must route the
-    DISTRIBUTED connected-components path to the large/small-star rewrite
-    and land on the identical min-id fixpoint as pointer jumping —
-    including singleton vertices and a self-loop."""
+def test_cc_impl_routing_both_paths_identical_fixpoint(spark, monkeypatch):
+    """VERDICT r08 item 2: the DISTRIBUTED connected-components path
+    defaults to the large/small-star rewrite (A/B at forced-distributed
+    100x: star t100 114.6 s / exp 0.69 vs pointer jumping 205.0 s /
+    0.87) with SPARK_GRAFT_CC_IMPL=jump restoring pointer jumping. Both
+    must land on the identical min-id fixpoint — including singleton
+    vertices and a self-loop."""
     from timedf_spark.operators.cluster import connected_components
 
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_PATH", "0")
@@ -180,11 +182,11 @@ def test_cc_impl_star_knob_routes_to_identical_fixpoint(spark, monkeypatch):
     )
     vertices = spark.range(1, 11).selectExpr("id AS v")
     monkeypatch.delenv("SPARK_GRAFT_CC_IMPL", raising=False)
-    jump = sorted(map(tuple, connected_components(vertices, edges).collect()))
-    monkeypatch.setenv("SPARK_GRAFT_CC_IMPL", "star")
     star = sorted(map(tuple, connected_components(vertices, edges).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_CC_IMPL", "jump")
+    jump = sorted(map(tuple, connected_components(vertices, edges).collect()))
     assert jump == star
-    assert dict(jump)[9] == 1 and dict(jump)[10] == 10
+    assert dict(star)[9] == 1 and dict(star)[10] == 10
 
 
 def test_jaccard_minhash_entry_points_keep_floor(spark, sf_dir):

@@ -223,23 +223,31 @@ def connected_components(
                 F.coalesce("component", F.col("vertex")).alias("component"),
             )
         )
-    if vertices is None:
-        # both orientations are in e, so src alone covers every endpoint
-        vertices = e.select(F.col("src").alias("v")).distinct()
-    # Distributed-implementation switch (VERDICT r08 item 2):
-    # SPARK_GRAFT_CC_IMPL=star routes the at-scale path to the
-    # alternating large-star/small-star rewrite (fixpoint-identical,
-    # property-tested) instead of pointer jumping. The A/B at
-    # forced-distributed 100x (SCALE_SHAKEOUT.json, r09) measured star
-    # SLOWER on the dedup graph (its per-round distinct() on the edge
-    # multiset costs more than the label re-join at this skew level —
-    # the hot-shingle guard already caps the degree distribution), so
-    # pointer jumping stays the default; the knob exists for power-law
-    # graphs where a single hub would funnel one reducer.
-    if os.environ.get("SPARK_GRAFT_CC_IMPL") == "star":
+    # Distributed-implementation routing (VERDICT r08 item 2): the
+    # at-scale path DEFAULTS to the alternating large-star/small-star
+    # rewrite (fixpoint-identical, property-tested + oracle-identical on
+    # the dedup graph). The A/B at forced-distributed 100x
+    # (SCALE_SHAKEOUT.json queries_star_100x vs queries_distributed_100x,
+    # r09, same protocol) measured star at t100 114.6 s / exponent 0.69
+    # vs pointer jumping's 205.0 s / 0.87 — star rewrites the (shrinking)
+    # edge set with map-side-combinable min-neighbour aggregates, while
+    # pointer jumping re-joins the full label table twice per round, so
+    # the gap widens with the decade. Star costs ~+1 s on the sf0.1
+    # distributed graph (4.7 vs 3.7 s) — irrelevant, since graphs that
+    # small take the driver union-find fast path above. SPARK_GRAFT_CC_IMPL
+    # =jump restores pointer jumping (e.g. to re-run the A/B).
+    # vertices (possibly None) passes through UNDERIVED: star derives
+    # endpoints from its OWN checkpointed edge set, so releasing the
+    # outer working set here cannot orphan a lazy vertex derivation
+    # (releasing it under a vertices-from-e plan was a real bug: the
+    # final join re-read the unpersisted localCheckpoint blocks).
+    if os.environ.get("SPARK_GRAFT_CC_IMPL", "star") != "jump":
         out = connected_components_star(vertices, e, max_rounds=max_rounds)
         _release(e, e_ids)
         return out
+    if vertices is None:
+        # both orientations are in e, so src alone covers every endpoint
+        vertices = e.select(F.col("src").alias("v")).distinct()
     vcol = vertices.columns[0]
     labels, label_ids = _checkpoint(
         vertices.select(F.col(vcol).alias("v"), F.col(vcol).alias("lbl"))
@@ -298,11 +306,14 @@ def connected_components(
 
 
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
+    vertices: DataFrame | None, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
-    same contract and fixpoint as :func:`connected_components`.
+    same contract and fixpoint as :func:`connected_components`, including
+    ``vertices=None`` (labels restricted to edge ENDPOINTS, derived from
+    the internally-checkpointed canonical edge set so no caller frame is
+    re-read after the rounds).
 
     The algorithm rewrites the EDGE set instead of propagating labels:
 
@@ -328,15 +339,20 @@ def connected_components_star(
     per round. Convergence when the edge set reaches the star fixpoint
     (every edge already points at the component minimum → rewrite changes
     nothing)."""
-    vcol = vertices.columns[0]
     scol, dcol = edges.columns[0], edges.columns[1]
     # canonical working set: both orientations, self-loops dropped
-    e, e_ids = _checkpoint(
-        edges.select(F.col(scol).alias("u"), F.col(dcol).alias("w"))
-        .union(edges.select(F.col(dcol).alias("u"), F.col(scol).alias("w")))
-        .filter(F.col("u") != F.col("w"))
-        .distinct()
+    sym = edges.select(F.col(scol).alias("u"), F.col(dcol).alias("w")).union(
+        edges.select(F.col(dcol).alias("u"), F.col(scol).alias("w"))
     )
+    e, e_ids = _checkpoint(sym.filter(F.col("u") != F.col("w")).distinct())
+    if vertices is None:
+        # endpoints from the PRE-filter symmetric set (a self-loop-only
+        # vertex must still label itself), checkpointed eagerly so the
+        # result never re-reads a caller frame the caller may release
+        vertices, _v_ids = _checkpoint(
+            sym.select(F.col("u").alias("v")).distinct()
+        )
+    vcol = vertices.columns[0]
 
     def star_round(e: DataFrame, large: bool):
         mins = e.groupBy("u").agg(F.min("w").alias("m"))
@@ -357,6 +373,7 @@ def connected_components_star(
             out.union(out.select(F.col("w").alias("u"), F.col("u").alias("w"))).distinct()
         )
 
+    converged = False
     for _ in range(max_rounds):
         mid, mid_ids = star_round(e, large=True)
         e2, e2_ids = star_round(mid, large=False)
@@ -366,7 +383,15 @@ def connected_components_star(
         _release(e, e_ids)
         e, e_ids = e2, e2_ids
         if delta == 0:
+            converged = True
             break
+    if not converged:
+        # same contract as the pointer-jumping path: an un-fixpointed edge
+        # set would silently split true components — raise, never truncate
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds; raise max_rounds"
+        )
 
     # at fixpoint every non-minimum vertex has an edge to its component min
     comp = e.groupBy("u").agg(F.min("w").alias("m"))
