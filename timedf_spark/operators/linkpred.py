@@ -54,6 +54,13 @@ def resource_allocation_pairs(
     # array — no distinct pre-pass and no self-join exchange; the only
     # remaining big shuffle is the unavoidable pair-grain aggregate. The
     # sorted array gives n1 < n2 for free.
+    #
+    # Unfold shape (r09): posexplode the array, then explode the i<j
+    # SUFFIX slice per position — two streaming Generate operators. The
+    # previous one-shot nested transform+flatten built the ENTIRE
+    # O(deg²) pair array per row inside interpreted HOF lambdas before
+    # exploding it; the two-level shape cut supplier_communities' edge
+    # stage 4.5 -> 2.8 s at sf0.1 (identical output, A/B'd).
     grouped = (
         edges.select(F.col(neighbor).alias("_c"), F.col(node).alias("_n"))
         .groupBy("_c")
@@ -61,18 +68,16 @@ def resource_allocation_pairs(
         .where(F.size("_ns") <= max_degree)
         .withColumn("_deg", F.size("_ns").cast("long"))
     )
-    pairs = grouped.select(
+    lefts = grouped.select(
+        "_deg", F.posexplode("_ns").alias("_i", "n1"), F.col("_ns")
+    )
+    pairs = lefts.select(
         "_deg",
-        F.explode(
-            F.expr(
-                "flatten(transform(_ns, (x, i) -> "
-                "transform(slice(_ns, i + 2, size(_ns)), "
-                "y -> struct(x AS n1, y AS n2))))"
-            )
-        ).alias("_p"),
+        "n1",
+        F.explode(F.expr("slice(_ns, _i + 2, size(_ns))")).alias("n2"),
     )
     return (
-        pairs.groupBy(F.col("_p.n1").alias("n1"), F.col("_p.n2").alias("n2"))
+        pairs.groupBy("n1", "n2")
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.sum(F.expr(f"{int(scale)} DIV _deg")).alias("ra_scaled"),

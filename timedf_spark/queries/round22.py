@@ -85,18 +85,20 @@ def _brand_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders")
     )
     brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    # two-level posexplode+suffix-slice (r09, the linkpred.py shape):
+    # streams pairs through two Generates instead of materializing the
+    # O(k²) pair array per basket in interpreted HOF lambdas
     pairs = (
         ob.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .select(F.posexplode("brands").alias("_i", "brand_a"), F.col("brands"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(brands, (x, i) -> "
-                    "transform(slice(brands, i + 2, size(brands)), y -> struct(x as a, y as b))))"
-                )
-            ).alias("p")
+            "brand_a",
+            F.explode(F.expr("slice(brands, _i + 2, size(brands))")).alias(
+                "brand_b"
+            ),
         )
-        .groupBy(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _MIN_SUPPORT)
     )

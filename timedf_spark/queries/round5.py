@@ -115,18 +115,18 @@ def brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
     # strict-upper-triangle pair emission on the row's own sorted set:
-    # each order contributes each unordered pair exactly once
+    # each order contributes each unordered pair exactly once. Two-level
+    # posexplode+suffix-slice (r09, the linkpred.py shape) instead of one
+    # nested transform+flatten — the latter builds the whole O(k²) pair
+    # array per row in interpreted HOF lambdas before exploding.
     pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands)),"
-                " y -> struct(x AS brand_a, y AS brand_b))))"
-            )
-        ).alias("p")
+        F.posexplode("brands").alias("_i", "brand_a"), F.col("brands")
+    ).select(
+        "brand_a",
+        F.explode(F.expr("slice(brands, _i + 2, size(brands))")).alias("brand_b"),
     )
     return (
-        pairs.groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        pairs.groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(_BASKET_TOP)
