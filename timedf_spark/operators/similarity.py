@@ -33,6 +33,8 @@ __all__ = [
     "lsh_topk",
     "hyperplanes",
     "cosine_dedup_pairs",
+    "cosine_dedup_pairs_df",
+    "srp_signature_rows",
     "cosine_dedup_sql",
     "cosine_dedup_capped_sql",
     "ivf_topk",
@@ -278,8 +280,65 @@ def cosine_dedup_pairs(
     n_tables: int = _DEDUP_TABLES,
     max_degree: int | None = None,
 ) -> DataFrame:
+    """Table entry point — see :func:`cosine_dedup_pairs_df`."""
+    return cosine_dedup_pairs_df(
+        fan_out(load_table(spark, sf_dir, "embeddings")),
+        threshold=threshold,
+        bits=bits,
+        n_tables=n_tables,
+        max_degree=max_degree,
+    )
+
+
+def srp_signature_rows(
+    emb: DataFrame,
+    bits: int = _DEDUP_BITS,
+    n_tables: int = _DEDUP_TABLES,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(vec_id, embedding[, *extra], bucket0..bucketT−1): the
+    deterministic SRP signature of each vector under the shared dedup
+    hyperplane tables — one Arrow-matmul pass. This row IS the streaming
+    signature store's unit (streaming/semantic_ingest.py): bucketed once
+    at ingest, equality-joined forever after.
+
+    Arrow-vectorized bucketing (matmul) — numerically this differs from
+    the oracle's sequential accumulation only in the last ulp (~1e-16
+    relative); a sign flip needs |dot| < ~1e-13 while dots here are O(1),
+    so bucket parity holds with overwhelming margin (verified exact on
+    the gate data). _bucket_col stays available as the bit-exact path."""
+    dim = len(emb.select("embedding").first()[0])
+    tables = _dedup_planes(dim, bits, n_tables)
+    buckets_udf = _buckets_pandas_udf(tables)
+    extra = extra or []
+    return emb.select(
+        "vec_id", "embedding", *extra, buckets_udf("embedding").alias("bks")
+    ).select(
+        "vec_id",
+        "embedding",
+        *extra,
+        *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
+    )
+
+
+def cosine_dedup_pairs_df(
+    emb: DataFrame,
+    threshold: float = _COS_THRESHOLD,
+    bits: int = _DEDUP_BITS,
+    n_tables: int = _DEDUP_TABLES,
+    max_degree: int | None = None,
+    require_flag: str | None = None,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH blocking, then exact
     cosine over candidates only.
+
+    ``emb``: (vec_id, embedding[, <require_flag> boolean]) frame. With
+    ``require_flag`` set, only pairs where at least ONE side has the flag
+    true are emitted (the flag predicate joins the bucket equi-join, so
+    flag-false×flag-false candidates are pruned before the cosine UDF) —
+    the shape the streaming ingest probe uses: corpus rows flagged false,
+    batch rows true → emitted pairs are exactly the batch-touching subset
+    of the full pair set, each pair emitted once across the stream.
 
     Same linear-scale structure as MinHash banding (dedup.py): one scan
     computes ``n_tables`` deterministic sign-random-projection buckets per
@@ -313,26 +372,19 @@ def cosine_dedup_pairs(
     candidate set, because window membership is table-local and the
     guard's bucket-equality shortcut no longer implies emission there.
     """
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    dim = len(emb.select("embedding").first()[0])
-    tables = _dedup_planes(dim, bits, n_tables)
-    # Arrow-vectorized bucketing (matmul) — numerically this differs from
-    # the oracle's sequential accumulation only in the last ulp (~1e-16
-    # relative); a sign flip needs |dot| < ~1e-13 while dots here are O(1),
-    # so bucket parity holds with overwhelming margin (verified exact on
-    # the gate data). _bucket_col stays available as the bit-exact path.
-    buckets_udf = _buckets_pandas_udf(tables)
-    with_sig = emb.select(
-        "vec_id", "embedding", buckets_udf("embedding").alias("bks")
-    ).select(
-        "vec_id",
-        "embedding",
-        *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
-    )
+    extra = [require_flag] if require_flag else []
+    bucket_cols_probe = [f"bucket{t}" for t in range(n_tables)]
+    if all(c in emb.columns for c in bucket_cols_probe):
+        # pre-signed rows (the streaming signature store): skip the
+        # projection — the corpus is bucketed once at ingest, never again
+        with_sig = emb.select("vec_id", "embedding", *extra, *bucket_cols_probe)
+    else:
+        with_sig = srp_signature_rows(emb, bits, n_tables, extra=extra)
     bucket_cols = [f"bucket{t}" for t in range(n_tables)]
     blocked = with_sig.select(
         "vec_id",
         "embedding",
+        *extra,
         *bucket_cols,  # full signature travels (n_tables longs — cheap)
         F.explode(
             F.array(
@@ -342,7 +394,12 @@ def cosine_dedup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", *bucket_cols, "tb.tbl", "tb.bucket")
+    ).select("vec_id", "embedding", *extra, *bucket_cols, "tb.tbl", "tb.bucket")
+    flag_pred = (
+        (F.col(f"a.{require_flag}") | F.col(f"b.{require_flag}"))
+        if require_flag
+        else F.lit(True)
+    )
     if max_degree is not None:
         # degree-bounded linking: rank within (tbl, bucket) by vec_id,
         # join each member to its next max_degree successors — per-bucket
@@ -350,7 +407,7 @@ def cosine_dedup_pairs(
         # shuffle over the blocked rows (N × n_tables, scalar columns).
         w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
         blocked = blocked.select(
-            "vec_id", "embedding", "tbl", "bucket",
+            "vec_id", "embedding", *extra, "tbl", "bucket",
             F.row_number().over(w).alias("rn"),
         )
         a, b = blocked.alias("a"), blocked.alias("b")
@@ -360,7 +417,8 @@ def cosine_dedup_pairs(
                 (F.col("a.tbl") == F.col("b.tbl"))
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("b.rn") > F.col("a.rn"))
-                & (F.col("b.rn") <= F.col("a.rn") + max_degree),
+                & (F.col("b.rn") <= F.col("a.rn") + max_degree)
+                & flag_pred,
             )
             .select(
                 F.col("a.vec_id").alias("id_a"),
@@ -391,7 +449,8 @@ def cosine_dedup_pairs(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & flag_pred,
         )
         .filter(first_table_guard)
         .select(
