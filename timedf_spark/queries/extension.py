@@ -678,21 +678,34 @@ SUITE = {
 }
 
 
+_KEEPER_CAP = 8  # same per-vector degree bound as semantic_dedup_capped
+
+
 def _semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-level near-dup CLUSTERS → keeper summary: SRP-blocked
-    cosine pairs (no all-pairs), connected components over them
-    (pointer jumping), one row per cluster = (keeper vec_id = min member,
-    member count). The semantic twin of curate_corpus's text-level
-    keeper selection."""
+    """Embedding-level near-dup CLUSTERS → keeper summary: DEGREE-CAPPED
+    SRP-blocked cosine pairs (no all-pairs), connected components over
+    them, one row per cluster = (keeper vec_id = min member, member
+    count). The semantic twin of curate_corpus's text-level keeper
+    selection.
+
+    Capped, not uncapped (r09): clustering needs CONNECTIVITY, not every
+    edge — the degree bound's consecutive-link chaining keeps a dense
+    same-bucket duplicate group in one component while capping candidate
+    volume at N·tables·cap (the uncapped tier's in-bucket volume is
+    quadratic in occupancy: measured 224 s / exponent 1.0 at 100x —
+    200k vectors over 256 buckets/table — vs the capped tier's 0.24).
+    Pair recall of the capped graph vs uncapped is the measured
+    ``semantic_dedup_degree_cap`` evidence bound (0.88); transitive
+    chaining recovers most of the gap at the COMPONENT level."""
     # CC only over edge ENDPOINTS (vertices=None): vertices without a
     # near-dup edge are singleton components, and the query filters
     # singletons anyway — so the iterative rounds run over the (tiny)
     # duplicate graph, not the whole corpus. The endpoint set derives
     # from the operator's own edge checkpoint: zero extra
     # materialization of the SRP+cosine pipeline.
-    edges = similarity.cosine_dedup_pairs(spark, sf_dir).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    edges = similarity.cosine_dedup_pairs(
+        spark, sf_dir, max_degree=_KEEPER_CAP
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     cc = cluster.connected_components(None, edges)
     return (
         cc.groupBy(F.col("component").alias("keeper_id"))
@@ -706,7 +719,9 @@ SEMANTIC_DEDUP_ORACLE = (
     "SELECT component AS keeper_id, count(*) AS n_members FROM ("
     + cluster.connected_components_sql(
         "SELECT vec_id AS v FROM embeddings",
-        "SELECT id_a AS src, id_b AS dst FROM (" + similarity.cosine_dedup_sql() + ")",
+        "SELECT id_a AS src, id_b AS dst FROM ("
+        + similarity.cosine_dedup_capped_sql(_KEEPER_CAP)
+        + ")",
     )
     + ") GROUP BY component HAVING count(*) > 1 ORDER BY keeper_id"
 )
