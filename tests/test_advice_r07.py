@@ -228,7 +228,9 @@ def test_cosine_dedup_docstring_references_existing_evidence_guard():
     from timedf_spark.operators import similarity
     import timedf_spark.evidence as ev
 
-    doc = similarity.cosine_dedup_pairs.__doc__
+    # r09: the full docstring moved to the frame-level function when the
+    # table entry point became a thin wrapper — check where it lives now
+    doc = similarity.cosine_dedup_pairs_df.__doc__
     src = inspect.getsource(ev)
     assert "semantic_dedup_capped" in doc
     assert "semantic_dedup_degree_cap" not in doc
