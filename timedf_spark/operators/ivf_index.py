@@ -1,0 +1,179 @@
+"""Persisted IVF index: build the inverted-file ANN structure ONCE to a
+cell-partitioned parquet layout, probe it many times — the serving path
+of ``operators/similarity.ivf_topk`` (which trains + assigns inline on
+every call; right for a one-shot analytic query, wrong for a retrieval
+endpoint that answers thousands of queries against one corpus).
+
+Layout under ``index_path``:
+
+    centroids.parquet          (cell long, centroid array<double>) — tiny
+    postings/cell=N/*.parquet  (vec_id long, embedding array<double>)
+
+``postings`` is PARTITIONED BY cell, so a probe's ``cell IN (...)``
+predicate becomes parquet PARTITION PRUNING: only the probed cells'
+directories are listed and scanned — the on-disk realization of
+inverted lists. At 100 TB with 2^16 cells and nprobe=64 a probe touches
+~0.1% of the corpus files; the pruning is visible in the plan
+(PartitionFilters, pinned by test).
+
+Training/assignment reuse the exact deterministic pieces of the inline
+operator (same bounded hash-ordered sample, same seeded spherical
+k-means, same argmax-first-wins cell rule), so probing a freshly built
+index returns IDENTICAL rows to ``ivf_topk`` on the same corpus —
+equality is pinned by test, which is what makes the persisted path safe
+to adopt.
+
+Reference parity: none (intel-ai/timedf has no vector surface); the
+structure is the standard FAISS IVF-Flat layout re-expressed as
+partitioned parquet + broadcast centroids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from timedf_spark.operators.similarity import (
+    _N_QUERIES,
+    _TOP_K,
+    _kmeans_centroids,
+    _pair_cosine_udf,
+)
+from timedf_spark.sources import load_table
+
+__all__ = ["build_ivf_index", "ivf_topk_with_index", "ann_ivf_persisted"]
+
+
+def _cell_cos_udf(cmat_normed: np.ndarray):
+    @F.pandas_udf("array<double>")
+    def cell_cos(emb_s: pd.Series) -> pd.Series:
+        mat = np.array(emb_s.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(norms > 0, mat / norms, 0.0) @ cmat_normed.T
+        return pd.Series(sims.tolist())
+
+    return cell_cos
+
+
+def build_ivf_index(
+    emb: DataFrame, index_path: str, n_cells: int = 48
+) -> None:
+    """Train centroids (deterministic driver k-means over a bounded
+    sample) and write centroids + cell-partitioned postings. Overwrite
+    semantics: rebuilding over an existing index converges (same
+    deterministic centroids → same assignment → same files)."""
+    spark = emb.sparkSession
+    cmat = _kmeans_centroids(emb, n_cells)
+    cent_rows = [
+        (int(c), [float(x) for x in cmat[c]]) for c in range(n_cells)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids.parquet")
+    )
+    cell_cos = _cell_cos_udf(cmat)
+    # argmax cell, first max wins (array_position) — the inline
+    # operator's exact assignment rule
+    assigned = emb.select(
+        "vec_id", "embedding", cell_cos("embedding").alias("cc")
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cc, array_max(cc))") - 1)
+        .cast("long")
+        .alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_path, "postings")
+    )
+
+
+def ivf_topk_with_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    nprobe: int = 16,
+) -> DataFrame:
+    """Probe a persisted index: broadcast the (tiny) centroid matrix,
+    rank each query's cells, read ONLY the probed cells' postings
+    (partition pruning via the materialized ``cell IN (...)`` list),
+    exact-cosine re-rank. ``queries``: (q_id, q_emb)."""
+    cent = (
+        spark.read.parquet(os.path.join(index_path, "centroids.parquet"))
+        .orderBy("cell")
+        .collect()
+    )
+    cmat = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    n_cells = len(cent)
+    nprobe = min(n_cells, nprobe)
+    cell_cos = _cell_cos_udf(cmat)
+    probed = (
+        queries.select("q_id", "q_emb", cell_cos("q_emb").alias("cc"))
+        .select("q_id", "q_emb", F.posexplode("cc").alias("cell_idx", "c_cos"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("c_cos"), F.asc("cell_idx")
+                )
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("q_id", "q_emb", F.col("cell_idx").cast("long").alias("cell"))
+    )
+    # Materialize the probed cell list driver-side (n_queries × nprobe
+    # ints — bounded by construction) so the postings scan gets a LITERAL
+    # cell IN (...) predicate: that is what turns into partition pruning
+    # at the file listing. A join-side predicate cannot prune partitions
+    # before DPP kicks in, and DPP needs the join to plan first.
+    cells = sorted(
+        {r["cell"] for r in probed.select("cell").distinct().collect()}
+    )
+    postings = spark.read.parquet(os.path.join(index_path, "postings")).filter(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+    pair_cos = _pair_cosine_udf()
+    candidates = postings.join(F.broadcast(probed), "cell").select(
+        "q_id", "vec_id", pair_cos("q_emb", "embedding").alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def ann_ivf_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = _N_QUERIES,
+    k: int = _TOP_K,
+    n_cells: int = 48,
+    nprobe: int = 16,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Registry shape: build the index for ``sf_dir``'s embeddings if
+    absent (first call pays the build; later calls — and bench
+    iterations — measure the PROBE, which is the serving metric), then
+    answer the standard first-N-vectors query set against it. Returns
+    rows identical to ``similarity.ivf_topk`` at the same parameters
+    (pinned by test)."""
+    root = index_root or os.path.join(
+        "/tmp", "ivf_index_" + sf_dir.strip("/").replace("/", "_")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    done_marker = os.path.join(root, "postings", "_SUCCESS")
+    if not os.path.exists(done_marker):
+        build_ivf_index(emb, root, n_cells=n_cells)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk_with_index(spark, root, queries, k=k, nprobe=nprobe)

@@ -159,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # no-oracle entries: each pinned by a stronger local test
         # (recall vs brute force, merge-table exactness, trained-model
         # metrics) than a rows-only driver check would add
+        "ann_ivf_persisted",
         "ann_ivf_filtered",
         "ann_ivfpq_topk",
         "ann_lsh_topk",
@@ -332,6 +333,7 @@ def all_queries() -> dict[str, QuerySpec]:
     }
     _NO_ORACLE_BACK = {
         "ann_ivf_filtered", "ann_ivfpq_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_ivf_persisted",  # result == ann_ivf_topk, equality pinned by test
         "multimodal_features", "quality_classifier", "gbt_taxi_train",
         "plasticc_forest_train", "bpe_vocab", "bpe_token_counts",
     }

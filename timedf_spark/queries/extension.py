@@ -384,6 +384,16 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(spark, sf_dir)
 
 
+def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path IVF: probe the persisted cell-partitioned index
+    (built once per sf_dir — the first call pays the build, every later
+    call measures the probe). Rows identical to ann_ivf_topk at the
+    same parameters, pinned by tests/test_ivf_index.py."""
+    from timedf_spark.operators.ivf_index import ann_ivf_persisted
+
+    return ann_ivf_persisted(spark, sf_dir)
+
+
 def _cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dedup_pairs(spark, sf_dir)
 
@@ -638,6 +648,10 @@ SUITE = {
     "ann_ivfpq_topk": QuerySpec(
         "ann_ivfpq_topk", _ann_ivfpq, None,  # approximate: validated by recall test
         "IVF-PQ: product-quantized ADC candidates + exact re-rank",
+    ),
+    "ann_ivf_persisted": QuerySpec(
+        "ann_ivf_persisted", _ann_ivf_persisted, None,  # == ann_ivf_topk, pinned by test
+        "persisted IVF index probe: partition-pruned postings scan (serving path)",
     ),
     "dedup_embedding_cosine": QuerySpec(
         "dedup_embedding_cosine", _cosine_dedup, similarity.cosine_dedup_sql(),
