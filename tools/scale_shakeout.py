@@ -135,6 +135,9 @@ QUERIES = [
     "order_reconciliation_report",
     "forecast_backtest_naive",
     "price_heaping_audit",
+    # round-9 session: gaps-and-islands + the persisted-IVF serving path
+    "activity_streaks",
+    "ann_ivf_persisted",
 ]
 
 # Optional subset: SHAKEOUT_QUERIES="a,b,c" runs only those names.
