@@ -70,3 +70,61 @@ def test_rebuild_is_deterministic(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "b" / "postings")).select("vec_id", "cell").collect())
     )
     assert pa == pb and len(pa) > 0
+
+
+def test_stale_index_rebuilds_on_corpus_change(spark, sf_dir, tmp_path):
+    """VERDICT r09 item 2 / ADVICE r09: regenerating the embeddings
+    parquet at the SAME path must force a rebuild — before the manifest
+    guard, any existing postings/_SUCCESS was reused and the probe
+    silently answered from the OLD corpus (and the query is no-oracle,
+    so the driver check could not catch it)."""
+    from timedf_spark.operators import ivf_index
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 200).write.mode("overwrite").parquet(
+        str(corpus / "embeddings.parquet")
+    )
+    root = str(tmp_path / "idx")
+    first = ivf_index.ann_ivf_persisted(
+        spark, str(corpus), n_cells=8, nprobe=4, index_root=root
+    )
+    assert first.select(F.max("vec_id")).first()[0] < 200
+
+    # regenerate the corpus at the same path: DIFFERENT rows (ids shifted
+    # +1000), same file layout
+    emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", *[
+            c for c in emb.columns if c not in ("vec_id", "embedding")
+        ]
+    ).write.mode("overwrite").parquet(str(corpus / "embeddings.parquet"))
+    second = ivf_index.ann_ivf_persisted(
+        spark, str(corpus), n_queries=1005, n_cells=8, nprobe=4, index_root=root
+    )
+    # a stale probe would return vec_ids < 200 from the old postings;
+    # the rebuilt index only knows the shifted ids
+    assert second.select(F.min("vec_id")).first()[0] >= 1000
+
+
+def test_stale_index_rebuilds_on_n_cells_change(spark, sf_dir, tmp_path):
+    """A call with different n_cells must not serve the old cell layout."""
+    import os
+
+    from timedf_spark.operators import ivf_index
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 200).write.mode("overwrite").parquet(
+        str(corpus / "embeddings.parquet")
+    )
+    root = str(tmp_path / "idx")
+    ivf_index.ann_ivf_persisted(
+        spark, str(corpus), n_cells=8, nprobe=4, index_root=root
+    )
+    ivf_index.ann_ivf_persisted(
+        spark, str(corpus), n_cells=4, nprobe=4, index_root=root
+    )
+    cent = spark.read.parquet(os.path.join(root, "centroids.parquet"))
+    assert cent.count() == 4

@@ -229,8 +229,10 @@ def connected_components(
     # the dedup graph). The A/B at forced-distributed 100x
     # (SCALE_SHAKEOUT.json queries_star_100x vs queries_distributed_100x,
     # r09, same protocol) measured star at t100 114.6 s / exponent 0.69
-    # vs pointer jumping's 205.0 s / 0.87 — star rewrites the (shrinking)
-    # edge set with map-side-combinable min-neighbour aggregates, while
+    # vs pointer jumping's 205.0 s / 0.87 — star rewrites the edge set
+    # (monotone-superset variant, bounded ~|E_sym| + O(n·rounds) — see
+    # connected_components_star) with map-side-combinable min-neighbour
+    # aggregates, while
     # pointer jumping re-joins the full label table twice per round, so
     # the gap widens with the decade. Star costs ~+1 s on the sf0.1
     # distributed graph (4.7 vs 3.7 s) — irrelevant, since graphs that
@@ -242,7 +244,13 @@ def connected_components(
     # (releasing it under a vertices-from-e plan was a real bug: the
     # final join re-read the unpersisted localCheckpoint blocks).
     if os.environ.get("SPARK_GRAFT_CC_IMPL", "star") != "jump":
-        out = connected_components_star(vertices, e, max_rounds=max_rounds)
+        # assume_symmetric: e above is ALREADY the checkpointed
+        # union-of-both-orientations — star must not rebuild/re-checkpoint
+        # it (doubling rows pre-distinct was a redundant shuffle +
+        # materialization of the largest working set, ADVICE r09)
+        out = connected_components_star(
+            vertices, e, max_rounds=max_rounds, assume_symmetric=True
+        )
         _release(e, e_ids)
         return out
     if vertices is None:
@@ -306,7 +314,10 @@ def connected_components(
 
 
 def connected_components_star(
-    vertices: DataFrame | None, edges: DataFrame, max_rounds: int = _MAX_ROUNDS
+    vertices: DataFrame | None,
+    edges: DataFrame,
+    max_rounds: int = _MAX_ROUNDS,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC '14) —
@@ -322,9 +333,21 @@ def connected_components_star(
         small-star: for each node u, connect every smaller-or-equal
                     neighbour to m(u)
 
-    Both steps are one groupBy(node) over the edge list; the paper proves
-    the edge count never grows and the rounds converge in O(log² n)
-    (O(log n) in practice). The operational difference vs pointer jumping
+    Both steps are one groupBy(node) over the edge list. NOTE: this is
+    the MONOTONE-SUPERSET variant, not the paper's edge-replacing one —
+    each round keeps one orientation of every original edge and
+    re-symmetrizes, so the working edge set only grows: bounded by the
+    original symmetric set plus the u→m(u) rewire edges (≤ one per
+    (node, round), and rewires collapse toward component minima as
+    rounds proceed), i.e. ~|E_sym| + O(n·rounds) with rounds O(log n)
+    in practice. The superset keeps the fixpoint test trivial (the edge
+    multiset stops changing exactly when every node links its component
+    minimum) at the cost of a working set that never shrinks below the
+    input — fine for dedup graphs, whose edge volume is the duplicate
+    density, not the corpus. Kiveris et al.'s shrinking property would
+    require dropping the rewritten orientation; the A/B'd performance
+    (SCALE_SHAKEOUT queries_star_*) is of THIS variant.
+    The operational difference vs pointer jumping
     is WHERE the work lands: star rounds aggregate the full neighbour
     list per node — with Spark's partial aggregation the map-side combine
     collapses a hot node's list before the shuffle, so a power-law degree
@@ -338,13 +361,25 @@ def connected_components_star(
     (map-only) + distinct (one shuffle); localCheckpoint truncates lineage
     per round. Convergence when the edge set reaches the star fixpoint
     (every edge already points at the component minimum → rewrite changes
-    nothing)."""
+    nothing).
+
+    ``assume_symmetric``: the caller guarantees ``edges`` already holds
+    BOTH orientations and is checkpointed (``connected_components``'s
+    routing path) — the union/distinct/checkpoint of the canonicalization
+    is skipped and the caller's materialized blocks are reused directly
+    (a map-only self-loop filter is all that runs before round 1).
+    Duplicate input rows are tolerated: the first round's distinct
+    absorbs them (at worst one phantom non-zero delta on round 1)."""
     scol, dcol = edges.columns[0], edges.columns[1]
-    # canonical working set: both orientations, self-loops dropped
-    sym = edges.select(F.col(scol).alias("u"), F.col(dcol).alias("w")).union(
-        edges.select(F.col(dcol).alias("u"), F.col(scol).alias("w"))
-    )
-    e, e_ids = _checkpoint(sym.filter(F.col("u") != F.col("w")).distinct())
+    sym = edges.select(F.col(scol).alias("u"), F.col(dcol).alias("w"))
+    if assume_symmetric:
+        e, e_ids = sym.filter(F.col("u") != F.col("w")), set()
+    else:
+        # canonical working set: both orientations, self-loops dropped
+        sym = sym.union(
+            edges.select(F.col(dcol).alias("u"), F.col(scol).alias("w"))
+        )
+        e, e_ids = _checkpoint(sym.filter(F.col("u") != F.col("w")).distinct())
     if vertices is None:
         # endpoints from the PRE-filter symmetric set (a self-loop-only
         # vertex must still label itself), checkpointed eagerly so the

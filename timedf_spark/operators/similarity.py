@@ -307,17 +307,39 @@ def srp_signature_rows(
     relative); a sign flip needs |dot| < ~1e-13 while dots here are O(1),
     so bucket parity holds with overwhelming margin (verified exact on
     the gate data). _bucket_col stays available as the bit-exact path."""
-    dim = len(emb.select("embedding").first()[0])
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    extra = extra or []
+    md = {"srp_bits": int(bits), "srp_tables": int(n_tables)}
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        # empty frame (an empty foreachBatch invocation under streaming
+        # replay/recovery — ADVICE r09): there is no row to infer dim
+        # from, and no row to sign; return an EMPTY frame with the exact
+        # signature schema instead of crashing on first()[0]
+        fields = [emb.schema[c] for c in ("vec_id", "embedding", *extra)]
+        fields += [
+            StructField(f"bucket{t}", LongType(), True, metadata=md)
+            for t in range(n_tables)
+        ]
+        return emb.sparkSession.createDataFrame([], StructType(fields))
+    dim = len(first[0])
     tables = _dedup_planes(dim, bits, n_tables)
     buckets_udf = _buckets_pandas_udf(tables)
-    extra = extra or []
+    # bucket columns carry (bits, n_tables) as column metadata — the
+    # pre-signed fast path in cosine_dedup_pairs_df verifies them against
+    # the call's parameters (survives parquet round-trips: the store's
+    # rows stay self-describing)
     return emb.select(
         "vec_id", "embedding", *extra, buckets_udf("embedding").alias("bks")
     ).select(
         "vec_id",
         "embedding",
         *extra,
-        *[F.col("bks")[t].alias(f"bucket{t}") for t in range(n_tables)],
+        *[
+            F.col("bks")[t].alias(f"bucket{t}", metadata=md)
+            for t in range(n_tables)
+        ],
     )
 
 
@@ -376,7 +398,36 @@ def cosine_dedup_pairs_df(
     bucket_cols_probe = [f"bucket{t}" for t in range(n_tables)]
     if all(c in emb.columns for c in bucket_cols_probe):
         # pre-signed rows (the streaming signature store): skip the
-        # projection — the corpus is bucketed once at ingest, never again
+        # projection — the corpus is bucketed once at ingest, never again.
+        # Guard (ADVICE r09): rows signed under DIFFERENT parameters must
+        # not be silently accepted — wrong blocking, no error. Two checks:
+        # (a) the frame must not carry bucket columns BEYOND n_tables
+        #     (rows signed with more tables than this call expects);
+        # (b) srp_signature_rows stamps (bits, n_tables) as column
+        #     metadata (parquet-durable) — when present it must match.
+        surplus = [
+            c
+            for c in emb.columns
+            if c.startswith("bucket")
+            and c[len("bucket"):].isdigit()
+            and int(c[len("bucket"):]) >= n_tables
+        ]
+        if surplus:
+            raise ValueError(
+                f"pre-signed frame carries {len(surplus) + n_tables} bucket "
+                f"columns but the call expects n_tables={n_tables}: rows "
+                "were signed under different parameters — re-sign or pass "
+                "the store's n_tables"
+            )
+        md = emb.schema["bucket0"].metadata or {}
+        for key, want in (("srp_bits", bits), ("srp_tables", n_tables)):
+            have = md.get(key)
+            if have is not None and int(have) != int(want):
+                raise ValueError(
+                    f"pre-signed frame was built with {key}={have} but the "
+                    f"call passes {want} — re-sign the rows or match the "
+                    "store's parameters"
+                )
         with_sig = emb.select("vec_id", "embedding", *extra, *bucket_cols_probe)
     else:
         with_sig = srp_signature_rows(emb, bits, n_tables, extra=extra)
