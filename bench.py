@@ -79,15 +79,70 @@ FAMILY_CHUNKS = {
 SHUFFLE_WAIVERS: dict[str, tuple[float, str]] = {}
 
 
-def _plan_chunks(names: list[str]) -> tuple[list[list[str]], int]:
-    """Chunk layout: regular queries in <=CHUNK_LIMIT slices, then one
-    chunk per FAMILY (queries that must share a fresh JVM with only each
-    other), then each ISOLATED query in its own trailing fresh-JVM
-    chunk. Returns (chunks, index of the chunk that runs evidence) — the
-    last REGULAR chunk, or, when every requested name is family/isolated
-    (regular empty — the ZeroDivision case), the last chunk overall."""
+def _chunks_pin_path() -> str:
+    """Committed chunk-layout pin; env-overridable so tests (and layout
+    experiments) never touch the repo file."""
+    return os.environ.get(
+        "SPARK_GRAFT_BENCH_CHUNKS_PIN",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_CHUNKS.json"
+        ),
+    )
+
+
+def _pinned_regular_chunks(regular: list[str]) -> list[list[str]]:
+    """Chunk membership for regular queries is PINNED in a committed file
+    (VERDICT r09 item 1): per-query times depend measurably on fresh-JVM
+    chunk neighborhood (the r09 'silent regressions' — plasticc_etl
+    0.78→1.39 s etc. — were exactly the queries whose REGISTRY position
+    the correctness-window rotation moved, which shifted their bench
+    chunk), so chunk assignment must not follow registry order. Rules:
+    a query keeps its pinned chunk forever; NEW queries append to the
+    last chunk with room (or open a new one); deleted queries just drop.
+    No pin file → seed from sorted(names), decoupling from registry
+    order permanently. The resulting layout is written back so additions
+    self-pin; the file is committed, so both env pins measure under the
+    SAME layout and pin-vs-pin deltas mean code, not neighborhood."""
     import math
 
+    have = set(regular)
+    pin_path = _chunks_pin_path()
+    try:
+        with open(pin_path) as f:
+            pinned = json.load(f)["chunks"]
+    except (OSError, ValueError, KeyError):
+        pinned = []
+    chunks = [[n for n in c if n in have] for c in pinned]
+    chunks = [c for c in chunks if c]
+    placed = {n for c in chunks for n in c}
+    new = sorted(have - placed)
+    if new and not chunks:
+        n_chunks = math.ceil(len(new) / CHUNK_LIMIT)
+        size = math.ceil(len(new) / n_chunks)
+        chunks = [new[i * size : (i + 1) * size] for i in range(n_chunks)]
+    else:
+        for n in new:
+            if chunks and len(chunks[-1]) < CHUNK_LIMIT:
+                chunks[-1].append(n)
+            else:
+                chunks.append([n])
+    if chunks != pinned:
+        try:
+            with open(pin_path, "w") as f:
+                json.dump({"chunks": chunks}, f, indent=1)
+        except OSError:
+            pass
+    return chunks
+
+
+def _plan_chunks(names: list[str]) -> tuple[list[list[str]], int]:
+    """Chunk layout: regular queries in <=CHUNK_LIMIT pinned slices
+    (see _pinned_regular_chunks), then one chunk per FAMILY (queries
+    that must share a fresh JVM with only each other), then each
+    ISOLATED query in its own trailing fresh-JVM chunk. Returns
+    (chunks, index of the chunk that runs evidence) — the last REGULAR
+    chunk, or, when every requested name is family/isolated (regular
+    empty), the last chunk overall."""
     family_of = {n: f for f, qs in FAMILY_CHUNKS.items() for n in qs}
     isolated = [n for n in names if n in ISOLATED_QUERIES]
     families: dict[str, list[str]] = {}
@@ -96,11 +151,7 @@ def _plan_chunks(names: list[str]) -> tuple[list[list[str]], int]:
             families.setdefault(family_of[n], []).append(n)
     in_special = set(isolated) | {n for qs in families.values() for n in qs}
     regular = [n for n in names if n not in in_special]
-    chunks: list[list[str]] = []
-    if regular:
-        n_chunks = math.ceil(len(regular) / CHUNK_LIMIT)
-        size = math.ceil(len(regular) / n_chunks)
-        chunks = [regular[i * size : (i + 1) * size] for i in range(n_chunks)]
+    chunks = _pinned_regular_chunks(regular) if regular else []
     evidence_chunk = len(chunks) - 1
     chunks.extend(families[f] for f in sorted(families))
     chunks.extend([n] for n in isolated)
@@ -122,6 +173,13 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     scan_baseline = -1.0
     evidence: dict = {}
     missing_queries: list[str] = []
+    # Per-chunk scan baselines (VERDICT r09 item 4): every child measures
+    # the same table-scan loop, so the artifact records the I/O/CPU
+    # context EACH chunk ran under — a chunk whose queries look inflated
+    # vs another env but whose own scan is inflated by the same ratio is
+    # a box-state offset, not a query regression. Keyed by a stable
+    # chunk label (first query name), not index.
+    chunk_scan: dict[str, float] = {}
     for i, chunk_names in enumerate(chunks):
         env = dict(os.environ)
         # the parent's snapshot of the registry is authoritative: names
@@ -169,6 +227,8 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
         shuffle_mb.update(detail.get("shuffle_write_mb") or {})
         if i == 0:
             scan_baseline = detail.get("scan_baseline_sec", -1.0)
+        if chunk_names:
+            chunk_scan[chunk_names[0]] = detail.get("scan_baseline_sec", -1.0)
         if detail.get("evidence"):
             evidence = detail["evidence"]
 
@@ -213,6 +273,7 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
         per_query, shuffle_mb, scan_baseline, evidence, sf,
         write_local=not missing_queries,
         missing_queries=missing_queries, remeasured=remeasured,
+        stdout_full=False, chunk_scan=chunk_scan,
     )
     if missing_queries:
         raise SystemExit(4)
@@ -303,9 +364,20 @@ def _report(
     write_local: bool,
     missing_queries: list[str] | None = None,
     remeasured: dict[str, dict[str, float]] | None = None,
+    stdout_full: bool = True,
+    chunk_scan: dict[str, float] | None = None,
 ) -> None:
     """Shuffle-pin gate, BENCH_local persistence, and the stdout tail —
-    shared by single-process runs and the chunked parent."""
+    shared by single-process runs and the chunked parent.
+
+    ``stdout_full=False`` (the chunked parent / top-level run): the
+    printed detail line DROPS the shuffle_write_mb / shuffle_baseline_mb
+    / full-evidence dicts — they stay in the pin file. VERDICT r09 item
+    7: those MB-valued per-query dicts sat in the driver artifact's tail
+    window and read exactly like a seconds dict carrying stale times
+    (supplier_share_of_wallet "17.398"); after the trim the ONLY
+    per-query dict on stdout is `queries` (seconds). Children keep the
+    full line — the parent parses it off their pipe."""
     total = round(sum(t for t in per_query.values() if t > 0), 4)
     bench_local = _pin_path()
     shuffle_regressions: dict[str, dict] = {}
@@ -356,7 +428,17 @@ def _report(
         detail["missing_queries"] = sorted(missing_queries)
     if remeasured:
         detail["remeasured"] = remeasured
-    print(json.dumps(detail))
+    if chunk_scan:
+        detail["chunk_scan_sec"] = chunk_scan
+    if stdout_full:
+        print(json.dumps(detail))
+    else:
+        slim = {
+            k: v
+            for k, v in detail.items()
+            if k not in ("shuffle_write_mb", "shuffle_baseline_mb", "evidence")
+        }
+        print(json.dumps(slim))
     if write_local:
         try:
             with open(bench_local, "w") as f:
@@ -555,6 +637,10 @@ def main() -> None:
         evidence,
         sf,
         write_local=not only and not chunk,
+        # children and SPARK_GRAFT_BENCH_ONLY iteration runs print the
+        # full detail (the parent / the builder consumes it); a
+        # top-level single-process run trims like the chunked parent
+        stdout_full=bool(only or chunk),
     )
 
 

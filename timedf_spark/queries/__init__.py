@@ -268,6 +268,28 @@ def all_queries() -> dict[str, QuerySpec]:
         "linreg_by_flag", "median_quantity", "min_cost_supplier",
     })
     rotate_back |= _R08_DRIVER_GREEN
+    # Round-10 window: CORRECTNESS_r09.json was 50/50 hash-green (second
+    # consecutive perfect window) — fold every r09-checked query into the
+    # cumulative rotation.
+    _R09_DRIVER_GREEN = frozenset({
+        "blocking_profile", "join_size_sketch", "contamination_probe",
+        "doc_fingerprint", "trigram_lang_profile", "text_stats", "lang_id",
+        "token_counts", "doc_chunks", "repetition_stats", "pii_redact",
+        "charlm_score", "duplicate_paragraphs", "token_budget_pack",
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_clusters", "incremental_dedup_clusters", "plasticc_etl",
+        "plasticc_multi_agg", "semantic_dedup_keepers", "ann_brute_topk",
+        "dedup_embedding_cosine", "curate_corpus", "top_unshipped_orders",
+        "supplier_pagerank", "nation_pair_volume", "order_count_histogram",
+        "order_gaps", "priority_line_counts", "priority_semi_join",
+        "promo_revenue_share", "quantile_profile", "repeat_customers",
+        "resample_hourly", "rolling_revenue", "rollup_revenue",
+        "small_parcel_revenue", "sole_late_supplier", "top_supplier_revenue",
+        "topk_per_segment", "winsorized_price_mean", "balance_quartiles",
+        "brand_basket_pairs", "diverse_sample", "diverse_sample_scaled",
+        "doc_embedding_quality", "embedding_stats", "event_bucket_dedup",
+    })
+    rotate_back |= _R09_DRIVER_GREEN
     # Round-9 front (VERDICT r08 items 1/5): every query whose plan or
     # semantics changed since its last driver hash.
     #  - blocking_profile: r09 made the lang_len block key's NULL
@@ -283,34 +305,29 @@ def all_queries() -> dict[str, QuerySpec]:
     #    after these queries' last hashes: top_unshipped_orders,
     #    curate_corpus, supplier_pagerank, semantic_dedup_keepers,
     #    dedup_embedding_cosine.
+    # Round-10 front (VERDICT r09 item 5): every query whose operator
+    # code changed since its last driver hash.
+    #  - r09's linkpred pair-unfold rewrite (operators/linkpred.py,
+    #    round5.py, round22.py) re-planned supplier_affinity_links,
+    #    supplier_communities, brand_lift_rules — none were in the r09
+    #    window; cluster_label_purity / kmeans_assign share the edited
+    #    kmeans/cluster code paths.
+    #  - r10 edits cluster.py (star assume_symmetric reuse of the outer
+    #    checkpoint) → the CC consumers dedup_clusters /
+    #    incremental_dedup_clusters / semantic_dedup_keepers re-hash
+    #    first, and similarity.py (pre-signed guard + signature metadata
+    #    stamp) → dedup_embedding_cosine / semantic_dedup_capped.
     _FORCE_FRONT = (
-        "blocking_profile",
-        "join_size_sketch",
-        "contamination_probe",
-        "doc_fingerprint",
-        "trigram_lang_profile",
-        "text_stats",
-        "lang_id",
-        "token_counts",
-        "doc_chunks",
-        "repetition_stats",
-        "pii_redact",
-        "charlm_score",
-        "duplicate_paragraphs",
-        "token_budget_pack",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
+        "supplier_affinity_links",
+        "supplier_communities",
+        "brand_lift_rules",
+        "cluster_label_purity",
+        "kmeans_assign",
         "dedup_clusters",
         "incremental_dedup_clusters",
-        "plasticc_etl",
-        "plasticc_multi_agg",
         "semantic_dedup_keepers",
-        "ann_brute_topk",
         "dedup_embedding_cosine",
-        "curate_corpus",
-        "top_unshipped_orders",
-        "supplier_pagerank",
+        "semantic_dedup_capped",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
@@ -341,6 +358,8 @@ def all_queries() -> dict[str, QuerySpec]:
     def _last_checked(n: str) -> int:
         if n in _NO_ORACLE_BACK:
             return 99
+        if n in _R09_DRIVER_GREEN:
+            return 9
         if n in _R08_DRIVER_GREEN:
             return 8
         if n in _R07_DRIVER_GREEN:
