@@ -191,3 +191,32 @@ def test_bench_parent_stdout_drops_mb_dicts(tmp_path, monkeypatch, capsys):
     )
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert "shuffle_write_mb" in _json.loads(lines[0])
+
+
+def test_small_scan_sites_not_fanned(spark, sf_dir):
+    """r10 fan_out per-site floors: the columnar/join-dominated call
+    sites (plasticc ETL, the vector-dedup entry, duplicate_paragraphs,
+    charlm) must NOT pay a round-robin exchange on a sub-floor scan —
+    the r09 default flip silently re-fanned them (plasticc_etl 0.99 s
+    floored vs 1.79 s fanned at sf0.1). Above the floor the under-split
+    guard still engages; this pins the small-scan side only."""
+    from timedf_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "plasticc_etl",
+        "dedup_embedding_cosine",
+        "duplicate_paragraphs",
+        "charlm_score",
+    ):
+        plan = (
+            qs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ROUND_ROBIN" not in plan and "RoundRobinPartitioning" not in plan, (
+            name,
+            [l for l in plan.splitlines() if "Exchange" in l][:5],
+        )

