@@ -455,6 +455,23 @@ def cosine_dedup_pairs_df(
             )
         ).alias("tb"),
     ).select("vec_id", "embedding", *extra, *bucket_cols, "tb.tbl", "tb.bucket")
+    if require_flag:
+        # Streaming-probe prune (r10): a (tbl, bucket) cell holding NO
+        # flagged (batch) row can only produce corpus×corpus pairs, which
+        # the flag predicate discards anyway — drop those cells with a
+        # broadcast semi-join BEFORE the pair join shuffles the corpus
+        # signatures. Pruning is at whole-bucket granularity, so the
+        # capped path's within-bucket ranks are untouched (surviving
+        # buckets keep every member) — pair output is bit-identical on
+        # both tiers; the per-batch store cost drops from shuffling every
+        # store signature to a scan + broadcast-hash semi-join. The
+        # batch-bucket set is bounded by batch_rows × n_tables.
+        batch_cells = (
+            blocked.filter(F.col(require_flag))
+            .select("tbl", "bucket")
+            .distinct()
+        )
+        blocked = blocked.join(F.broadcast(batch_cells), ["tbl", "bucket"], "semi")
     flag_pred = (
         (F.col(f"a.{require_flag}") | F.col(f"b.{require_flag}"))
         if require_flag

@@ -469,15 +469,31 @@ def incremental_fingerprint_probe(
     real store keeps per-gram doc counts materialized, so the guard is
     an index lookup, not a recount).
 
-    Scale posture: the corpus side contributes only its index rows
-    (anchor-sampled, 16 bytes/row) to ONE equi-join exchange on gh;
-    batch rows are the only text shingled. No corpus scan, no cross
-    product.
+    Scale posture (r10): the corpus index is PRUNED to the batch's gram
+    set by a broadcast semi-join BEFORE anything shuffles — a store row
+    whose gram no batch document holds cannot participate in a
+    batch-touching pair, and for grams the batch DOES hold every corpus
+    holder survives the prune, so the doc-frequency guard's union count
+    is bit-identical. The per-batch store cost drops from two
+    store-sized exchanges (the df window + the self-join both shuffled
+    every store row on gh) to one store SCAN feeding a broadcast-hash
+    semi-join — no store shuffle at all; only the (batch-sized) matching
+    subset enters the window/join. Measured by
+    tools/store_growth_shakeout.py: batch-vs-store-size exponent
+    0.22 -> 0.11 (SCALE_SHAKEOUT.json store_growth_100x). The broadcast
+    is the BATCH's distinct gram set — bounded by the micro-batch
+    trigger size, which is the contract of this probe (a 500k-doc
+    "batch" still cleared it in the 1000x shakeout; for corpus-scale
+    re-dedup use the batch operator, whose plan has no broadcast).
+    Batch rows are still the only text shingled; no corpus scan of
+    text, no cross product.
     """
     new_fps = corpus_fingerprints(new_docs, text_col, k).withColumn(
         "is_new", F.lit(True)
     )
-    allfps = new_fps.unionByName(corpus_fps.withColumn("is_new", F.lit(False)))
+    batch_ghs = new_fps.select("gh").distinct()
+    corpus_pruned = corpus_fps.join(F.broadcast(batch_ghs), "gh", "semi")
+    allfps = new_fps.unionByName(corpus_pruned.withColumn("is_new", F.lit(False)))
     if max_doc_freq is not None:
         wg = Window.partitionBy("gh")
         allfps = (

@@ -317,12 +317,21 @@ def all_queries() -> dict[str, QuerySpec]:
     #    incremental_dedup_clusters / semantic_dedup_keepers re-hash
     #    first, and similarity.py (pre-signed guard + signature metadata
     #    stamp) → dedup_embedding_cosine / semantic_dedup_capped.
+    #  - r10 also re-plans incremental_substring_probe (the broadcast
+    #    semi-join gram prune in operators/substring.py) and the fan_out
+    #    floor sites plasticc_etl / plasticc_multi_agg /
+    #    duplicate_paragraphs / charlm_score — all re-hash first.
     _FORCE_FRONT = (
         "supplier_affinity_links",
         "supplier_communities",
         "brand_lift_rules",
         "cluster_label_purity",
         "kmeans_assign",
+        "incremental_substring_probe",
+        "plasticc_etl",
+        "plasticc_multi_agg",
+        "duplicate_paragraphs",
+        "charlm_score",
         "dedup_clusters",
         "incremental_dedup_clusters",
         "semantic_dedup_keepers",
