@@ -359,9 +359,19 @@ def cosine_dedup_pairs_df(
     n_tables: int = _DEDUP_TABLES,
     max_degree: int | None = None,
     require_flag: str | None = None,
+    small_batch: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH blocking, then exact
     cosine over candidates only.
+
+    ``small_batch`` (require_flag callers only): enables the r10 probe
+    optimizations — pre-explode literal bucket prune, cell semi-join
+    prune, and late embedding fetch via broadcast — all of which assume
+    the flagged side is micro-batch-sized (their broadcasts are bounded
+    by it). Callers that push a CORPUS-SIZED frame through the flag path
+    (the ingest seed, a backfill) must pass False: the plan then stays
+    the fat single-pass one, whose exchanges are the right shape when
+    most rows are flagged. Default None = True (the streaming contract).
 
     ``emb``: (vec_id, embedding[, <require_flag> boolean]) frame. With
     ``require_flag`` set, only pairs where at least ONE side has the flag
@@ -405,6 +415,7 @@ def cosine_dedup_pairs_df(
     """
     extra = [require_flag] if require_flag else []
     bucket_cols_probe = [f"bucket{t}" for t in range(n_tables)]
+    probe_opt = bool(require_flag) and (small_batch is None or small_batch)
     if all(c in emb.columns for c in bucket_cols_probe):
         # pre-signed rows (the streaming signature store): skip the
         # projection — the corpus is bucketed once at ingest, never again.
@@ -441,9 +452,60 @@ def cosine_dedup_pairs_df(
     else:
         with_sig = srp_signature_rows(emb, bits, n_tables, extra=extra)
     bucket_cols = [f"bucket{t}" for t in range(n_tables)]
+    if probe_opt:
+        # Pre-explode row prune (r10, the 1000x store-growth fix): the
+        # cell semi-join below prunes AFTER the explode, by which point
+        # every store signature has already been widened n_tables-fold
+        # WITH its dim-double embedding — at a 2M-vector store that is
+        # ~16M fat rows materialized per batch (measured: 38 s/batch,
+        # store-size exponent 0.53). Collect the (tiny, trigger-bounded)
+        # batch bucket set driver-side and filter store ROWS with literal
+        # isin predicates per table BEFORE exploding: evaluated at the
+        # scan (parquet row-group stats can skip), no shuffle, and only
+        # rows sharing ≥1 bucket with the batch get exploded. Row-level
+        # is safe: a dropped row shares no cell with any batch row, so
+        # its pairs are all corpus×corpus — flag-discarded anyway; and
+        # every member of a batch-containing cell survives (it matches
+        # that cell's bucket literal), so capped-tier ranks in cells that
+        # can emit are untouched. The literal lists are capped (a giant
+        # "batch" falls back to the semi-join-only plan below rather
+        # than compiling a megabyte predicate).
+        batch_cells_rows = (
+            with_sig.filter(F.col(require_flag))
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                F.col(f"bucket{t}").alias("bucket"),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb")
+            )
+            .select("tb.tbl", "tb.bucket")
+            .distinct()
+            .collect()
+        )
+        if len(batch_cells_rows) <= 65_536:
+            by_table: dict[int, list[int]] = {}
+            for r in batch_cells_rows:
+                by_table.setdefault(int(r["tbl"]), []).append(int(r["bucket"]))
+            pred = F.col(require_flag)
+            for t, vals in by_table.items():
+                pred = pred | F.col(f"bucket{t}").isin(vals)
+            with_sig = with_sig.filter(pred)
+    # Late-fetch decision (see the comment ahead of _attach_cosine): under
+    # require_flag the embedding column never enters the explode or any
+    # pair-formation exchange — it is re-attached to the (trigger-bounded)
+    # final pair set from the store's (vec_id, embedding) projection.
+    late_fetch = probe_opt
+    emb_carry = [] if late_fetch else ["embedding"]
     blocked = with_sig.select(
         "vec_id",
-        "embedding",
+        *emb_carry,
         *extra,
         *bucket_cols,  # full signature travels (n_tables longs — cheap)
         F.explode(
@@ -454,8 +516,8 @@ def cosine_dedup_pairs_df(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", *extra, *bucket_cols, "tb.tbl", "tb.bucket")
-    if require_flag:
+    ).select("vec_id", *emb_carry, *extra, *bucket_cols, "tb.tbl", "tb.bucket")
+    if probe_opt:
         # Streaming-probe prune (r10): a (tbl, bucket) cell holding NO
         # flagged (batch) row can only produce corpus×corpus pairs, which
         # the flag predicate discards anyway — drop those cells with a
@@ -477,6 +539,37 @@ def cosine_dedup_pairs_df(
         if require_flag
         else F.lit(True)
     )
+    # Late embedding fetch (r10, require_flag path only): the pair
+    # formation below shuffles `blocked` (window and/or self-join). With
+    # the dim-double embedding aboard, a large standing store pays
+    # ~dim×8 bytes per surviving row PER EXCHANGE — measured 38-45 s per
+    # 500-vector batch against a 2M-vector store. Under require_flag the
+    # emitted pair set is trigger-bounded, so: form pairs THIN (ids +
+    # block columns only), then attach embeddings at the end by joining
+    # the store's (vec_id, embedding) projection against a BROADCAST of
+    # the pair ids — two store scans, zero store shuffles. The batch
+    # operators (no flag) keep the fat single-pass plan: their pair
+    # volume is corpus-wide, where a broadcast of pair ids has no bound.
+    def _attach_cosine(pairs_ids: DataFrame) -> DataFrame:
+        emb_map = with_sig.select("vec_id", "embedding")
+        pa = emb_map.join(
+            F.broadcast(pairs_ids), emb_map.vec_id == F.col("id_a")
+        ).select("id_a", "id_b", F.col("embedding").alias("emb_a"))
+        return emb_map.join(
+            F.broadcast(pa), emb_map.vec_id == F.col("id_b")
+        ).select(
+            "id_a",
+            "id_b",
+            _pair_cosine_udf()(F.col("emb_a"), F.col("embedding")).alias("cos"),
+        )
+
+    def _quantize(pairs: DataFrame) -> DataFrame:
+        return pairs.filter(F.col("cos") >= threshold).select(
+            "id_a",
+            "id_b",
+            F.expr("cast(floor(cos * 1e4 + 0.5) as double) / 1e4").alias("cos_q"),
+        )
+
     if max_degree is not None:
         # degree-bounded linking: rank within (tbl, bucket) by vec_id,
         # join each member to its next max_degree successors — per-bucket
@@ -484,19 +577,29 @@ def cosine_dedup_pairs_df(
         # shuffle over the blocked rows (N × n_tables, scalar columns).
         w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
         blocked = blocked.select(
-            "vec_id", "embedding", *extra, "tbl", "bucket",
+            "vec_id", *emb_carry, *extra, "tbl", "bucket",
             F.row_number().over(w).alias("rn"),
         )
         a, b = blocked.alias("a"), blocked.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.tbl") == F.col("b.tbl"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("b.rn") > F.col("a.rn"))
-                & (F.col("b.rn") <= F.col("a.rn") + max_degree)
-                & flag_pred,
+        link_cond = (
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + max_degree)
+            & flag_pred
+        )
+        if late_fetch:
+            pairs_ids = (
+                a.join(b, link_cond)
+                .select(
+                    F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                )
+                .dropDuplicates(["id_a", "id_b"])
             )
+            return _quantize(_attach_cosine(pairs_ids))
+        pairs = (
+            a.join(b, link_cond)
             .select(
                 F.col("a.vec_id").alias("id_a"),
                 F.col("b.vec_id").alias("id_b"),
@@ -504,11 +607,7 @@ def cosine_dedup_pairs_df(
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        return pairs.filter(F.col("cos") >= threshold).select(
-            "id_a",
-            "id_b",
-            F.expr("cast(floor(cos * 1e4 + 0.5) as double) / 1e4").alias("cos_q"),
-        )
+        return _quantize(pairs)
     a, b = blocked.alias("a"), blocked.alias("b")
     # first-colliding-table emission: a pair blocked in several tables is
     # emitted ONLY by the lowest such table (for every earlier table the
@@ -521,14 +620,24 @@ def cosine_dedup_pairs_df(
         first_table_guard = first_table_guard & (
             (F.col("a.tbl") <= F.lit(t)) | (F.col(f"a.bucket{t}") != F.col(f"b.bucket{t}"))
         )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & flag_pred,
+    join_cond = (
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & flag_pred
+    )
+    if late_fetch:
+        pairs_ids = (
+            a.join(b, join_cond)
+            .filter(first_table_guard)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
         )
+        return _quantize(_attach_cosine(pairs_ids))
+    pairs = (
+        a.join(b, join_cond)
         .filter(first_table_guard)
         .select(
             F.col("a.vec_id").alias("id_a"),
@@ -536,11 +645,7 @@ def cosine_dedup_pairs_df(
             _pair_cosine_udf()(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
     )
-    return pairs.filter(F.col("cos") >= threshold).select(
-        "id_a",
-        "id_b",
-        F.expr("cast(floor(cos * 1e4 + 0.5) as double) / 1e4").alias("cos_q"),
-    )
+    return _quantize(pairs)
 
 
 def _duckdb_bucket_sql(plane_rows: list[list[float]], bits: int) -> str:

@@ -39,6 +39,20 @@ At 100 TB: per batch, one Arrow projection of the batch + one equi-join
 against the signature store partitioned by (table, bucket); the corpus
 is never re-projected, and stored rows carry dim floats + n_tables
 longs — the exact working set an IVF/LSH serving index would hold.
+
+LSH PARAMETER SIZING (r10, measured): SRP blocking stays selective only
+while per-bucket occupancy N / 2**bits is small. The defaults (bits=8,
+n_tables=4) are the sf0.1 oracle-pinned constants — at a 2M-vector
+store they pile ~7.8k vectors per bucket and the per-batch candidate
+volume grows LINEARLY with the corpus regardless of plan shape
+(store-growth exponent 0.34 even with every r10 prune). Size
+bits ~ log2(N / target_occupancy) and buy the recall back with more
+tables (P[collide] = 1 - (1 - p**bits)**n_tables, p = 1 - theta/pi);
+at (bits=14, n_tables=8) the same probe is FLAT (exponent 0.03,
+SCALE_SHAKEOUT store_growth_1000x). The store's column-metadata stamp
+(operators/similarity.srp_signature_rows) makes a probe with mismatched
+params raise instead of silently mis-blocking, so re-sizing requires an
+explicit store rebuild.
 """
 
 from __future__ import annotations
@@ -99,7 +113,12 @@ def apply_semantic_batch(
         batch_sig.withColumn("is_new", F.lit(True))
     )
     # pre-signed rows → cosine_dedup_pairs_df skips the projection; the
-    # corpus contributes only its stored signatures
+    # corpus contributes only its stored signatures. small_batch gates
+    # the r10 probe optimizations (literal bucket prune + late embedding
+    # fetch, both broadcast-bounded by the BATCH): a micro-batch gets
+    # them; a corpus-sized batch (the seed / a backfill) keeps the fat
+    # single-pass plan whose broadcasts would otherwise explode. The
+    # count is metadata-cheap — batch_sig is localCheckpointed above.
     pairs = cosine_dedup_pairs_df(
         combined,
         threshold=threshold,
@@ -107,6 +126,7 @@ def apply_semantic_batch(
         n_tables=n_tables,
         max_degree=max_degree,
         require_flag="is_new",
+        small_batch=batch_sig.count() <= 100_000,
     )
     # pair output first, then the signature rows: a crash between the two
     # replays the batch with its own vectors NOT yet visible in the store

@@ -117,6 +117,20 @@ def _run_substring(spark, corpus_dir: str, batches) -> dict:
     }
 
 
+# LSH sizing for the semantic store (r10): SRP blocking is selective only
+# while per-bucket occupancy N / 2**bits stays small — at the default
+# (bits=8, 256 buckets/table) a 2M-vector store piles ~7.8k vectors into
+# every bucket and candidate volume grows LINEARLY with the corpus (the
+# measured 0.53 exponent). Scale rule: bits ~ log2(N / target_occupancy);
+# recall lost to the narrower per-table collision probability is bought
+# back with more tables (1 - (1 - p**bits)**n_tables). These values size
+# for the 2M-vector decade at ~120 occupancy; both sides of the A/B run
+# the SAME params (cold-Nx protocol). The sf0.1 oracle-checked queries
+# keep (8, 4) — their semantics are pinned cross-engine.
+SEM_BITS = int(os.environ.get("STORE_GROWTH_SEM_BITS", "14"))
+SEM_TABLES = int(os.environ.get("STORE_GROWTH_SEM_TABLES", "8"))
+
+
 def _run_semantic(spark, corpus_dir: str, batches) -> dict:
     from timedf_spark.streaming import semantic_ingest as smi
 
@@ -129,12 +143,18 @@ def _run_semantic(spark, corpus_dir: str, batches) -> dict:
         # degree-capped seed: the uncapped batch-internal pair set over a
         # dense Nx corpus is the known quadratic tier — the store rows
         # (signatures) are identical either way
-        smi.apply_semantic_batch(seed, 0, store, pairs, max_degree=8)
+        smi.apply_semantic_batch(
+            seed, 0, store, pairs, bits=SEM_BITS, n_tables=SEM_TABLES,
+            max_degree=8,
+        )
         seed_sec = time.perf_counter() - t0
         lat = []
         for b, part in enumerate(batches, start=1):
             t0 = time.perf_counter()
-            smi.apply_semantic_batch(part, b, store, pairs, max_degree=8)
+            smi.apply_semantic_batch(
+                part, b, store, pairs, bits=SEM_BITS, n_tables=SEM_TABLES,
+                max_degree=8,
+            )
             lat.append(time.perf_counter() - t0)
     spark.catalog.clearCache()
     return {
