@@ -463,6 +463,7 @@ def incremental_components(
     new_edges: DataFrame,
     max_rounds: int = _MAX_ROUNDS,
     small_graph_edges: int = 200_000,
+    delta_only: bool = False,
 ) -> DataFrame:
     """Maintain (vertex, component) under a batch of NEW near-dup edges
     without re-clustering the corpus — the daily-ingest companion to
@@ -494,6 +495,19 @@ def incremental_components(
 
     Equivalent to full recompute by construction (union of spanning
     structures preserves connectivity); pinned by the equivalence test.
+
+    ``delta_only=True`` returns ONLY the relabelled affected rows (the
+    delta a versioned assignment store appends) instead of unioning the
+    untouched corpus back in — the shape the delta-assignment protocol
+    (streaming/cluster_apply.py, r10) writes per batch, turning the
+    per-batch assignment cost from O(corpus rewrite) to O(delta). In
+    this mode ``assignments`` may be the UNRESOLVED multi-version row
+    set (stale rows included): an assignment row is an edge v—c and
+    merges never split components, so a stale (v, c_old) is still a
+    TRUE connectivity fact — over-pulling stale rows only adds
+    redundant edges to the affected subgraph and cannot change the
+    min-id fixpoint. (Without delta_only, pass a RESOLVED assignment:
+    the untouched-rows passthrough would duplicate stale vertices.)
     """
     va, vb = new_edges.columns[0], new_edges.columns[1]
     # Checkpoint the NEW edges FIRST: they are typically the output of an
@@ -551,6 +565,8 @@ def incremental_components(
         # only the driver-local relabelled frame, letting BOTH checkpoints
         # release here instead of leaving blocks behind for the life of
         # the streaming loop.
+        if delta_only:
+            return relabelled
         untouched = asg.join(
             F.broadcast(relabelled.select(F.col("vertex").alias("v"))),
             "v",
@@ -559,6 +575,8 @@ def incremental_components(
     else:
         relabelled = connected_components(None, e_all, max_rounds=max_rounds)
         _release(e_all, e_ids)
+        if delta_only:
+            return relabelled
         # distributed path: keep the no-shuffle broadcast(touched) anti-
         # join; it references the e_new checkpoint through `touched`, so
         # those (small) blocks stay alive until the caller's next sweep.

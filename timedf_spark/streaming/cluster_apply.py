@@ -27,10 +27,54 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from timedf_spark.operators.cluster import incremental_components
-from timedf_spark.streaming.cdc_apply import _current_version, _publish
+import json
 
-__all__ = ["seed_assignments", "read_assignments", "cluster_apply_sink"]
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from timedf_spark.operators.cluster import incremental_components
+from timedf_spark.streaming.cdc_apply import _MANIFEST, _current_version, _publish
+
+__all__ = [
+    "seed_assignments",
+    "read_assignments",
+    "fold_edges_delta",
+    "cluster_apply_sink",
+]
+
+# Delta-assignment protocol (r10): folding a batch used to REWRITE the
+# whole (vertex, component) table per batch — the last O(store) write in
+# the ingest loop (store-growth shakeout: 5M-row assignment rewritten
+# for every 500-doc batch). Now each batch writes only its DELTA (the
+# relabelled affected rows + new singletons) at v=batch_id over a full
+# BASE snapshot at v=base; the manifest carries {"version", "base"}.
+# Reads resolve latest-version-wins per vertex; every _COMPACT_EVERY
+# versions the fold writes a full resolved snapshot instead (amortized
+# O(store / _COMPACT_EVERY) per batch) and drops the old base + deltas.
+# Legacy manifests (no "base" key) mean base == version — exactly the
+# old full-snapshot layout, which reads and upgrades transparently.
+_COMPACT_EVERY = int(os.environ.get("SPARK_GRAFT_ASSIGN_COMPACT_EVERY", "16"))
+
+
+def _manifest_state(path: str) -> tuple[int | None, int | None]:
+    """(version, base) from the manifest; base defaults to version
+    (legacy full-snapshot layout)."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            d = json.load(f)
+        v = int(d["version"])
+        return v, int(d.get("base", v))
+    except (OSError, ValueError, KeyError):
+        return None, None
+
+
+def _publish_versioned(path: str, version: int, base: int) -> None:
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "base": base}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
 
 
 def seed_assignments(base: DataFrame, path: str) -> None:
@@ -41,26 +85,107 @@ def seed_assignments(base: DataFrame, path: str) -> None:
     _publish(path, -1)
 
 
-def read_assignments(spark: SparkSession, path: str) -> DataFrame:
-    v = _current_version(path)
+def _version_dirs(path: str, version: int, base: int) -> list[int]:
+    """Published version dirs to read: the base plus every existing delta
+    in (base, version]. Driven by the MANIFEST range, never by directory
+    globbing — an unpublished crash-window dir is invisible."""
+    out = [base]
+    for k in range(base + 1, version + 1):
+        if os.path.isdir(os.path.join(path, f"v={k}")):
+            out.append(k)
+    return out
+
+
+def _rows_any_version(spark: SparkSession, path: str) -> DataFrame:
+    """base ∪ delta rows with their version — UNRESOLVED (a vertex may
+    carry stale rows from older versions). Presence checks and
+    affected-membership pulls are exact on this multiset (assignment is
+    monotone: stale rows are still true connectivity facts)."""
+    v, base = _manifest_state(path)
     if v is None:
         raise FileNotFoundError(f"no published assignments at {path}")
-    return spark.read.parquet(os.path.join(path, f"v={v}"))
+    parts = [
+        spark.read.parquet(os.path.join(path, f"v={k}"))
+        .select("vertex", "component")
+        .withColumn("_ver", F.lit(k))
+        for k in _version_dirs(path, v, base)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_assignments(spark: SparkSession, path: str) -> DataFrame:
+    """The current (vertex, component) table: latest-version-wins over
+    base + deltas. One shuffle on vertex when deltas exist; a pure
+    snapshot (legacy, or right after compaction) reads directly."""
+    v, base = _manifest_state(path)
+    if v is None:
+        raise FileNotFoundError(f"no published assignments at {path}")
+    if base == v or not _version_dirs(path, v, base)[1:]:
+        return spark.read.parquet(os.path.join(path, f"v={base}")).select(
+            "vertex", "component"
+        )
+    rows = _rows_any_version(spark, path)
+    w = Window.partitionBy("vertex").orderBy(F.desc("_ver"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vertex", "component")
+    )
+
+
+def fold_edges_delta(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    edges: DataFrame,
+    singles: DataFrame | None = None,
+) -> None:
+    """Fold one batch of edges (plus optional pre-computed new-vertex
+    ``singles``) into the versioned assignment store: write the DELTA
+    (or, every _COMPACT_EVERY versions, a compacted full snapshot) at
+    v=batch_id and publish. Crash-safe in the standard write-then-publish
+    way: an unpublished dir is invisible to reads and overwritten on
+    replay."""
+    cur, base = _manifest_state(path)
+    if cur is not None and cur >= batch_id:
+        return  # replayed batch: already folded
+    rows = _rows_any_version(spark, path).select("vertex", "component")
+    inp = rows if singles is None else rows.unionByName(singles)
+    delta = incremental_components(inp, edges, delta_only=True)
+    if singles is not None:
+        # a new vertex with no edge is absent from the affected solve;
+        # one with an edge appears in BOTH frames — min(component)
+        # resolves to the solve's label (merges go toward the min)
+        delta = delta.unionByName(singles)
+    delta = delta.groupBy("vertex").agg(F.min("component").alias("component"))
+    compact = base is not None and (batch_id - base) >= _COMPACT_EVERY
+    if compact:
+        # full resolved snapshot: current rows overlaid with this delta
+        w = Window.partitionBy("vertex").orderBy(F.desc("_ver"))
+        full = (
+            _rows_any_version(spark, path)
+            .unionByName(delta.withColumn("_ver", F.lit(batch_id)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vertex", "component")
+        )
+        full.write.mode("overwrite").parquet(os.path.join(path, f"v={batch_id}"))
+        _publish_versioned(path, batch_id, batch_id)
+        for k in range(base, batch_id):
+            shutil.rmtree(os.path.join(path, f"v={k}"), ignore_errors=True)
+    else:
+        delta.write.mode("overwrite").parquet(os.path.join(path, f"v={batch_id}"))
+        _publish_versioned(path, batch_id, base if base is not None else batch_id)
 
 
 def apply_edge_batch(edges: DataFrame, batch_id: int, path: str) -> None:
     """One foreachBatch body: fold this batch's (src, dst) edges into the
-    published assignment table and publish as version ``batch_id``."""
-    spark = edges.sparkSession
-    cur = _current_version(path)
-    if cur is not None and cur >= batch_id:
-        return  # replayed batch: already folded
-    asg = read_assignments(spark, path)
-    nxt = incremental_components(asg.select("vertex", "component"), edges)
-    nxt.write.mode("overwrite").parquet(os.path.join(path, f"v={batch_id}"))
-    _publish(path, batch_id)
-    if cur is not None:
-        shutil.rmtree(os.path.join(path, f"v={cur}"), ignore_errors=True)
+    published assignment table and publish as version ``batch_id``
+    (delta protocol — see fold_edges_delta)."""
+    fold_edges_delta(edges.sparkSession, path, batch_id, edges)
 
 
 def cluster_apply_sink(edge_stream: DataFrame, path: str, checkpoint: str):

@@ -50,12 +50,10 @@ decoded from text.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.cluster import incremental_components
 from timedf_spark.operators.dedup import (
     _JACCARD_THRESHOLD,
     _incremental_pairs_indexed_pre,
@@ -64,8 +62,13 @@ from timedf_spark.operators.dedup import (
     _minhash_bands,
     _verify_batch_corpus,
 )
-from timedf_spark.streaming.cdc_apply import _current_version, _publish
-from timedf_spark.streaming.cluster_apply import read_assignments, seed_assignments
+from timedf_spark.streaming.cdc_apply import _current_version
+from timedf_spark.streaming.cluster_apply import (
+    _rows_any_version,
+    fold_edges_delta,
+    read_assignments,
+    seed_assignments,
+)
 from timedf_spark.streaming.compaction import (
     _epoch_floor,
     _live_batch_dirs,
@@ -229,23 +232,25 @@ def apply_ingest_batch(
         write_batch_idempotent(bands_df, batch_id, sig_path)
     if shingle_path is not None:
         write_batch_idempotent(sh, batch_id, shingle_path)
-    base = read_assignments(spark, assign_path)
+    # Delta-assignment fold (r10): presence check against the raw
+    # multi-version rows (monotone — once assigned, always assigned),
+    # then fold_edges_delta writes only the batch's DELTA (relabelled
+    # affected rows + these singletons) instead of rewriting the whole
+    # corpus assignment — the store-growth shakeout's last O(store)
+    # per-batch write. Compaction is amortized inside the fold.
     singles = docs.select(
         F.col("doc_id").alias("vertex"), F.col("doc_id").alias("component")
-    ).join(base.select("vertex"), "vertex", "left_anti")
-    base = base.unionByName(singles)
+    ).join(
+        _rows_any_version(spark, assign_path).select("vertex"),
+        "vertex",
+        "left_anti",
+    )
     # no isEmpty pre-check: incremental_components checkpoints the edge
     # union once and handles the empty case for free — a separate
     # isEmpty() would compute the LSH pair work a second time
-    nxt = incremental_components(base, pairs)
-    nxt.selectExpr("vertex", "component").write.mode("overwrite").parquet(
-        os.path.join(assign_path, f"v={batch_id}")
-    )
-    _publish(assign_path, batch_id)
+    fold_edges_delta(spark, assign_path, batch_id, pairs, singles=singles)
     bands_df.unpersist()
     sh.unpersist()
-    if cur is not None:
-        shutil.rmtree(os.path.join(assign_path, f"v={cur}"), ignore_errors=True)
 
 
 def ingest_dedup_sink(
