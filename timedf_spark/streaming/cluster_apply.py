@@ -148,7 +148,10 @@ def fold_edges_delta(
     (or, every _COMPACT_EVERY versions, a compacted full snapshot) at
     v=batch_id and publish. Crash-safe in the standard write-then-publish
     way: an unpublished dir is invisible to reads and overwritten on
-    replay."""
+    replay. One bounded leak corner: a crash between a compaction's
+    publish and its pre-base cleanup leaves <= _COMPACT_EVERY orphan
+    dirs below the new base — reads never touch them (version listing is
+    manifest-driven), they are dead disk only."""
     cur, base = _manifest_state(path)
     if cur is not None and cur >= batch_id:
         return  # replayed batch: already folded
