@@ -131,3 +131,97 @@ def test_ingest_batch_writes_delta_not_snapshot(spark, tmp_path):
     delta_rows = spark.read.parquet(f"{d}/assign/v=1").count()
     assert delta_rows <= 15  # the 10-doc batch (+ tiny affected set), not 40
     assert len(_read(spark, f"{d}/assign")) == 40
+
+
+def test_delta_protocol_randomized_batches_property(spark, monkeypatch):
+    """Property: for random edge-batch sequences (with random compaction
+    cadence), the delta store's resolved assignment equals one-shot
+    connected_components over the union — across merges that span
+    batches, re-merges, and compaction boundaries."""
+    import random
+
+    from timedf_spark.operators.cluster import connected_components
+    from timedf_spark.streaming import cluster_apply as ca
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        import tempfile
+
+        compact_every = rng.choice([1, 2, 5])
+        monkeypatch.setattr(ca, "_COMPACT_EVERY", compact_every)
+        n = 30
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/assign"
+            ca.seed_assignments(
+                spark.createDataFrame(
+                    [(i, i) for i in range(n)], "vertex long, component long"
+                ),
+                path,
+            )
+            all_edges = []
+            for b in range(6):
+                rows = [
+                    (rng.randrange(n), rng.randrange(n))
+                    for _ in range(rng.randrange(1, 5))
+                ]
+                all_edges.extend(rows)
+                ca.apply_edge_batch(_edges(spark, rows), b, path)
+            got = _read(spark, path)
+            verts = spark.createDataFrame([(i,) for i in range(n)], "v long")
+            want = {
+                (r["vertex"], r["component"])
+                for r in connected_components(
+                    verts, _edges(spark, all_edges)
+                ).collect()
+            }
+            assert got == want, (trial, compact_every)
+
+
+def test_flag_probe_optimizations_match_full_pair_set(spark):
+    """Property: the require_flag probe (with every r10 optimization -
+    literal bucket prune, cell semi-join, thin pair formation, late
+    embedding fetch) emits exactly the flag-touching subset of the full
+    operator's pair set, on BOTH the capped and uncapped tiers."""
+    import random
+
+    from timedf_spark.operators.similarity import (
+        cosine_dedup_pairs_df,
+        srp_signature_rows,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(30)]
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, v)); vid += 1
+        if rng.random() < 0.5:  # near-dup twin
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in v])); vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    signed = srp_signature_rows(vecs, bits=6, n_tables=3).localCheckpoint()
+    new_ids = {r["vec_id"] for r in signed.collect() if r["vec_id"] % 3 == 0}
+    flagged = signed.withColumn(
+        "is_new", F.col("vec_id") % 3 == F.lit(0)
+    )
+    for cap in (None, 4):
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_dedup_pairs_df(
+                signed, bits=6, n_tables=3, max_degree=cap
+            ).collect()
+        }
+        want = {
+            (a, b) for a, b in full if a in new_ids or b in new_ids
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_dedup_pairs_df(
+                flagged,
+                bits=6,
+                n_tables=3,
+                max_degree=cap,
+                require_flag="is_new",
+                small_batch=True,
+            ).collect()
+        }
+        assert got == want, cap
