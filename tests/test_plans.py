@@ -693,18 +693,19 @@ def test_price_band_range_join_broadcasts_bands(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_copart_degree_guard_prunes_before_self_join(spark):
-    """supplier_copart_links: the part-degree semi-join must sit BELOW
-    the pair self-join in the executed plan — the guard exists to keep
-    hot parts out of the quadratic stage, so filtering after the join
-    would defeat it. Structural check: no raw (unguarded) scan feeds the
-    pair join's probe side."""
+def test_copart_pair_unfold_is_joinless_single_scan(spark):
+    """supplier_copart_links (r11 rewrite): the sorted-array pair unfold
+    replaces the distinct + degree pre-pass + equi-self-join with ONE
+    lineitem scan, a collect_set aggregate whose array size IS the
+    degree guard (a row filter, still BEFORE the quadratic unfold), and
+    streaming Generates — the executed plan must contain no join at all
+    and exactly one parquet scan."""
     plan = _executed_plan(spark, "supplier_copart_links")
-    # the self-join consumes two guarded branches; each contains the
-    # degree semi-join — AQE prints the second as a reused stage of the
-    # first (itself a win: the guarded frame is computed once)
-    semi = plan.count("LeftSemi")
-    assert semi >= 2 or (semi == 1 and "Reused" in plan), plan[:1500]
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan, plan[:1500]
+    # the i<j unfold is two chained Generates (posexplode + suffix slice)
+    assert plan.count("Generate") >= 2, plan[:1500]
     # Spark pushes the rank filter down as a partial top-k BEFORE the
     # window exchange (WindowGroupLimit Partial/Final) — the per-group
     # cap therefore bounds what shuffles, exactly the scale contract
@@ -721,16 +722,19 @@ def test_daily_anomaly_single_scan_single_window_pass(spark):
 
 
 def test_brand_triples_broadcasts_dim_and_canonical_generation(spark):
-    """brand_basket_triples: part is broadcast onto the lineitem scan,
-    the basket frame is deduped BEFORE the triple self-joins (the
-    combinatoric bound lives there), and no CartesianProduct appears —
-    the a<b<c conditions ride the orderkey equi-joins."""
+    """brand_basket_triples (r11 rewrite): part is broadcast onto the
+    lineitem scan, baskets dedup in-aggregate (sorted collect_set), and
+    the i<j<k triple unfold is chained Generates over suffix slices —
+    the only join left is the dimension broadcast; no self-join of the
+    fact-derived frame, no CartesianProduct."""
     plan = _executed_plan(spark, "brand_basket_triples")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    # dedup-to-basket-grain aggregates feed the joins (one per alias,
-    # AQE may reuse the stage)
+    for j in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan[:1500]
+    # one basket collect_set aggregate + the triple count aggregate
     assert plan.count("HashAggregate") >= 2
+    assert plan.count("Generate") >= 3, plan[:1500]
 
 
 def test_wallet_share_two_windows_one_exchange(spark):

@@ -9,6 +9,27 @@ from timedf_spark.queries.round13 import bot_cadence_audit, loo_segment_outliers
 from timedf_spark.sources import load_table
 
 
+def test_bfs_driver_path_matches_distributed(spark, monkeypatch):
+    """r11 driver fast path: the numpy frontier replay must produce the
+    exact (node, dist) map of the distributed rounds on a graph with
+    off-node endpoints, multiple seeds, a cycle, and unreached nodes."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (9, 5), (5, 9), (7, 8)]
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["node"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (9,)], ["node"])  # 9 is off-nodes
+    fast = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(nodes, e, seeds, max_hops=3).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_PATH", "0")
+    slow = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(nodes, e, seeds, max_hops=3).collect()
+    }
+    assert fast == slow
+    assert fast == {0: 0, 1: 1, 2: 2, 3: 3, 4: None, 5: 1, 6: None, 7: None}
+
+
 def test_bfs_known_graph(spark):
     """Path graph 0-1-2-3-4 with seed {0}: dist = index, capped at 3."""
     nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])

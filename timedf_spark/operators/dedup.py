@@ -523,11 +523,20 @@ def incremental_near_dup_pairs(
     """
     batch_bands, batch_sh = _minhash_bands(new_batch, k, n_hashes, bands)
     corpus_bands, corpus_sh = _minhash_bands(corpus, k, n_hashes, bands)
-    candidates = _probe_candidates(batch_bands, corpus_bands)
-    # verification: corpus shingles reduced to candidate docs first
-    corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
-        F.broadcast(candidates.select("corpus_id").distinct()), "corpus_id", "left_semi"
-    )
+    # r11: candidates feed the verify's broadcast join AND the shingle
+    # prune — materialized once (the lazy form re-ran the probe join and
+    # the corpus minhash aggregate per consumer); the bounded id list
+    # prunes the verification shingles as a literal predicate.
+    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
+    cs = corpus_sh.withColumnRenamed("doc_id", "corpus_id")
+    if ids is not None:
+        corpus_cand_sh = cs.filter(F.col("corpus_id").isin(ids))
+    else:
+        corpus_cand_sh = cs.join(
+            F.broadcast(candidates.select("corpus_id").distinct()),
+            "corpus_id",
+            "left_semi",
+        )
     return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
 
 
@@ -604,6 +613,36 @@ def incremental_near_dup_pairs_indexed(
     )
 
 
+_CAND_LITERAL_CAP = 8_192
+
+
+def _materialized_candidates(batch_bands, corpus_bands):
+    """(candidates, ids): the LSH candidate pairs materialized ONCE plus
+    the bounded distinct corpus-id list (None when over the cap).
+
+    r11: candidates feed TWO consumers (the corpus-side prune and the
+    verify's broadcast join) — lazy, the band-index probe executed once
+    per consumer. One eager localCheckpoint runs it once, and the id
+    list it yields turns the corpus-store prune from a broadcast
+    semi-join into a LITERAL scan predicate that parquet row-group
+    min/max stats can act on (store rows cluster by doc_id within each
+    ingest batch dir, so a bounded id set skips most row groups — the
+    flattening lever the r10 store-growth note asked for). The collect
+    is bounded by limit(cap + 1); an overflowing candidate set falls
+    back to the broadcast semi-join, never a giant predicate."""
+    candidates = _probe_candidates(batch_bands, corpus_bands).localCheckpoint(
+        eager=True
+    )
+    rows = (
+        candidates.select("corpus_id")
+        .distinct()
+        .limit(_CAND_LITERAL_CAP + 1)
+        .collect()
+    )
+    ids = [int(r[0]) for r in rows] if len(rows) <= _CAND_LITERAL_CAP else None
+    return candidates, ids
+
+
 def _incremental_pairs_indexed_pre(
     batch_bands: DataFrame,
     batch_sh: DataFrame,
@@ -614,15 +653,18 @@ def _incremental_pairs_indexed_pre(
 ) -> DataFrame:
     """Indexed probe with a PRECOMPUTED batch sketch (streaming ingest
     builds the batch signature once and fans it out)."""
-    candidates = _probe_candidates(batch_bands, corpus_bands)
+    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
     # only candidate docs get shingled — the full corpus text stays cold
-    cand_docs = corpus_docs.join(
-        F.broadcast(
-            candidates.select(F.col("corpus_id").alias("doc_id")).distinct()
-        ),
-        "doc_id",
-        "left_semi",
-    )
+    if ids is not None:
+        cand_docs = corpus_docs.filter(F.col("doc_id").isin(ids))
+    else:
+        cand_docs = corpus_docs.join(
+            F.broadcast(
+                candidates.select(F.col("corpus_id").alias("doc_id")).distinct()
+            ),
+            "doc_id",
+            "left_semi",
+        )
     corpus_cand_sh = cand_docs.select(
         "doc_id",
         F.explode(F.expr(f"array_distinct({shingle_expr_spark('text', k)})")).alias("s"),
@@ -665,15 +707,20 @@ def _incremental_pairs_sketched_pre(
     corpus_sh: DataFrame,
     threshold: float = _JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """Sketched probe with a PRECOMPUTED batch sketch."""
-    candidates = _probe_candidates(batch_bands, corpus_bands)
-    corpus_cand_sh = corpus_sh.select(
-        F.col("doc_id").alias("corpus_id"), "sh"
-    ).join(
-        F.broadcast(candidates.select("corpus_id").distinct()),
-        "corpus_id",
-        "left_semi",
-    )
+    """Sketched probe with a PRECOMPUTED batch sketch. The shingle store
+    is the largest frame this tier touches (~10-100x the band index);
+    the bounded literal prune from _materialized_candidates is what
+    keeps its per-batch scan row-group-pruned rather than store-sized."""
+    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
+    cs = corpus_sh.select(F.col("doc_id").alias("corpus_id"), "sh")
+    if ids is not None:
+        corpus_cand_sh = cs.filter(F.col("corpus_id").isin(ids))
+    else:
+        corpus_cand_sh = cs.join(
+            F.broadcast(candidates.select("corpus_id").distinct()),
+            "corpus_id",
+            "left_semi",
+        )
     return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
 
 

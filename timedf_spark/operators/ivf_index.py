@@ -71,14 +71,39 @@ def _corpus_manifest(emb: DataFrame, n_cells: int) -> dict:
     stays partition-pruned file listing, which is the whole point of the
     persisted index (a row-count/hash fingerprint would re-scan the
     corpus on every probe — wrong at 100 TB when listing is metadata)."""
+    spark = emb.sparkSession
     files = {}
+    stat_fail = 0
     for uri in sorted(emb.inputFiles()):
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
-        try:
-            st = os.stat(path)
-            files[path] = [st.st_size, st.st_mtime_ns]
-        except OSError:
-            files[path] = [-1, -1]
+        if uri.startswith("file:") or "://" not in uri:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(path)
+                files[path] = [st.st_size, st.st_mtime_ns]
+                continue
+            except OSError:
+                pass
+        else:
+            # non-local scheme (hdfs://, s3a://, ... — ADVICE r10):
+            # os.stat can never succeed there, so use the Hadoop
+            # FileSystem's (len, modtime) via the JVM gateway — the same
+            # metadata-only cost as a local stat, no data scan.
+            path = uri
+            try:
+                jvm = spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(uri)
+                fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                st = fs.getFileStatus(hpath)
+                files[path] = [int(st.getLen()), int(st.getModificationTime())]
+                continue
+            except Exception:  # noqa: BLE001 — fall through to the sentinel
+                pass
+        # stat failed: record a UNIQUE sentinel so the manifest comparison
+        # always mismatches and the index rebuilds — a shared [-1, -1]
+        # would silently MATCH a regenerated corpus at the same paths,
+        # exactly the staleness the manifest exists to catch.
+        stat_fail += 1
+        files[path] = [-1, -stat_fail - int.from_bytes(os.urandom(4), "big")]
     return {"n_cells": int(n_cells), "files": files}
 
 

@@ -24,11 +24,14 @@ gate hash-compares the full assignment table. Run-to-run and
 partitioning invariance follow for free (integer min/sum are
 order-independent).
 
-Plan shape (the 100 TB lens): per round, one broadcast of the k-row
-centroid table onto the vector scan (no shuffle of the corpus), one
-argmin aggregate keyed by vec_id (map-side combine), one posexplode →
-(k × dim)-key integer sum for the update (map-side combine collapses
-per-partition; the shuffle is k·dim rows). The only loop-carried state
+Plan shape (the 100 TB lens): per round, the k-row centroid table
+collapses to ONE array-of-structs row, broadcasts onto the vector scan,
+and the argmin evaluates row-locally (array_min over a transform) — no
+k-way row expansion, no groupBy(vec_id) exchange, no join-back for the
+member vectors (r11; both corpus-sized exchanges of the r10 shape are
+gone). The only shuffle per round is the posexplode → (k × dim)-key
+integer sum for the update (map-side combine collapses per-partition;
+the shuffle is tasks · k · dim rows). The only loop-carried state
 is the k-row centroid frame — localCheckpoint'ed and metadata-stripped
 per round (operators/cluster.py infrastructure), so the logical plan
 stays flat for any T. Vectors are re-scanned per round; a production
@@ -97,19 +100,24 @@ def _quantized(
 
 
 def _argmin_keys(qv: DataFrame, centroids: DataFrame, k: int) -> DataFrame:
-    """(vec_id, mk) where mk = min(dist * k + cid): broadcast the k-row
-    centroid table onto the vector scan; integer argmin key."""
-    return (
-        qv.join(F.broadcast(centroids))
-        .withColumn(
-            "d",
-            F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)),"
-                " 0L, (acc, v) -> acc + v)"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.expr(f"d * {k} + cid")).alias("mk"))
+    """(vec_id, q, mk) where mk = min over centroids of (dist * k + cid),
+    computed ROW-LOCALLY (r11): the k-row centroid table collapses to a
+    single array-of-structs row and broadcasts; the argmin is an
+    array_min over a transform. vs the r10 shape (broadcast k rows onto
+    the scan → k-way row expansion → groupBy(vec_id) argmin → join back
+    to recover q) this removes BOTH corpus-sized exchanges from every
+    Lloyd round — assignment is now scan-local. The integer arithmetic
+    (quantized distance, min(dist*k+cid) tie-break) is unchanged, so
+    assignments stay bit-identical to the unrolled-CTE oracle."""
+    cent_arr = centroids.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    return qv.join(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "q",
+        F.expr(
+            f"array_min(transform(cents, s -> "
+            f"aggregate(zip_with(q, s.c, (x, y) -> (x - y) * (x - y)),"
+            f" 0L, (acc, v) -> acc + v) * {k} + s.cid))"
+        ).alias("mk"),
     )
 
 
@@ -137,10 +145,13 @@ def _stats_from_quantized(qv: DataFrame, centroids: DataFrame, k: int) -> DataFr
     of ``qv`` assigned against ``centroids`` — the sufficient statistics
     of one Lloyd update. Mergeable by (cid, i)-wise addition of s and n,
     which is what the streaming stats store exploits."""
-    members = _argmin_keys(qv, centroids, k).withColumn("cid", F.expr(f"mk % {k}"))
+    # _argmin_keys carries q through (r11), so the member vectors need no
+    # join-back — the stats aggregate reads them straight off the scan.
+    members = _argmin_keys(qv, centroids, k).select(
+        F.expr(f"mk % {k}").alias("cid"), "q"
+    )
     return (
-        members.join(qv, "vec_id")
-        .select("cid", F.posexplode("q").alias("i", "val"))
+        members.select("cid", F.posexplode("q").alias("i", "val"))
         .groupBy("cid", "i")
         .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
     )

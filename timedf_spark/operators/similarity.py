@@ -320,8 +320,20 @@ def srp_signature_rows(
 
     extra = extra or []
     md = {"srp_bits": int(bits), "srp_tables": int(n_tables)}
-    first = emb.select("embedding").first()
-    if first is None or first[0] is None:
+    # dim probe skips NULL embeddings (ADVICE r10): a non-empty frame whose
+    # FIRST row happens to carry a null embedding must not be treated as
+    # empty — that silently dropped every row. Probe for any non-null
+    # embedding; only a frame with zero such rows takes the empty path.
+    first = (
+        emb.select("embedding").where(F.col("embedding").isNotNull()).first()
+    )
+    if first is None:
+        if emb.select("vec_id").first() is not None:
+            raise ValueError(
+                "srp_signature_rows: frame has rows but every embedding is "
+                "NULL — cannot infer dim or sign anything; filter or fix "
+                "the embedding column upstream"
+            )
         # empty frame (an empty foreachBatch invocation under streaming
         # replay/recovery — ADVICE r09): there is no row to infer dim
         # from, and no row to sign; return an EMPTY frame with the exact
@@ -415,7 +427,17 @@ def cosine_dedup_pairs_df(
     """
     extra = [require_flag] if require_flag else []
     bucket_cols_probe = [f"bucket{t}" for t in range(n_tables)]
-    probe_opt = bool(require_flag) and (small_batch is None or small_batch)
+    if require_flag and small_batch is None:
+        # Derived default (ADVICE r10): the probe optimizations broadcast
+        # the pair-id set and flagged-side cells, bounded only by the
+        # flagged-row count — a caller pushing a corpus-sized flagged
+        # frame (seed/backfill) through the flag path must get the fat
+        # single-pass plan, not an unbounded broadcast. One bounded count
+        # (limit cap+1) decides; explicit True/False skips the probe.
+        small_batch = (
+            emb.filter(F.col(require_flag)).limit(100_001).count() <= 100_000
+        )
+    probe_opt = bool(require_flag) and bool(small_batch)
     if all(c in emb.columns for c in bucket_cols_probe):
         # pre-signed rows (the streaming signature store): skip the
         # projection — the corpus is bucketed once at ingest, never again.
@@ -452,6 +474,7 @@ def cosine_dedup_pairs_df(
     else:
         with_sig = srp_signature_rows(emb, bits, n_tables, extra=extra)
     bucket_cols = [f"bucket{t}" for t in range(n_tables)]
+    batch_cells_local: list[tuple[int, int]] | None = None
     if probe_opt:
         # Pre-explode row prune (r10, the 1000x store-growth fix): the
         # cell semi-join below prunes AFTER the explode, by which point
@@ -470,6 +493,10 @@ def cosine_dedup_pairs_df(
         # can emit are untouched. The literal lists are capped (a giant
         # "batch" falls back to the semi-join-only plan below rather
         # than compiling a megabyte predicate).
+        # limit(cap+1) bounds the driver collect (ADVICE r10): a giant
+        # flagged set returns exactly cap+1 rows — enough to detect the
+        # overflow — instead of pulling the whole cell set only to
+        # discard it.
         batch_cells_rows = (
             with_sig.filter(F.col(require_flag))
             .select(
@@ -487,12 +514,16 @@ def cosine_dedup_pairs_df(
             )
             .select("tb.tbl", "tb.bucket")
             .distinct()
+            .limit(65_537)
             .collect()
         )
         if len(batch_cells_rows) <= 65_536:
+            batch_cells_local = [
+                (int(r["tbl"]), int(r["bucket"])) for r in batch_cells_rows
+            ]
             by_table: dict[int, list[int]] = {}
-            for r in batch_cells_rows:
-                by_table.setdefault(int(r["tbl"]), []).append(int(r["bucket"]))
+            for t, bkt in batch_cells_local:
+                by_table.setdefault(t, []).append(bkt)
             pred = F.col(require_flag)
             for t, vals in by_table.items():
                 pred = pred | F.col(f"bucket{t}").isin(vals)
@@ -527,12 +558,20 @@ def cosine_dedup_pairs_df(
         # buckets keep every member) — pair output is bit-identical on
         # both tiers; the per-batch store cost drops from shuffling every
         # store signature to a scan + broadcast-hash semi-join. The
-        # batch-bucket set is bounded by batch_rows × n_tables.
-        batch_cells = (
-            blocked.filter(F.col(require_flag))
-            .select("tbl", "bucket")
-            .distinct()
-        )
+        # batch-bucket set is bounded by batch_rows × n_tables. When the
+        # pre-explode prune already collected the exact cell set, reuse
+        # it via createDataFrame (ADVICE r10) instead of recomputing the
+        # same explode+distinct a second time distributed.
+        if batch_cells_local is not None:
+            batch_cells = emb.sparkSession.createDataFrame(
+                batch_cells_local, "tbl int, bucket bigint"
+            )
+        else:
+            batch_cells = (
+                blocked.filter(F.col(require_flag))
+                .select("tbl", "bucket")
+                .distinct()
+            )
         blocked = blocked.join(F.broadcast(batch_cells), ["tbl", "bucket"], "semi")
     flag_pred = (
         (F.col(f"a.{require_flag}") | F.col(f"b.{require_flag}"))

@@ -231,6 +231,15 @@ def strip_duplicate_spans(
     would actually DELETE unique text, so the guard matters most here.
     """
     spans = duplicate_span_report(docs, text_col, k, exact, collision_guard)
+    # r11: spans feeds THREE consumers below (keep-segment heads, tail
+    # segments, per-doc stats) and Spark's exchange reuse does not unify
+    # the three subtrees — the r10 plan ran the whole gram pipeline
+    # (window explode + hash + two window passes over O(total_chars)
+    # rows) three times (plan-verified: 10 parquet scans, 0
+    # ReusedExchange). The span frame is tiny (duplicated regions only),
+    # so one eager localCheckpoint executes the gram pipeline exactly
+    # once; session cache hygiene reclaims the blocks.
+    spans = spans.localCheckpoint(eager=True)
     wd = Window.partitionBy("doc_id").orderBy("span_start")
     heads = spans.select(
         "doc_id",

@@ -37,18 +37,25 @@ def triangle_stats(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """One row (n_nodes, n_edges, n_wedges, n_triangles) over an
     undirected multigraph given as (a, b) pairs (self-loops and
     duplicate/reversed pairs tolerated — canonicalized away)."""
+    # r11: edges feeds three consumers (both deg branches + the orient
+    # join) and deg three more (two orient sides + node totals); without
+    # materialization the upstream pair-generation executes once PER
+    # consumer (exchange reuse does not unify the subtrees). Both frames
+    # are linear in the edge count — materialize each once.
     edges = (
         pairs.select(
             F.least(a_col, b_col).alias("u"), F.greatest(a_col, b_col).alias("v")
         )
         .where("u <> v")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orient by the (deg, id) total order; carry the destination's rank
     # so wedge endpoints can be ordered without re-joining degrees
@@ -61,6 +68,12 @@ def triangle_stats(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.expr("CASE WHEN struct(du, u) < struct(dv, v) THEN dv ELSE du END").alias("ddeg"),
         )
     )
+    # r11: oriented feeds THREE consumers (both wedge sides + the closing
+    # set) and deg a fourth branch; without materialization the whole
+    # pair-canonicalization + degree-join pipeline executes per consumer
+    # (exchange reuse does not unify them). The oriented edge list is
+    # m rows of three ints — materialize it once.
+    oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select("src", F.col("dst").alias("x"), F.col("ddeg").alias("dx"))
     e2 = oriented.select("src", F.col("dst").alias("y"), F.col("ddeg").alias("dy"))
     wedges = (

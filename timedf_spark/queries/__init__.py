@@ -321,22 +321,43 @@ def all_queries() -> dict[str, QuerySpec]:
     #    semi-join gram prune in operators/substring.py) and the fan_out
     #    floor sites plasticc_etl / plasticc_multi_agg /
     #    duplicate_paragraphs / charlm_score — all re-hash first.
+    # Round-11 front (optimization round): every query re-planned by the
+    # r11 optimization pass goes first — floor removals (curation_suite),
+    # the CMS pre-aggregation (cms.py/round19), the kmeans row-local
+    # argmin (kmeans.py), eager checkpoint dedup of repeated subtrees
+    # (substring/triangles/round6/round8/extension/round5/round23), the
+    # copart + brand-triple array unfolds (round23), the approx split
+    # (tpch), the BFS driver path (bfs.py/round13), the candidate
+    # materialization + literal prune (dedup.py), and the similarity /
+    # ivf_index ADVICE fixes. contamination_probe closes the r10
+    # rotation miss (VERDICT r10 item 2).
     _FORCE_FRONT = (
-        "supplier_affinity_links",
-        "supplier_communities",
-        "brand_lift_rules",
-        "cluster_label_purity",
+        "contamination_probe",
+        "decontaminate_spans",
+        "cms_term_estimates",
+        "join_size_sketch",
         "kmeans_assign",
-        "incremental_substring_probe",
-        "plasticc_etl",
-        "plasticc_multi_agg",
-        "duplicate_paragraphs",
-        "charlm_score",
-        "dedup_clusters",
-        "incremental_dedup_clusters",
-        "semantic_dedup_keepers",
+        "cluster_balanced_sample",
+        "cluster_label_purity",
+        "strip_duplicate_spans",
+        "substring_tier_report",
+        "near_dup_tier_report",
+        "supplier_copart_links",
+        "brand_basket_triples",
+        "copurchase_triangles",
+        "approx_cardinalities",
+        "overlapping_sessions",
+        "overlapping_sessions_capped",
+        "supply_reach",
+        "curate_corpus",
+        "curation_funnel",
+        "quality_classifier",
+        "incremental_near_dup",
+        "incremental_near_dup_indexed",
         "dedup_embedding_cosine",
         "semantic_dedup_capped",
+        "semantic_dedup_keepers",
+        "ann_ivf_persisted",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:

@@ -35,11 +35,13 @@ def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # min_bytes floor (r10): A/B at sf0.1 measured the fan-out exchange
-    # as a small net loss on this path (1.06 s floored vs 1.24 s fanned).
-    docs = fan_out(
-        load_table(spark, sf_dir, "documents"), min_bytes=24 << 20
-    ).select("doc_id", "text")
+    # No min_bytes floor (r11): this path explodes k-gram shingles and
+    # md5-hashes every shingle — per-row-CPU work, the class fan_out was
+    # built for. The r10 floor measured ~2x scan-normalized SLOWER in both
+    # env pins (driver 1.06->1.97 s, local 0.84->2.03 s); reverted.
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     return curation.contamination_probe(spark, docs)
 
 
@@ -184,11 +186,12 @@ SUITE["incremental_near_dup_indexed"] = QuerySpec(
 
 
 def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # min_bytes floor (r10): A/B at sf0.1 measured the fan-out exchange
-    # as a small net loss on this path (1.06 s floored vs 1.24 s fanned).
-    docs = fan_out(
-        load_table(spark, sf_dir, "documents"), min_bytes=24 << 20
-    ).select("doc_id", "text")
+    # No min_bytes floor (r11): chunking + shingle/md5 probe work is
+    # per-row-CPU; the r10 floor measured ~1.3-1.6x scan-normalized slower
+    # in both env pins (driver 1.25->1.92 s, local 1.32->2.16 s); reverted.
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
     return curation.decontaminate_spans(spark, docs)
 
 

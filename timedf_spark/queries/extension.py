@@ -245,6 +245,12 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     scored = with_text_stats(docs).select("doc_id", "text", "n_tokens", "quality_score")
+    # r11 note: materializing q (it feeds both sides of the exact-dedup
+    # join) was A/B'd and REVERTED — the duplicated subtrees run
+    # concurrently inside one job on an idle box, so the eager
+    # localCheckpoint serialized the critical path and measured
+    # 1.85 -> 4.4-5.0 s in two same-chunk-layout bench A/Bs at sf0.1
+    # (steady-state in-session timing is a wash: 4.2-4.6 s both ways).
     q = scored.filter(F.col("quality_score") >= _CURATE_QUALITY_MIN)
     keep_exact = (
         q.groupBy(F.expr("md5(text)").alias("h"))
@@ -317,6 +323,11 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway); the stage frames union at 1 row each."""
     docs = load_table(spark, sf_dir, "documents")
     scored = with_text_stats(docs).select("doc_id", "text", "quality_score")
+    # r11 note: materializing q (three executions: both exact-dedup join
+    # sides + the stage-2 count) was A/B'd and REVERTED — same finding as
+    # curate_corpus: the duplicated subtrees are concurrent within one
+    # job, and the eager checkpoint serialized the critical path
+    # (3.05 -> 4.7-4.9 s, two same-layout bench A/Bs at sf0.1).
     q = scored.filter(F.col("quality_score") >= _CURATE_QUALITY_MIN)
     keep_exact = (
         q.groupBy(F.expr("md5(text)").alias("h"))
@@ -518,7 +529,16 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead on widened tiny partitions outweighs the projection win
     # (same measured call as CC rounds / curate_corpus, COVERAGE.md)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    featured = qm.classifier_features(docs)
+    # r11: featured feeds TWO full executions — the training block build
+    # and the final scoring scan — and with_text_stats (tokenize + regex
+    # stats over text) is the expensive part of both. Project to the nine
+    # narrow columns either consumer needs (drops text) and materialize
+    # ONCE; θ and the scores are unchanged because the feature values are.
+    featured = (
+        qm.classifier_features(docs)
+        .select("doc_id", "lang", "quality_score", *qm.FEATURES)
+        .localCheckpoint(eager=True)
+    )
     theta = qm.train_quality_classifier(featured.filter("doc_id % 5 < 4"))
     return qm.score_documents(featured, theta).select(
         "doc_id", "lang", "quality_prob", "prob_bucket"

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from timedf_spark.operators.cms import cms_build, cms_inner_product, cms_join_size_sql
 from timedf_spark.queries import QuerySpec
-from timedf_spark.sources import fan_out, load_table
+from timedf_spark.sources import load_table
 
 _D = 5
 _W = 65536
@@ -50,11 +50,13 @@ def join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, lt, lk, rt, rk in _JOINS:
         left = load_table(spark, sf_dir, lt).select(F.col(lk).alias("k"))
         right = load_table(spark, sf_dir, rt).select(F.col(rk).alias("k"))
-        # md5 lanes are per-row CPU; single-row-group parquet scans as
-        # one task without the fan_out
+        # r11: no fan_out — cms_build now aggregates to per-key counts
+        # before its md5 lanes, so the per-row CPU runs AFTER the groupBy
+        # exchange (already at full parallelism); the fan-out repartition
+        # would only add an exchange ahead of a cheap partial count.
         est = cms_inner_product(
-            cms_build(fan_out(left), "k", _D, _W),
-            cms_build(fan_out(right), "k", _D, _W),
+            cms_build(left, "k", _D, _W),
+            cms_build(right, "k", _D, _W),
             _D,
         )
         lc = left.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))

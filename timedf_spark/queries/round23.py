@@ -33,11 +33,19 @@ def _overlapping_sessions_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timedf_spark.operators.intervals import interval_overlap_topk
     from timedf_spark.operators.sessionize import sessionize
 
-    sess = sessionize(spark, sf_dir).select(
-        "user_id",
-        "session_id",
-        F.unix_micros("t_start").alias("start_us"),
-        F.unix_micros("t_end").alias("end_us"),
+    # r11: sess is BOTH sides of the interval join; without
+    # materialization the sessionize pipeline (events scan + two window
+    # passes) executes once per side. The session frame is tiny — one
+    # eager localCheckpoint runs it once.
+    sess = (
+        sessionize(spark, sf_dir)
+        .select(
+            "user_id",
+            "session_id",
+            F.unix_micros("t_start").alias("start_us"),
+            F.unix_micros("t_end").alias("end_us"),
+        )
+        .localCheckpoint(eager=True)
     )
     return interval_overlap_topk(
         sess,
@@ -101,22 +109,28 @@ _COPART_TOPK = 10
 def _supplier_copart_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timedf_spark.sources import load_table
 
-    sp = (
+    # r11: sorted-array pair unfold (the resource_allocation_pairs shape)
+    # instead of distinct + degree pre-pass + equi-self-join. collect_set
+    # dedups (s, p) in-aggregate and its size IS the part's supplier
+    # degree, so the guard is a row filter; i<j pairs unfold from the
+    # sorted array via two streaming Generates. Same pair multiset, but
+    # ONE lineitem scan and two shuffles (part grain, pair grain) replace
+    # the r10 plan's four (distinct, degree, two self-join sides) — and
+    # the self-join's repeated pipeline execution disappears.
+    grouped = (
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .where(F.size("ss") <= _COPART_MAX_PART_DEG)
     )
-    deg_ok = (
-        sp.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= _COPART_MAX_PART_DEG)
-        .select("p")
-    )
-    sp_ok = sp.join(deg_ok, "p", "left_semi")
-    a, b = sp_ok.alias("a"), sp_ok.alias("b")
+    lefts = grouped.select(F.posexplode("ss").alias("_i", "supp_a"), "ss")
     pairs = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        lefts.select(
+            "supp_a",
+            F.explode(F.expr("slice(ss, _i + 2, size(ss))")).alias("supp_b"),
+        )
+        .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
     from pyspark.sql.window import Window
@@ -572,20 +586,29 @@ def _brand_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # r11: strict-upper-triangle TRIPLE emission from each order's own
+    # sorted brand set (the brand_basket_pairs / supplier_copart_links
+    # shape) instead of the double equi-self-join — collect_set dedups
+    # (order, brand) in-aggregate, i<j<k unfolds via suffix slices, so
+    # ONE basket aggregate and streaming Generates replace three scans of
+    # ob plus two shuffled self-joins. Same triple multiset: the sorted
+    # array's i<j<k enumeration IS the a.b < b.b < c.b join predicate.
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .where(F.size("bs") >= 3)
     )
-    a, b, c = ob.alias("a"), ob.alias("b"), ob.alias("c")
     triples = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.b") < F.col("b.b")))
-        .join(c, (F.col("a.o") == F.col("c.o")) & (F.col("b.b") < F.col("c.b")))
-        .groupBy(
-            F.col("a.b").alias("brand_a"),
-            F.col("b.b").alias("brand_b"),
-            F.col("c.b").alias("brand_c"),
+        baskets.select(F.posexplode("bs").alias("_i", "brand_a"), "bs")
+        .select("brand_a", F.expr("slice(bs, _i + 2, size(bs))").alias("s1"))
+        .select("brand_a", F.posexplode("s1").alias("_j", "brand_b"), "s1")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.explode(F.expr("slice(s1, _j + 2, size(s1))")).alias("brand_c"),
         )
+        .groupBy("brand_a", "brand_b", "brand_c")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= _TRIPLE_MIN_SUPPORT)
     )

@@ -157,11 +157,19 @@ def overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from timedf_spark.operators.intervals import interval_overlap_join
     from timedf_spark.operators.sessionize import sessionize
 
-    sess = sessionize(spark, sf_dir).select(
-        "user_id",
-        "session_id",
-        F.unix_micros("t_start").alias("start_us"),
-        F.unix_micros("t_end").alias("end_us"),
+    # r11: sess is BOTH sides of the interval join; without
+    # materialization the sessionize pipeline (events scan + two window
+    # passes) executes once per side. The session frame is tiny — one
+    # eager localCheckpoint runs it once.
+    sess = (
+        sessionize(spark, sf_dir)
+        .select(
+            "user_id",
+            "session_id",
+            F.unix_micros("t_start").alias("start_us"),
+            F.unix_micros("t_end").alias("end_us"),
+        )
+        .localCheckpoint(eager=True)
     )
     return interval_overlap_join(
         sess, sess, pair_filter="a_user_id < b_user_id"

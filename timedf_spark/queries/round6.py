@@ -370,6 +370,11 @@ def near_dup_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     unguarded tier."""
     from timedf_spark.operators import dedup
 
+    # r11 note: materializing each tier's pair frame (two consumers each:
+    # own count + overlap join) was A/B'd and REVERTED — the duplicated
+    # shingle pipelines run concurrently inside the one job, so the eager
+    # localCheckpoints serialized the critical path (1.60 -> 2.3-2.5 s in
+    # two same-chunk-layout bench A/Bs at sf0.1).
     exact = dedup.ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup.minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -136,6 +136,14 @@ def substring_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays ``substring_candidates``. Both engines apply the same sample
     predicate, so the oracle remains an equality check."""
     docs = fan_out(load_table(spark, sf_dir, "documents").filter(_AUDIT_PRED), min_bytes=0)
+    # r11 note: materializing exact/pairs/cand (each feeds two consumers;
+    # the r10 plan runs the span and fingerprint pipelines twice each, 90
+    # Exchange nodes) was A/B'd and REVERTED — the duplicated subtrees
+    # execute concurrently inside the single job, and the three eager
+    # localCheckpoints serialized the critical path (2.11 -> 3.2-6.0 s in
+    # two same-chunk-layout bench A/Bs at sf0.1). At cluster scale the
+    # re-execution is 2x compute; a cost-based engine would materialize —
+    # this call site keeps the measured-faster concurrent shape.
     exact = (
         substr_ops.duplicate_span_report(docs, "text", _SPAN_K)
         .select("doc_id")

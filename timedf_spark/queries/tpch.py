@@ -232,13 +232,25 @@ def approx_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority": "o_orderpriority",
         "custkey": "o_custkey",
     }
-    agg = df.agg(
-        *[F.countDistinct(c).cast("long").alias(f"n_{n}") for n, c in cols.items()],
+    # r11: exact and approx in SEPARATE aggregates. Fused, the
+    # multi-distinct Expand made the planner evaluate
+    # partial_approx_count_distinct per (col-values, gid) GROUP — one
+    # HLL++ buffer per distinct custkey (~100k × 3 sketches allocated
+    # and merged per run, measured 1.74 s for a 150k-row table). Split,
+    # the HLL branch is a plain global agg (one buffer per partition per
+    # column) and the exact branch is the standard Expand multi-distinct;
+    # the 1-row frames cross-join for free. Values are identical: HLL++
+    # register-max merge is order-independent, exact counts unchanged.
+    exact = df.agg(
+        *[F.countDistinct(c).cast("long").alias(f"n_{n}") for n, c in cols.items()]
+    )
+    est = df.agg(
         *[
             F.approx_count_distinct(c, rsd=0.02).alias(f"est_{n}")
             for n, c in cols.items()
-        ],
+        ]
     )
+    agg = exact.crossJoin(est)
     return agg.select(
         *[F.col(f"n_{n}") for n in cols],
         *[

@@ -40,6 +40,14 @@ _COMMON: dict[str, Any] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # IN predicates up to this many literals push to parquet as the real
+    # set (above it Spark degrades them to a [min, max] range, useless
+    # for scattered keys). The streaming store probes prune corpus-sized
+    # scans with bounded literal id sets (operators/dedup.py::
+    # _materialized_candidates cap 8192, similarity.py cell prune) whose
+    # row-group skipping only works when the SET reaches the reader;
+    # default is 10.
+    "spark.sql.parquet.pushdown.inFilterThreshold": "8192",
     "spark.sql.session.timeZone": "UTC",
     # Structured Streaming state store: RocksDB scales past JVM-heap state.
     "spark.sql.streaming.stateStore.providerClass": (

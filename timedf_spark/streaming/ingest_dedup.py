@@ -133,14 +133,20 @@ def _rehash_corpus_pairs(
     drop cross-batch pairs in the [shared, stricter) Jaccard window for
     exactly the batches that route here (stores enabled mid-stream)."""
     corpus_bands, corpus_sh = _minhash_bands(corpus_docs)
-    from timedf_spark.operators.dedup import _probe_candidates
+    from timedf_spark.operators.dedup import _materialized_candidates
 
-    candidates = _probe_candidates(batch_bands, corpus_bands)
-    corpus_cand_sh = corpus_sh.withColumnRenamed("doc_id", "corpus_id").join(
-        F.broadcast(candidates.select("corpus_id").distinct()),
-        "corpus_id",
-        "left_semi",
-    )
+    # r11: candidates feed the prune AND the verify join — materialize
+    # once (shared helper; the literal-id route also skips the semi-join)
+    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
+    cs = corpus_sh.withColumnRenamed("doc_id", "corpus_id")
+    if ids is not None:
+        corpus_cand_sh = cs.filter(F.col("corpus_id").isin(ids))
+    else:
+        corpus_cand_sh = cs.join(
+            F.broadcast(candidates.select("corpus_id").distinct()),
+            "corpus_id",
+            "left_semi",
+        )
     return _verify_batch_corpus(batch_sh, corpus_cand_sh, candidates, threshold)
 
 
@@ -238,12 +244,21 @@ def apply_ingest_batch(
     # affected rows + these singletons) instead of rewriting the whole
     # corpus assignment — the store-growth shakeout's last O(store)
     # per-batch write. Compaction is amortized inside the fold.
-    singles = docs.select(
-        F.col("doc_id").alias("vertex"), F.col("doc_id").alias("component")
-    ).join(
-        _rows_any_version(spark, assign_path).select("vertex"),
-        "vertex",
-        "left_anti",
+    # r11: prune the presence check to the batch's OWN vertex set with a
+    # broadcast semi-join BEFORE the anti-join. The raw anti-join (small
+    # batch LEFT ANTI corpus-sized store) cannot broadcast its big right
+    # side, so it shuffled the whole assignment store every batch — the
+    # last per-batch O(store) SHUFFLE on this path. Pruned, the store
+    # side streams through a broadcast hash filter at scan grain
+    # (emitting <= batch rows) and the anti-join itself broadcasts.
+    # Equivalent by construction: docs ANTI store == docs ANTI
+    # (store SEMI docs).
+    batch_verts = docs.select(F.col("doc_id").alias("vertex"))
+    present = _rows_any_version(spark, assign_path).select("vertex").join(
+        F.broadcast(batch_verts), "vertex", "left_semi"
+    )
+    singles = batch_verts.withColumn("component", F.col("vertex")).join(
+        F.broadcast(present), "vertex", "left_anti"
     )
     # no isEmpty pre-check: incremental_components checkpoints the edge
     # union once and handles the empty case for free — a separate

@@ -94,7 +94,7 @@ HEADLINERS = {
     # r05 planner-blowup class cannot recur).
     "supplier_communities": "LPA round shape: one equi-join + (node,label) count + per-node argmax window, all hash-partitioned over a checkpointed frontier (no lineage growth)",
     "nation_seed_ppr": "PPR round shape: integer-quantized mass join + dangling mass via 1-row broadcast; checkpoint scan (lineage truncated per round)",
-    "supply_reach": "BFS frontier expansion: frontier⋈edges equi-join + min-agg per round over a checkpointed frontier",
+    "supply_reach": "BFS under the bounded-graph driver fast path (r11): counted-first Arrow collect + numpy frontier replay; the hop histogram aggregates a LogicalRDD (distributed frontier⋈edges rounds above the bound)",
     "substring_tier_report": "per-position k-gram hashes: ONE exchange of corpus bytes at gram grain; tier report is aggregate-grain only",
     "semantic_dedup_capped": "SRP buckets in-scan (Arrow matmul); window rank within (table,bucket); degree-bounded range join — candidate volume linear, no all-pairs",
     # round-8 session: statistics / ER-audit / survival / raking tiers
@@ -107,7 +107,7 @@ HEADLINERS = {
 }
 
 
-def main() -> None:
+def _render() -> str:
     spark = get_spark(app_name="gen_plans")
     qs = all_queries()
     out = [
@@ -126,8 +126,41 @@ def main() -> None:
         )
         tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
         out += [f"## {name}", "", f"*{claim}*", "", "```", tree.strip(), "```", ""]
-    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    return "\n".join(out)
+
+
+def main() -> None:
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    text = _render()
+    if "--check" in sys.argv[1:]:
+        # Freshness guard (VERDICT r10 item 2): compare the committed file
+        # against a live regeneration, ignoring expression-id drift
+        # (#NNN counters shift whenever ANY earlier plan changes). A
+        # mismatch means a plan-touching change shipped without
+        # regenerating PLANS.md — rerun this tool without --check.
+        import re
+
+        def norm(s: str) -> str:
+            return re.sub(r"#\d+", "#x", s)
+
+        try:
+            with open(path) as f:
+                committed = f.read()
+        except OSError:
+            print("PLANS.md missing — run tools/gen_plans.py")
+            sys.exit(1)
+        if norm(committed) != norm(text):
+            got, want = norm(committed).splitlines(), norm(text).splitlines()
+            stale = sum(1 for a, b in zip(got, want) if a != b) + abs(
+                len(got) - len(want)
+            )
+            print(f"PLANS.md STALE ({stale} differing lines) — "
+                  "rerun tools/gen_plans.py and commit the result")
+            sys.exit(1)
+        print("PLANS.md fresh")
+        return
+    with open(path, "w") as f:
+        f.write(text)
     print("PLANS.md written")
 
 
