@@ -214,12 +214,15 @@ def test_ingest_dedup_sig_coverage_mismatch_falls_back(spark, sf_dir, tmp_path):
 
 def test_indexed_probe_plan_skips_corpus_minhash(spark, sf_dir, tmp_path):
     """With a persisted signature store, candidate generation reads the
-    index: the per-batch corpus minhash recomputation is GONE from the
-    plan. The analyzed plan re-expands each reference of a subtree, so
-    minhash aggregates are countable via their mh0 alias — the rehash
-    path signs batch AND corpus (2 aggregates x 3 references = 6), the
-    indexed path signs only the batch (3); corpus text survives only
-    under the candidate-verify, and the band store is scanned instead."""
+    index instead of re-minhashing the corpus. r11 materializes the
+    candidate frame eagerly on BOTH paths (it feeds two consumers), so
+    the distinction now lives at the candidate-PROBE stage, where the
+    minhash aggregates are countable via their mh0 alias: the rehash
+    probe signs batch AND corpus (2 aggregates), the indexed probe signs
+    only the batch (1) and scans the band store. The returned lazy plans
+    both carry ZERO minhash aggregates (the sketch work ran once, inside
+    the checkpoint) and corpus text survives only under the
+    candidate-verify."""
     import re
 
     from timedf_spark.operators import dedup
@@ -234,19 +237,31 @@ def test_indexed_probe_plan_skips_corpus_minhash(spark, sf_dir, tmp_path):
     spark.catalog.clearCache()
 
     corpus = spark.read.parquet(corpus_pq)
+    store = spark.read.parquet(bands_pq)
+    # probe stage: where the corpus-minhash-skipped property is visible
+    batch_bands, _bsh = dedup._minhash_bands(batch)
+    rehash_bands, _csh = dedup._minhash_bands(corpus)
+    probe_i = dedup._probe_candidates(batch_bands, store)
+    probe_r = dedup._probe_candidates(batch_bands, rehash_bands)
+    pplan_i = probe_i._jdf.queryExecution().analyzed().toString()
+    pplan_r = probe_r._jdf.queryExecution().analyzed().toString()
+    assert pplan_i.count(" AS mh0#") == 1, pplan_i.count(" AS mh0#")
+    assert pplan_r.count(" AS mh0#") == 2, pplan_r.count(" AS mh0#")
+    assert re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", pplan_i)
+
     indexed = dedup.incremental_near_dup_pairs_indexed(
         batch, corpus, spark.read.parquet(bands_pq)
     )
     rehash = dedup.incremental_near_dup_pairs(batch, corpus)
     plan_i = indexed._jdf.queryExecution().analyzed().toString()
     plan_r = rehash._jdf.queryExecution().analyzed().toString()
-    # r11: the batch sketch AND the band-store probe both live inside the
-    # eagerly-materialized candidate frame, so the indexed lazy plan has
-    # ZERO minhash aggregates left (the rehash path keeps its 6: batch +
-    # corpus, 3 references each) and the band relation is replaced by a
-    # LogicalRDD; corpus text survives only under the candidate verify.
+    # r11: the batch sketch AND the band/corpus probe live inside the
+    # eagerly-materialized candidate frame on both paths, so neither lazy
+    # plan re-runs a minhash aggregate per consumer; the band relation is
+    # replaced by a LogicalRDD; corpus text survives only under the
+    # candidate verify.
     assert plan_i.count(" AS mh0#") == 0, plan_i.count(" AS mh0#")
-    assert plan_r.count(" AS mh0#") == 6, plan_r.count(" AS mh0#")
+    assert plan_r.count(" AS mh0#") == 0, plan_r.count(" AS mh0#")
     assert not re.search(r"Relation \[doc_id#\d+L,band#\d+,band_key#\d+\]", plan_i)
     assert "LogicalRDD" in plan_i
     n_corpus_text = len(re.findall(r"Relation \[doc_id#\d+L,text#\d+\]", plan_i))

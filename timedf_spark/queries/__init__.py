@@ -358,6 +358,11 @@ def all_queries() -> dict[str, QuerySpec]:
         "semantic_dedup_capped",
         "semantic_dedup_keepers",
         "ann_ivf_persisted",
+        # second r11 session: dl-join removal (retrieval.py), flat-plan
+        # checkpoints (round27 ipf, round22 basket pass)
+        "bm25_search",
+        "ipf_raking",
+        "brand_lift_rules",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:

@@ -76,21 +76,31 @@ _MIN_SUPPORT = 3
 def _brand_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # r11: ONE basket pass. The old shape computed the distinct
+    # (order, brand) frame four times (pairs, n_orders, brand_n ×2 — 4
+    # lineitem scans / 8 fact-grain exchanges in the before-plan,
+    # plans/r11/brand_lift_rules_before.txt). collect_set dedups in-agg,
+    # so the separate distinct exchange is gone too; the tiny basket
+    # frame (one row per order) is checkpointed once and n_orders,
+    # brand_n and the pair unfold all derive from it. Identical values:
+    # count of basket rows == count of distinct orderkeys, explode of
+    # the per-order brand SET == the distinct (order, brand) frame.
+    baskets = (
         li.join(F.broadcast(part), li.l_orderkey.isNotNull() & (li.l_partkey == part.p_partkey))
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint(eager=True)
     )
-    n_orders = ob.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    brand_n = baskets.select(F.explode("brands").alias("p_brand")).groupBy(
+        "p_brand"
+    ).agg(F.count(F.lit(1)).alias("n_brand"))
     # two-level posexplode+suffix-slice (r09, the linkpred.py shape):
     # streams pairs through two Generates instead of materializing the
     # O(k²) pair array per basket in interpreted HOF lambdas
     pairs = (
-        ob.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        baskets
         .select(F.posexplode("brands").alias("_i", "brand_a"), F.col("brands"))
         .select(
             "brand_a",

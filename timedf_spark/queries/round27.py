@@ -70,10 +70,17 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed table: order counts per (nation, status); targets: revenue
     # shares per nation (row margin) and per status (column margin),
     # scaled to the same grand total as the seed counts
+    # r11: the <=75-row grid is checkpointed ONCE — the unrolled sweep
+    # chain below references it (and frames derived from it) dozens of
+    # times, and lazy, every reference re-planned the fact-table join +
+    # aggregate (94 parquet scans / 93 Exchanges in the before-plan,
+    # plans/r11/ipf_raking_before.txt). Same k-row-checkpoint discipline
+    # as operators/kmeans.py's Lloyd rounds; values are bit-identical
+    # (localCheckpoint is semantically a no-op).
     cells = base.groupBy("c_nationkey", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("seed"),
         F.sum("cents").alias("rev"),
-    )
+    ).localCheckpoint(eager=True)
     grand = cells.agg(
         F.sum("seed").alias("n_total"), F.sum("rev").alias("rev_total")
     )
@@ -100,11 +107,18 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid would be partial-aggregation-order-dependent (nondeterministic
     # even between two Spark runs, let alone vs DuckDB). Each scaling
     # step applies the double ratio and re-quantizes via floor.
+    # margins are <=25/<=3 rows each, referenced once per sweep:
+    # checkpoint so the sweep chain never re-plans their aggregates
+    row_m = row_m.localCheckpoint(eager=True)
+    col_m = col_m.localCheckpoint(eager=True)
     w = cells.selectExpr(
         "c_nationkey", "o_orderstatus", "seed * 1000 AS wq"
     )
     for _ in (1, 2):
         rsum = w.groupBy("c_nationkey").agg(F.sum("wq").alias("r_sum"))
+        # each scaling step references the previous w TWICE (the margin
+        # sum and the scaled projection): checkpoint per step keeps the
+        # unrolled plan linear instead of exponential in sweep count
         w = (
             w.join(F.broadcast(rsum), "c_nationkey")
             .join(F.broadcast(row_m), "c_nationkey")
@@ -114,6 +128,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (t_row / (CAST(r_sum AS DOUBLE) / 1000.0))) AS BIGINT)"
                 " AS wq",
             )
+            .localCheckpoint(eager=True)
         )
         csum = w.groupBy("o_orderstatus").agg(F.sum("wq").alias("c_sum"))
         w = (
@@ -125,6 +140,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (t_col / (CAST(c_sum AS DOUBLE) / 1000.0))) AS BIGINT)"
                 " AS wq",
             )
+            .localCheckpoint(eager=True)
         )
     return (
         w.join(cells.select("c_nationkey", "o_orderstatus", "seed"),
