@@ -53,6 +53,18 @@ __all__ = [
 # O(store / _COMPACT_EVERY) per batch) and drops the old base + deltas.
 # Legacy manifests (no "base" key) mean base == version — exactly the
 # old full-snapshot layout, which reads and upgrades transparently.
+#
+# Read-amplification curve (r11, tools/delta_read_curve.py over a
+# 5M-vertex store, 500-edge folds, SCALE_SHAKEOUT.json
+# "delta_read_amplification"): full read_assignments medians 0.53 s at
+# k=0 deltas, then 2.60 / 1.85 / 2.24 s at k=4/8/15 — a ~4x STEP the
+# moment any delta exists (the latest-version-wins resolve adds a
+# per-vertex max-version aggregate over base+deltas), roughly FLAT in k
+# between compactions. Consequence: lowering _COMPACT_EVERY would not
+# cheapen delta-present reads (the step, not the delta count, is the
+# cost) and compacting every batch is exactly the O(store) write this
+# protocol removed — 16 stands. Read-heavy consumers should read right
+# after a compaction boundary or call compact() themselves.
 _COMPACT_EVERY = int(os.environ.get("SPARK_GRAFT_ASSIGN_COMPACT_EVERY", "16"))
 
 
