@@ -507,6 +507,36 @@ def test_copurchase_triangles_plan_no_cartesian(spark):
 # ---- k-core -----------------------------------------------------------------
 
 
+def test_kcore_driver_path_matches_distributed(spark, monkeypatch):
+    """r11 driver fast path: the numpy peel replay must produce the exact
+    (node, deg) table of the distributed rounds — partial peel (rounds
+    cut mid-cascade), converged form, and an everything-peels graph."""
+    from timedf_spark.operators import kcore
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, "a long, b long")
+
+    def snap(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    fast = [
+        snap(kcore.kcore_peel(df, "a", "b", 3, r)) for r in (0, 1, 2, 5)
+    ] + [
+        snap(kcore.kcore_converged(df, "a", "b", 3)),
+        snap(kcore.kcore_converged(df, "a", "b", 5)),  # nothing survives
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_PATH", "0")
+    slow = [
+        snap(kcore.kcore_peel(df, "a", "b", 3, r)) for r in (0, 1, 2, 5)
+    ] + [
+        snap(kcore.kcore_converged(df, "a", "b", 3)),
+        snap(kcore.kcore_converged(df, "a", "b", 5)),
+    ]
+    assert fast == slow
+    assert fast[-1] == []  # 5-core of K5+chain is empty
+
+
 def test_kcore_peel_cascade_and_fixpoint(spark):
     """A K5 with a pendant chain: round 1 drops the chain tail, the
     cascade eats the whole chain, K5 survives any number of 3-core

@@ -33,9 +33,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from timedf_spark.operators.cluster import _checkpoint, _release
+from timedf_spark.operators.cluster import (
+    _checkpoint,
+    _driver_graph_paths_enabled,
+    _release,
+)
 
 __all__ = ["kcore_peel", "kcore_converged", "kcore_peel_sql"]
+
+# Hybrid fast path (r11; same rule as connected_components / pagerank /
+# labelprop / bfs): peeling is INTEGER-only (degree counts, a >= k
+# threshold), so a vectorized numpy replay on the driver is exactly
+# equal by construction — each round derives degrees from the surviving
+# edge set and keeps edges whose endpoints both meet k, the identical
+# recurrence. Each distributed round costs a degree aggregate + two
+# semi-joins + a checkpoint of fixed overhead that dwarfs the
+# arithmetic on small graphs; the replay is milliseconds. Collects are
+# counted first; the distributed path is unchanged above the bound.
+_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _np_degrees(u, v):
+    """(nodes_sorted, deg) over the canonical edge list — the numpy twin
+    of :func:`_degrees` (nodes with >= 1 surviving edge only)."""
+    import numpy as np
+
+    return np.unique(np.concatenate([u, v]), return_counts=True)
+
+
+def _driver_peel(u, v, k: int, rounds: int):
+    """Edge set surviving ``rounds`` peel applications (early exit at the
+    fixpoint — further applications are no-ops by definition)."""
+    import numpy as np
+
+    for _ in range(rounds):
+        if not len(u):
+            break
+        nodes, deg = _np_degrees(u, v)
+        keep = nodes[deg >= k]
+        mask = np.isin(u, keep) & np.isin(v, keep)
+        if mask.all():
+            break  # fixpoint: this and every later round removes nothing
+        u, v = u[mask], v[mask]
+    return u, v
+
+
+def _degrees_frame(spark, u, v) -> DataFrame:
+    import pandas as pd
+
+    nodes, deg = _np_degrees(u, v)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "deg": deg.astype("int64")}),
+        "node bigint, deg bigint",
+    )
 
 
 def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -64,19 +114,47 @@ def _peel_once(edges: DataFrame, k: int) -> DataFrame:
     ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi").select("u", "v")
 
 
+def _collect_edges_bounded(edges: DataFrame, bound: int):
+    """(u, v) numpy arrays when the materialized canonical edge frame is
+    within ``bound`` and the driver path is enabled, else None. The
+    count runs BEFORE the collect (the labelprop discipline) against the
+    checkpointed frame, so it is a block scan, not a recompute."""
+    e, ids = _checkpoint(edges)
+    if (
+        bound > 0
+        and _driver_graph_paths_enabled()
+        and e.count() <= bound
+    ):
+        et = e.toArrow()
+        _release(e, ids)
+        return (
+            et.column("u").to_numpy().astype("int64"),
+            et.column("v").to_numpy().astype("int64"),
+            None,
+            None,
+        )
+    return None, None, e, ids
+
+
 def kcore_peel(
-    pairs: DataFrame, a_col: str, b_col: str, k: int, rounds: int
+    pairs: DataFrame, a_col: str, b_col: str, k: int, rounds: int,
+    small_graph_edges: int = _DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node, deg) surviving after exactly ``rounds`` peel applications —
     the deterministic, oracle-checkable form. Converged when a round
     removes nothing; :func:`kcore_converged` finds that point."""
     assert k >= 1 and rounds >= 0
-    edges = _canonical_edges(pairs, a_col, b_col)
-    held: set[int] = set()
+    u, v, edges, held = _collect_edges_bounded(
+        _canonical_edges(pairs, a_col, b_col), small_graph_edges
+    )
+    if u is not None:
+        spark = pairs.sparkSession
+        u, v = _driver_peel(u, v, k, rounds)
+        return _degrees_frame(spark, u, v)
     for _ in range(rounds):
         nxt = _peel_once(edges, k)
         nxt, ids = _checkpoint(nxt)
-        _release(nxt, held)
+        _release(edges, held)
         edges, held = nxt, ids
     return _degrees(edges)
 
@@ -87,8 +165,19 @@ def kcore_converged(
     """(node, deg) of the true k-core: every surviving node has deg >= k
     within the surviving subgraph. Raises if ``max_rounds`` peels do not
     reach the fixpoint (never silently truncates)."""
-    edges = _canonical_edges(pairs, a_col, b_col)
-    edges, held = _checkpoint(edges)
+    u, v, edges, held = _collect_edges_bounded(
+        _canonical_edges(pairs, a_col, b_col), _DRIVER_MAX_EDGES
+    )
+    if u is not None:
+        spark = pairs.sparkSession
+        for _ in range(max_rounds):
+            nu, nv = _driver_peel(u, v, k, 1)
+            if len(nu) == len(u):
+                return _degrees_frame(spark, nu, nv)
+            u, v = nu, nv
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds"
+        )
     n = edges.count()
     for _ in range(max_rounds):
         nxt = _peel_once(edges, k)

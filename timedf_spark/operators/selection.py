@@ -93,27 +93,43 @@ def importance_weights(
         .filter("term <> ''")
         .withColumn("bucket", F.expr(_BUCKET_SPARK))
     )
-    corpus_counts = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("nc"))
-    target_counts = (
-        tok.filter("is_target")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("nt"))
+    # r11: the explode + per-token md5 subtree is the dominant cost and
+    # fed FIVE consumers (corpus counts, target counts, both totals
+    # branches, the per-doc score join) — five full token passes in one
+    # job. Reduce it ONCE to the (doc_id, is_target, bucket) count
+    # histogram (map-side combine; is_target is doc-constant so the
+    # grain is (doc_id, bucket)) and materialize that; every downstream
+    # quantity is an exact integer derivation from the histogram:
+    # nc = sum(cnt), nt = sum(cnt | is_target) (the LEFT JOIN + coalesce
+    # collapses into the conditional sum), tot_* = their sums over the
+    # <= n_buckets-row count table — nullif(.,0) reproduces the empty-
+    # target NULL the old separate aggregate produced — and the per-doc
+    # token sum sum(qw) over tokens == sum(qw * cnt) over histogram rows.
+    hist = (
+        tok.groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    totals = (
-        corpus_counts.agg(F.sum("nc").alias("tot_c"))
-        .crossJoin(target_counts.agg(F.sum("nt").alias("tot_t")))
+    counts = hist.groupBy("bucket").agg(
+        F.sum("cnt").alias("nc"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("nt"),
+    )
+    totals = counts.agg(
+        F.sum("nc").alias("tot_c"),
+        F.expr("nullif(sum(nt), 0)").alias("tot_t"),
     )
     weights = (
-        corpus_counts.join(target_counts, "bucket", "left")
-        .withColumn("nt", F.coalesce("nt", F.lit(0)))
-        .join(F.broadcast(totals))
+        counts.join(F.broadcast(totals))
         .withColumn("qw", F.expr(_QW_SQL))
         .select("bucket", "qw")
     )
     per_doc = (
-        tok.join(F.broadcast(weights), "bucket")
+        hist.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum("qw").alias("sw"), F.count(F.lit(1)).alias("n_tokens"))
+        .agg(
+            F.sum(F.expr("qw * cnt")).alias("sw"),
+            F.sum("cnt").alias("n_tokens"),
+        )
     )
     return per_doc.select(
         "doc_id",

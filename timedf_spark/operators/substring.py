@@ -401,20 +401,29 @@ def fingerprint_candidate_pairs(
     drops degenerate grams shared by more than that many docs — the
     same hot-key guard as the n-gram Jaccard tier, without which one
     boilerplate gram shared by D docs costs D^2 pairs."""
-    grams = _anchored_grams(docs, text_col, k)
+    # r11: sorted-array pair unfold (the supplier_copart_links shape)
+    # instead of the df-guard window + gram self-join — the self-join
+    # executed the anchored-gram pipeline (per-position substring + hash
+    # over the corpus) once PER SIDE, and the window paid a gram-grain
+    # sort on top. collect_set dedups (doc_id, gh) in-aggregate (grams
+    # are already distinct, so set size == the window's doc-frequency
+    # count) and i<j pairs unfold from the sorted array via streaming
+    # Generates: same pair multiset, ONE gram pipeline execution, and
+    # the gh-grain window exchange+sort replaced by one aggregate.
+    baskets = (
+        _anchored_grams(docs, text_col, k)
+        .groupBy("gh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_ds"))
+    )
     if max_doc_freq is not None:
-        wg = Window.partitionBy("gh")
-        grams = grams.withColumn("df", F.count(F.lit(1)).over(wg)).filter(
-            F.col("df") <= max_doc_freq
-        ).drop("df")
-    a = grams.alias("a")
-    b = grams.alias("b")
+        baskets = baskets.where(F.size("_ds") <= max_doc_freq)
+    lefts = baskets.select(F.posexplode("_ds").alias("_i", "doc_a"), "_ds")
     return (
-        a.join(b, "gh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        lefts.select(
+            "doc_a",
+            F.explode(F.expr("slice(_ds, _i + 2, size(_ds))")).alias("doc_b"),
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))

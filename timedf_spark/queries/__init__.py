@@ -363,6 +363,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "bm25_search",
         "ipf_raking",
         "brand_lift_rules",
+        # third r11 session: kcore driver fast path, dsir single-pass
+        # histogram, fingerprint pair-unfold (both consumers re-planned)
+        "copurchase_kcore",
+        "dsir_importance",
+        "substring_candidates",
+        "order_expectations",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
