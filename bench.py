@@ -83,6 +83,13 @@ SHUFFLE_WAIVERS: dict[str, tuple[float, str]] = {
     # re-executions of the corpus token explode + per-token md5.
     # Intentional plan change, shuffle bytes still trivial.
     "dsir_importance": (4.0, "single-pass bucket histogram replaces 5 token passes"),
+    # r11 repeated-subtree materializations (commit 5b11261): eager
+    # localCheckpoints split formerly-shared exchanges into per-frame
+    # jobs, so the same logical work reports more shuffle-write bytes
+    # (each materialized frame's exchange is now its own stage write).
+    # Absolute volumes are still single-digit MB at sf0.1.
+    "copurchase_triangles": (6.0, "triangle_stats materializes edges/deg/oriented once"),
+    "overlapping_sessions_capped": (8.0, "sessionize session frame checkpointed once"),
 }
 
 
