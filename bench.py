@@ -26,6 +26,32 @@ from timedf_spark.sources import trigger  # noqa: E402
 
 ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — r12: this box is a VM
+    whose hypervisor steals a FLUCTUATING 0-40% of cycles under load
+    (measured 17.4% steal during a full-load burst on an otherwise idle
+    box). That is the mechanism behind the r10->r11 'box decay' scan
+    baselines; recording each run's steal share makes pin-vs-pin deltas
+    attributable (reporting only — nothing in the timing path)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+_TICKS0 = _cpu_ticks()
+
+
+def _steal_pct() -> float | None:
+    """Steal share (%) of all cpu ticks since process start."""
+    t1 = _cpu_ticks()
+    if _TICKS0 is None or t1 is None or t1[1] <= _TICKS0[1]:
+        return None
+    return round(100.0 * (t1[0] - _TICKS0[0]) / (t1[1] - _TICKS0[1]), 2)
+
 # HotSpot caps ReservedCodeCacheSize at 2g, and ~14 MB of compiled
 # codegen per query fills that around ~140 queries — past it the JIT
 # shuts off and a migrating 2-5x spike lands on whichever query is
@@ -194,6 +220,7 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
     # a box-state offset, not a query regression. Keyed by a stable
     # chunk label (first query name), not index.
     chunk_scan: dict[str, float] = {}
+    chunk_steal: dict[str, float | None] = {}
     for i, chunk_names in enumerate(chunks):
         env = dict(os.environ)
         # the parent's snapshot of the registry is authoritative: names
@@ -243,6 +270,7 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
             scan_baseline = detail.get("scan_baseline_sec", -1.0)
         if chunk_names:
             chunk_scan[chunk_names[0]] = detail.get("scan_baseline_sec", -1.0)
+            chunk_steal[chunk_names[0]] = detail.get("steal_pct")
         if detail.get("evidence"):
             evidence = detail["evidence"]
 
@@ -287,7 +315,7 @@ def _run_chunked(names: list[str], sf_dir: str, sf: float) -> None:
         per_query, shuffle_mb, scan_baseline, evidence, sf,
         write_local=not missing_queries,
         missing_queries=missing_queries, remeasured=remeasured,
-        stdout_full=False, chunk_scan=chunk_scan,
+        stdout_full=False, chunk_scan=chunk_scan, chunk_steal=chunk_steal,
     )
     if missing_queries:
         raise SystemExit(4)
@@ -304,9 +332,26 @@ def _env_tag() -> str:
     return os.environ.get("SPARK_GRAFT_BENCH_ENV", "driver")
 
 
+def _cpu_suffix() -> str:
+    """Low-core scaling runs get their own pin file (VERDICT r11 item 2:
+    the r11 8-core scaling run overwrote BENCH_driver_env.json, destroying
+    the 32-core per-query record). A run whose SPARK_GRAFT_CPUS differs
+    from the machine's core count is a scaling probe, not the env's
+    reference measurement — it reads and writes ``..._c{N}.json``."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if not cpus:
+        return ""
+    try:
+        n = int(cpus)
+    except ValueError:
+        return ""
+    return f"_c{n}" if n != (os.cpu_count() or n) else ""
+
+
 def _pin_path(tag: str | None = None) -> str:
     tag = tag or _env_tag()
-    name = "BENCH_local.json" if tag == "local" else "BENCH_driver_env.json"
+    base = "BENCH_local" if tag == "local" else "BENCH_driver_env"
+    name = f"{base}{_cpu_suffix()}.json"
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
 
 
@@ -380,6 +425,7 @@ def _report(
     remeasured: dict[str, dict[str, float]] | None = None,
     stdout_full: bool = True,
     chunk_scan: dict[str, float] | None = None,
+    chunk_steal: dict[str, float | None] | None = None,
 ) -> None:
     """Shuffle-pin gate, BENCH_local persistence, and the stdout tail —
     shared by single-process runs and the chunked parent.
@@ -437,6 +483,7 @@ def _report(
         "shuffle_waived": shuffle_waived,
         "shuffle_baseline_mb": shuffle_baseline,
         "env_tag": _env_tag(),
+        "steal_pct": _steal_pct(),
     }
     if missing_queries:
         detail["missing_queries"] = sorted(missing_queries)
@@ -444,6 +491,8 @@ def _report(
         detail["remeasured"] = remeasured
     if chunk_scan:
         detail["chunk_scan_sec"] = chunk_scan
+    if chunk_steal:
+        detail["chunk_steal_pct"] = chunk_steal
     if stdout_full:
         print(json.dumps(detail))
     else:
@@ -477,6 +526,11 @@ def _report(
         "sf": sf,
         "n_queries": len(per_query),
         "scan_baseline_sec": scan_baseline,
+        # VERDICT r11 item 2: the driver's tail capture parses the LAST
+        # stdout JSON line; without per-query times there PERF's
+        # round-over-round per_query/geomean comes out empty. 3-decimal
+        # rounding keeps the line as small as 268 names allow.
+        "queries": {n: round(v, 3) for n, v in per_query.items()},
     }
     if missing_queries:
         summary["n_missing"] = len(missing_queries)
@@ -642,8 +696,9 @@ def main() -> None:
     # chunked child, the parent owns the gate, file write, and tail —
     # the child just emits its detail line. The pinned-baseline rules are
     # documented on _report. Driver-tail layout: the detail line first
-    # (humans/logs), then evidence, then a compact <150B summary that
-    # always fits the driver's 2 KB tail window.
+    # (humans/logs), then evidence, then the summary line LAST — since
+    # r12 it carries the per-query dict too (VERDICT r11 item 2), so the
+    # driver's tail capture can compute per-query round-over-round.
     _report(
         per_query,
         shuffle_mb,

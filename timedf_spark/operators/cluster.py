@@ -194,9 +194,24 @@ def connected_components(
     (min-id convention) on both paths, pinned by test.
     """
     scol, dcol = edges.columns[0], edges.columns[1]
-    # undirected: propagate both ways each round
-    e = edges.select(F.col(scol).alias("src"), F.col(dcol).alias("dst")).union(
-        edges.select(F.col(dcol).alias("src"), F.col(scol).alias("dst"))
+    # undirected: propagate both ways each round. r12: symmetrize with
+    # ONE explode of a 2-struct array — the union-of-two-selects shape
+    # planned the (often expensive) pair pipeline once per orientation
+    # inside the checkpoint job (exchange reuse shares the shuffle write
+    # but the post-shuffle aggregate/filter ran twice); the explode shape
+    # is a single subtree. Row multiset identical (two orientations per
+    # input row, duplicates preserved — the min-agg rounds are
+    # multiplicity-insensitive either way).
+    e = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(scol).alias("src"), F.col(dcol).alias("dst")),
+                    F.struct(F.col(dcol).alias("src"), F.col(scol).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
     )
     e, e_ids = _checkpoint(e)  # materialize once; reused every round
     if (

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate", "cms_estimates_sql"]
+__all__ = ["cms_build", "cms_build_from_counts", "cms_merge", "cms_estimate", "cms_estimates_sql"]
 
 
 def _hash_spark(item_sql: str) -> str:
@@ -66,6 +66,19 @@ def cms_build(items: DataFrame, item_col: str, d: int, w: int) -> DataFrame:
     counts = items.groupBy(F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return cms_build_from_counts(counts, d, w)
+
+
+def cms_build_from_counts(counts: DataFrame, d: int, w: int) -> DataFrame:
+    """Sketch cells from a precomputed per-item count frame (item, n) —
+    cell-identical to :func:`cms_build` over the expanded multiset, since
+    the lane hash depends only on (r, item). Callers that already compute
+    per-key counts (join_size_sketch's exact branch) pass them here so
+    the count aggregate is planned ONCE and Spark's exchange reuse shares
+    the shuffle between the sketch and the exact consumer — the r11
+    eager-checkpoint variant of this sharing serialized the critical path
+    and was reverted; identical-subtree reuse costs nothing."""
+    assert d >= 1 and w >= 1
     return (
         counts.select(
             "item",

@@ -616,9 +616,9 @@ def incremental_near_dup_pairs_indexed(
 _CAND_LITERAL_CAP = 8_192
 
 
-def _materialized_candidates(batch_bands, corpus_bands):
-    """(candidates, ids): the LSH candidate pairs materialized ONCE plus
-    the bounded distinct corpus-id list (None when over the cap).
+def _materialized_candidates(batch_bands, corpus_bands, materialize: bool = True):
+    """(candidates, ids): the LSH candidate pairs plus the bounded
+    distinct corpus-id list (None when over the cap or when lazy).
 
     r11: candidates feed TWO consumers (the corpus-side prune and the
     verify's broadcast join) — lazy, the band-index probe executed once
@@ -629,7 +629,20 @@ def _materialized_candidates(batch_bands, corpus_bands):
     ingest batch dir, so a bounded id set skips most row groups — the
     flattening lever the r10 store-growth note asked for). The collect
     is bounded by limit(cap + 1); an overflowing candidate set falls
-    back to the broadcast semi-join, never a giant predicate."""
+    back to the broadcast semi-join, never a giant predicate.
+
+    r12 (VERDICT r11 item 7): ``materialize=False`` keeps the candidate
+    frame LAZY — no checkpoint job, no collect. The eager shape's two
+    extra driver round-trips are store-size-independent overhead that
+    doubled the small-store streaming batch median (4.1 -> 8.0 s at the
+    1x store) while its prune only pays off once the probed index is
+    large; callers whose corpus_bands is a cheap store SCAN pass
+    materialize=False under a store-size bound (streaming/ingest_dedup).
+    Callers that DERIVE corpus_bands from corpus text (the rehash tier,
+    the bench's in-query index builds) always materialize — lazy would
+    re-run the corpus minhash once per consumer."""
+    if not materialize:
+        return _probe_candidates(batch_bands, corpus_bands), None
     candidates = _probe_candidates(batch_bands, corpus_bands).localCheckpoint(
         eager=True
     )
@@ -650,10 +663,13 @@ def _incremental_pairs_indexed_pre(
     corpus_bands: DataFrame,
     k: int = _K,
     threshold: float = _JACCARD_THRESHOLD,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """Indexed probe with a PRECOMPUTED batch sketch (streaming ingest
     builds the batch signature once and fans it out)."""
-    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
+    candidates, ids = _materialized_candidates(
+        batch_bands, corpus_bands, materialize=materialize_candidates
+    )
     # only candidate docs get shingled — the full corpus text stays cold
     if ids is not None:
         cand_docs = corpus_docs.filter(F.col("doc_id").isin(ids))
@@ -706,12 +722,15 @@ def _incremental_pairs_sketched_pre(
     corpus_bands: DataFrame,
     corpus_sh: DataFrame,
     threshold: float = _JACCARD_THRESHOLD,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """Sketched probe with a PRECOMPUTED batch sketch. The shingle store
     is the largest frame this tier touches (~10-100x the band index);
     the bounded literal prune from _materialized_candidates is what
     keeps its per-batch scan row-group-pruned rather than store-sized."""
-    candidates, ids = _materialized_candidates(batch_bands, corpus_bands)
+    candidates, ids = _materialized_candidates(
+        batch_bands, corpus_bands, materialize=materialize_candidates
+    )
     cs = corpus_sh.select(F.col("doc_id").alias("corpus_id"), "sh")
     if ids is not None:
         corpus_cand_sh = cs.filter(F.col("corpus_id").isin(ids))

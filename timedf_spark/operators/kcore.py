@@ -114,15 +114,30 @@ def _peel_once(edges: DataFrame, k: int) -> DataFrame:
     ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi").select("u", "v")
 
 
+def _integral_edge_cols(df: DataFrame) -> bool:
+    """True when both edge columns are integral (byte/short/int/long) —
+    the only types the numpy driver replay handles exactly. ADVICE r11:
+    string keys crashed the astype and float/decimal keys silently
+    truncated; non-integral graphs now stay on the distributed path,
+    which handles any comparable type."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ok = (ByteType, ShortType, IntegerType, LongType)
+    return all(isinstance(f.dataType, ok) for f in df.schema.fields[:2])
+
+
 def _collect_edges_bounded(edges: DataFrame, bound: int):
     """(u, v) numpy arrays when the materialized canonical edge frame is
-    within ``bound`` and the driver path is enabled, else None. The
-    count runs BEFORE the collect (the labelprop discipline) against the
-    checkpointed frame, so it is a block scan, not a recompute."""
+    within ``bound``, the driver path is enabled, and the edge columns
+    are integral — else (None, None, frame, ids) for the distributed
+    path. The count runs BEFORE the collect (the labelprop discipline)
+    against the checkpointed frame, so it is a block scan, not a
+    recompute."""
     e, ids = _checkpoint(edges)
     if (
         bound > 0
         and _driver_graph_paths_enabled()
+        and _integral_edge_cols(e)
         and e.count() <= bound
     ):
         et = e.toArrow()

@@ -122,15 +122,28 @@ def label_propagation(
     node_col = nodes.columns[0]
     nodes = nodes.select(F.col(node_col).alias("node")).distinct()
     a, b = edges.columns[:2]
-    fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     # checkpoint BEFORE the bound check: the edge pipeline is often the
     # expensive part (e.g. resource-allocation pair generation), and the
     # count + collect below must both read the materialized frame, not
-    # recompute it
+    # recompute it.
+    # r12: symmetrize with ONE explode of a 2-struct array instead of
+    # unionAll of two selects — the union shape planned the edge pipeline
+    # once PER ORIENTATION (exchange reuse shares the pair-grain shuffle
+    # write, but the post-shuffle aggregate + filter still ran twice);
+    # the explode shape is a single subtree, so the edge pipeline
+    # executes exactly once inside the checkpoint job. Row set identical:
+    # explode emits exactly the two orientations per input row.
     e, e_ids = _checkpoint(
-        fwd.unionAll(
-            edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-        ).distinct()
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
     )
     # Both bounds are counted BEFORE either collect (mirrors pagerank):
     # a large node frame over a sparse edge set must not become an

@@ -113,6 +113,14 @@ def bm25_topk(
     ``query_terms`` is a tiny (qid, term) frame — broadcast throughout.
     Returns (qid, rank, doc_id, score) with rank 1..k decided on the exact
     integer score total (doc_id tie-break).
+
+    Contract (ADVICE r11): ``id_col`` must be unique in ``docs``. The
+    r11 single-pass shape carries the per-ROW token count as the doc
+    length (min over a per-doc constant) and counts each row once in the
+    corpus totals; with duplicate ids that diverges from the pooled
+    per-doc counts the explode+groupBy shape (and the DuckDB twin)
+    computes. Every in-repo caller feeds a primary-key id; dedupe or
+    re-key upstream before calling with anything else.
     """
     # r11: the per-doc length is size(filter(split(text))) — a doc-grain
     # projection computed in-scan, NOT a token explode + doc_id-keyed

@@ -26,11 +26,19 @@ the oracle comparison is exact). All inputs are exact integers; every
 float op is one fixed tree of IEEE +,/,* — bit-identical across engines;
 the per-doc sum is an order-independent bigint sum.
 
-At 100 TB: two corpus scans (count pass, score pass — fuse with any
-other full-pass stats), two bucket-sized shuffles, one broadcast join,
-one doc_id-keyed aggregate with map-side combine. The weight table is
-O(n_buckets) regardless of corpus size — this is the property that made
-DSIR practical at CommonCrawl scale, preserved here.
+At 100 TB (r11 single-pass shape): ONE corpus token pass reduced
+in-aggregate to a (doc_id, bucket) count histogram, which is
+materialized once (a doc-grain frame — its exchange and storage are the
+price of removing four more token passes) and feeds every downstream
+derivation: the bucket count table, the totals, and the per-doc score
+join. The weight table stays O(n_buckets) regardless of corpus size —
+the property that made DSIR practical at CommonCrawl scale. The
+histogram materialization goes through operators.cluster._checkpoint,
+so SPARK_GRAFT_CHECKPOINT_DIR switches it to a reliable disk
+checkpoint when executor storage memory is the constraint (the r08 OOM
+mode); block release falls to the session owner (the bench unpersists
+between queries; a long-lived cluster job should unpersist after
+consuming the result).
 
 Quantization bound (LOUD): quantized weights are ≤ ratio_max * 10^6
 where ratio_max ≈ (tot_corpus + n_buckets)/(tot_target + n_buckets);
@@ -105,10 +113,15 @@ def importance_weights(
     # <= n_buckets-row count table — nullif(.,0) reproduces the empty-
     # target NULL the old separate aggregate produced — and the per-doc
     # token sum sum(qw) over tokens == sum(qw * cnt) over histogram rows.
-    hist = (
+    # ADVICE r11: route the doc-grain materialization through the shared
+    # _checkpoint helper — it honors the SPARK_GRAFT_CHECKPOINT_DIR
+    # reliable-checkpoint switch (raw localCheckpoint caches whole
+    # partitions in executor heap, the r08 OOM mode at the 1000x decade).
+    from timedf_spark.operators.cluster import _checkpoint
+
+    hist, _hist_ids = _checkpoint(
         tok.groupBy("doc_id", "is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     counts = hist.groupBy("bucket").agg(
         F.sum("cnt").alias("nc"),

@@ -410,6 +410,17 @@ def fingerprint_candidate_pairs(
     # count) and i<j pairs unfold from the sorted array via streaming
     # Generates: same pair multiset, ONE gram pipeline execution, and
     # the gh-grain window exchange+sort replaced by one aggregate.
+    # ADVICE r11 note (examined r12, left as-is): the collect_set builds
+    # the full per-gram doc array BEFORE the size guard, so a degenerate
+    # hot gram allocates one O(D) aggregation buffer. A count-aggregate
+    # pre-filter (gh-grain count + semi-join ahead of the collect_set)
+    # bounds that buffer, but A/B'd 2-3x SLOWER at sf0.1 in both
+    # directions of an interleaved same-box A/B (substring_candidates
+    # 1.06 -> 1.9/3.8 s, substring_tier_report 2.5 -> 3.7/6.9 s): the
+    # semi-join adds a full gram-grain SMJ pass that dwarfs the buffer
+    # saving at bench scale. At 100 TB with adversarial boilerplate the
+    # pre-filter is the right guard — revisit if a real corpus trips the
+    # buffer; the max_doc_freq semantics are unchanged either way.
     baskets = (
         _anchored_grams(docs, text_col, k)
         .groupBy("gh")

@@ -89,27 +89,63 @@ FROM per_user GROUP BY mask ORDER BY n_users DESC, mask
 
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smallest price p per flag with cumweight(p) >= total/2, i.e.
-    2*cum >= W in integers (quantity is integral). One partitioned
-    window at flag grain — no global sort.
+    2*cum >= W in integers (quantity is integral).
 
-    100 TB posture: the flag key has only 3 values, so the window sort
-    concentrates on 3 tasks. Exact weighted quantiles at that scale
-    should pre-bracket with the equi-depth histogram tier
-    (operators/summaries.py) and run the crossing scan only inside the
-    bracket — the two-pass pattern; at benchmark scales the single
-    window is both exact and faster."""
+    r12 (VERDICT r11 item 6): two-pass bracketing replaces the single
+    fact-grain window — the flag key has only 3 values, so the old shape
+    sorted the whole table on 3 tasks (the §2.5 straggler at scale).
+    Now: (1) pre-aggregate weights to (flag, price) grain — a parallel
+    hash aggregate; (2) bucket prices by a fixed integer width, find the
+    bucket where the cumulative weight crosses total/2 (a window over
+    ~hundreds of bucket rows) and carry the crossing offset; (3) run the
+    exact cumulative window ONLY inside that bracket bucket, offset by
+    the weight before it. Equivalent by construction: cum(p) over the
+    (flag, price) aggregate equals the row-grain cum at each price
+    group's end, the crossing price lies in the bracket bucket (cum is
+    monotone and the previous buckets are strictly below total/2), and
+    prices after the bracket only qualify with larger values — min() is
+    unchanged. The truncating CAST bucket key is monotone in price, so
+    bucket order == price order."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("long").alias("_q")
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+    # pass 0: (flag, price)-grain weights — the only fact-grain shuffle,
+    # hash-partitioned and parallel (no global/keyed sort anywhere)
+    pp = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum("_q").alias("_w")
+    ).withColumn("_b", F.expr("CAST(l_extendedprice AS BIGINT) DIV 1024"))
+    # pass 1: bucket totals + crossing bucket per flag (tiny frames)
+    pb = pp.groupBy("l_returnflag", "_b").agg(F.sum("_w").alias("_bw"))
+    wb = Window.partitionBy("l_returnflag").orderBy("_b").rowsBetween(
         Window.unboundedPreceding, 0
     )
     wall = Window.partitionBy("l_returnflag")
-    scored = li.withColumn("_cum", F.sum("_q").over(w)).withColumn(
-        "_tot", F.sum("_q").over(wall)
+    sel = (
+        pb.withColumn("_cumb", F.sum("_bw").over(wb))
+        .withColumn("_tot", F.sum("_bw").over(wall))
+        .where(F.expr("2 * _cumb >= _tot"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("_b")
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "l_returnflag",
+            "_b",
+            (F.col("_cumb") - F.col("_bw")).alias("_off"),
+            "_tot",
+        )
+    )
+    # pass 2: exact crossing inside the bracket bucket only
+    wf = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     return (
-        scored.where(F.expr("2 * _cum >= _tot"))
+        pp.join(F.broadcast(sel), ["l_returnflag", "_b"])
+        .withColumn("_cum", F.sum("_w").over(wf) + F.col("_off"))
+        .where(F.expr("2 * _cum >= _tot"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("wmedian_price"))
         .orderBy("l_returnflag")
