@@ -27,10 +27,8 @@ partitioned aggregation and DuckDB agree exactly, and ranking happens on
 the integer total with a doc_id tie-break.
 
 Plan shape (the 100 TB lens):
-- tokens are exploded ONCE (the postings pass); the per-doc length is a
-  doc-grain in-scan projection (size(filter(split))) carried through the
-  postings aggregate — no length explode, no doc-grain length exchange,
-  no dl join (r11; guide §2.4);
+- tokens are exploded once per consumer; the per-doc length table is a
+  map-side-combined count keyed by doc_id (one small exchange);
 - the corpus token stream is filtered to QUERY TERMS by a broadcast
   isin BEFORE any exchange — the big shuffle carries only postings for
   the handful of query terms, not the corpus vocabulary;
@@ -114,51 +112,38 @@ def bm25_topk(
     Returns (qid, rank, doc_id, score) with rank 1..k decided on the exact
     integer score total (doc_id tie-break).
 
-    Contract (ADVICE r11): ``id_col`` must be unique in ``docs``. The
-    r11 single-pass shape carries the per-ROW token count as the doc
-    length (min over a per-doc constant) and counts each row once in the
-    corpus totals; with duplicate ids that diverges from the pooled
-    per-doc counts the explode+groupBy shape (and the DuckDB twin)
-    computes. Every in-repo caller feeds a primary-key id; dedupe or
-    re-key upstream before calling with anything else.
+    r12: REVERTED to this explode + doc-grain-count shape from the r11
+    "in-scan dl projection" variant (dl via size(array_remove(split()))
+    carried through the postings aggregate). The r11 shape traded the
+    doc-grain dl shuffle for a SECOND full tokenize of the text column,
+    measured slower in an interleaved same-box A/B at sf0.1 (2.06/2.14 s
+    r11 vs 1.69 s this shape) and in both committed r11 full-run
+    artifacts (VERDICT r11 "perf-weak"). This shape also pools duplicate
+    doc_id rows exactly like the DuckDB twin, closing ADVICE r11's
+    divergence note without a uniqueness contract.
     """
-    # r11: the per-doc length is size(filter(split(text))) — a doc-grain
-    # projection computed in-scan, NOT a token explode + doc_id-keyed
-    # count (guide §2.4: remove the shuffle outright). It rides the
-    # postings aggregate as a carried column (min over a per-doc
-    # constant), so the doc-grain dl join is gone too: one token explode
-    # pass instead of two, and the only doc-grain exchange left is the
-    # (doc, term) postings aggregate itself.
-    # array_remove, not filter(..., lambda): a lambda HOF in the scan
-    # projection knocks the whole stage out of codegen (measured 3x on
-    # the explode pass); array_remove is an ordinary codegen expression
-    dl_expr = f"size(array_remove(split({text_col}, ' '), ''))"
-    toks = docs.select(
+    tokens = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(dl_expr).alias("dl"),
         F.explode(F.split(text_col, " ")).alias("term"),
     ).filter("term <> ''")
-    # corpus stats from the same doc-grain projection (docs with >= 1
-    # token, exactly the old explode+groupBy's row set)
-    totals = (
-        docs.select(F.expr(dl_expr).alias("dl"))
-        .filter("dl > 0")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("tot_tokens"),
-        )
+    # per-doc length over ALL tokens: map-side combine, doc_id-keyed counts
+    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_tokens"),
     )
     # postings restricted to query terms BEFORE the (doc, term) exchange
     qt = F.broadcast(query_terms.select("qid", "term").distinct())
     tf = (
-        toks.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        tokens.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(qt, "term")
+        .join(dl, "doc_id")
         .join(F.broadcast(totals))
         .withColumn("qscore", F.expr(_score_sql(_SCALE)))
     )
