@@ -647,9 +647,29 @@ def main() -> None:
             # cold session), so a single warm-up leaves the 3-run median
             # inside the decay tail and the resulting spike migrates
             # between queries across runs. Expensive iterative queries
-            # amortize the warm-up within their own runtime — skip them
-            # to keep the suite wall-clock bounded.
-            if t_warm < 3.0:
+            # amortize the warm-up within their own runtime.
+            # r12 measurement-bug fix (disclosed in OPTIMIZATION_r12.md):
+            # the old rule ran the extra warm-up only when the FIRST
+            # warm-up came in under 3 s — exactly the cold-JVM queries
+            # whose first run is slowest (contamination_probe decays
+            # 15.3 -> 3.6 -> 2.9 -> 2.5 -> 1.9 s) were denied it, so
+            # their timed median landed in the decay tail and migrated
+            # 4-10x spikes into the artifacts (r12 pin run 1:
+            # contamination_probe 19.05 s first measure, 1.3 s steady).
+            # New rule: keep warming until a pass runs under 3 s, capped
+            # at 2 extra passes — steady-state timing identical, suite
+            # wall-clock bounded (+<= 2 executions for the few >3 s
+            # queries, which amortize it), and the timed 3-run median is
+            # taken at the same JIT steady state for every query.
+            warm, extra = t_warm, 0
+            while warm >= 3.0 and extra < 2:
+                t0 = time.perf_counter()
+                trigger(spec.fn(spark, sf_dir))
+                prev, warm = warm, time.perf_counter() - t0
+                extra += 1
+                if warm > 0.7 * prev:
+                    break  # steady-state expensive query, not a decay tail
+            if extra == 0 and t_warm < 3.0:
                 trigger(spec.fn(spark, sf_dir))
             times = []
             for _ in range(ITERATIONS):

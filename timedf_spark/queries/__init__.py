@@ -290,6 +290,58 @@ def all_queries() -> dict[str, QuerySpec]:
         "doc_embedding_quality", "embedding_stats", "event_bucket_dedup",
     })
     rotate_back |= _R09_DRIVER_GREEN
+    # Round-11/12 windows: CORRECTNESS_r10 (50/50 hash-green) and
+    # CORRECTNESS_r11 (48/48 oracle-bearing green; quality_classifier /
+    # ann_ivf_persisted no-oracle by design) fold into the cumulative
+    # rotation so the staleness ordering keeps cycling (VERDICT r11
+    # item 8: the 26 queries r11's big front rotated out re-enter the
+    # window here via their older stamps).
+    _R10_DRIVER_GREEN = frozenset({
+        "brand_lift_rules", "cdc_merge_orders", "charlm_score",
+        "cluster_label_purity", "context_pack", "decontaminate_spans",
+        "dedup_clusters", "dedup_embedding_cosine",
+        "doc_length_histogram", "duplicate_paragraphs",
+        "fk_integrity_audit", "fuzzy_name_probe", "fuzzy_part_names",
+        "incremental_dedup_clusters", "incremental_substring_probe",
+        "interpolate_hourly", "json_props_stats", "kmeans_assign",
+        "label_centroids", "lang_source_matrix", "mad_quantity",
+        "market_share", "modal_event_type", "monthly_priority_trend",
+        "nation_region_share", "null_skew_enrich",
+        "order_price_histogram", "plasticc_etl", "plasticc_multi_agg",
+        "product_profit", "retention_cohorts", "returned_item_report",
+        "scd2_history", "semantic_dedup_capped",
+        "semantic_dedup_keepers", "session_paths", "sessionize",
+        "source_lang_drift", "source_reputation", "spend_deciles",
+        "stratified_split", "supplier_affinity_links",
+        "supplier_balance_rank", "supplier_communities",
+        "supplier_part_counts", "tfidf_top_terms", "top_bigrams",
+        "top_first_word", "user_event_downsample", "weighted_doc_sample"
+    })
+    rotate_back |= _R10_DRIVER_GREEN
+    _R11_DRIVER_GREEN = frozenset({
+        "ann_ivf_persisted", "approx_cardinalities", "bm25_search",
+        "brand_basket_triples", "brand_lift_rules",
+        "cluster_balanced_sample", "cluster_label_purity",
+        "cms_term_estimates", "contamination_probe", "copurchase_kcore",
+        "copurchase_triangles", "curate_corpus", "curation_funnel",
+        "decontaminate_spans", "dedup_embedding_cosine",
+        "dsir_importance", "fk_integrity_audit", "fuzzy_name_probe",
+        "fuzzy_part_names", "incremental_near_dup",
+        "incremental_near_dup_indexed", "interpolate_hourly",
+        "ipf_raking", "join_size_sketch", "json_props_stats",
+        "kmeans_assign", "label_centroids", "lang_source_matrix",
+        "mad_quantity", "market_share", "modal_event_type",
+        "monthly_priority_trend", "nation_region_share",
+        "near_dup_tier_report", "null_skew_enrich",
+        "order_expectations", "order_price_histogram",
+        "overlapping_sessions", "overlapping_sessions_capped",
+        "product_profit", "quality_classifier", "retention_cohorts",
+        "returned_item_report", "semantic_dedup_capped",
+        "semantic_dedup_keepers", "strip_duplicate_spans",
+        "substring_candidates", "substring_tier_report",
+        "supplier_copart_links", "supply_reach"
+    })
+    rotate_back |= _R11_DRIVER_GREEN
     # Round-9 front (VERDICT r08 items 1/5): every query whose plan or
     # semantics changed since its last driver hash.
     #  - blocking_profile: r09 made the lang_len block key's NULL
@@ -321,54 +373,34 @@ def all_queries() -> dict[str, QuerySpec]:
     #    semi-join gram prune in operators/substring.py) and the fan_out
     #    floor sites plasticc_etl / plasticc_multi_agg /
     #    duplicate_paragraphs / charlm_score — all re-hash first.
-    # Round-11 front (optimization round): every query re-planned by the
-    # r11 optimization pass goes first — floor removals (curation_suite),
-    # the CMS pre-aggregation (cms.py/round19), the kmeans row-local
-    # argmin (kmeans.py), eager checkpoint dedup of repeated subtrees
-    # (substring/triangles/round6/round8/extension/round5/round23), the
-    # copart + brand-triple array unfolds (round23), the approx split
-    # (tpch), the BFS driver path (bfs.py/round13), the candidate
-    # materialization + literal prune (dedup.py), and the similarity /
-    # ivf_index ADVICE fixes. contamination_probe closes the r10
-    # rotation miss (VERDICT r10 item 2).
+    # Round-12 front (optimization round 2/2): every query re-planned by
+    # the r12 pass goes first — the explode symmetrization in
+    # labelprop/cluster re-plans supplier_communities and every
+    # connected_components consumer (dedup_clusters,
+    # incremental_dedup_clusters, semantic_dedup_keepers, curate_corpus,
+    # curation_funnel); the shared count aggregate + isNotNull re-plans
+    # join_size_sketch; the bucket bracketing re-plans
+    # weighted_median_price; the bm25 revert re-plans bm25_search; the
+    # selection.py checkpoint routing touches dsir_importance; the kcore
+    # dtype gate and the dedup materialize param touch copurchase_kcore
+    # and the incremental_near_dup pair (defaults unchanged — fronted
+    # out of caution). Everything else rotates by staleness, which
+    # brings the r10-rotated-out names back through the window
+    # (VERDICT r11 item 8).
     _FORCE_FRONT = (
-        "contamination_probe",
-        "decontaminate_spans",
-        "cms_term_estimates",
-        "join_size_sketch",
-        "kmeans_assign",
-        "cluster_balanced_sample",
-        "cluster_label_purity",
-        "strip_duplicate_spans",
-        "substring_tier_report",
-        "near_dup_tier_report",
-        "supplier_copart_links",
-        "brand_basket_triples",
-        "copurchase_triangles",
-        "approx_cardinalities",
-        "overlapping_sessions",
-        "overlapping_sessions_capped",
-        "supply_reach",
+        "supplier_communities",
+        "dedup_clusters",
+        "incremental_dedup_clusters",
+        "semantic_dedup_keepers",
         "curate_corpus",
         "curation_funnel",
-        "quality_classifier",
+        "join_size_sketch",
+        "weighted_median_price",
+        "bm25_search",
+        "dsir_importance",
+        "copurchase_kcore",
         "incremental_near_dup",
         "incremental_near_dup_indexed",
-        "dedup_embedding_cosine",
-        "semantic_dedup_capped",
-        "semantic_dedup_keepers",
-        "ann_ivf_persisted",
-        # second r11 session: dl-join removal (retrieval.py), flat-plan
-        # checkpoints (round27 ipf, round22 basket pass)
-        "bm25_search",
-        "ipf_raking",
-        "brand_lift_rules",
-        # third r11 session: kcore driver fast path, dsir single-pass
-        # histogram, fingerprint pair-unfold (both consumers re-planned)
-        "copurchase_kcore",
-        "dsir_importance",
-        "substring_candidates",
-        "order_expectations",
     )
     front: dict[str, QuerySpec] = {}
     for n in _FORCE_FRONT:
@@ -399,6 +431,10 @@ def all_queries() -> dict[str, QuerySpec]:
     def _last_checked(n: str) -> int:
         if n in _NO_ORACLE_BACK:
             return 99
+        if n in _R11_DRIVER_GREEN:
+            return 11
+        if n in _R10_DRIVER_GREEN:
+            return 10
         if n in _R09_DRIVER_GREEN:
             return 9
         if n in _R08_DRIVER_GREEN:
