@@ -75,7 +75,7 @@ HEADLINERS = {
     "loo_segment_outliers": "segment window carries only (n, S); TakeOrdered top deviations",
     "bot_cadence_audit": "gap lag, modal argmax and totals all on user_id partitioning",
     "engagement_upset": "distinct (user, bit) then two stacked aggregates — no window",
-    "weighted_median_price": "flag-grain cumulative window; crossing filter then min-aggregate",
+    "weighted_median_price": "two-pass bracketing: (flag,price) hash aggregate, bucket crossing scan, exact window only inside the bracket bucket (no fact-grain sort)",
     "haar_energy": "three pair-grain aggregates; the frame HALVES at each level",
     "layout_advisor": "one scan per table: key-grain aggregate then 1-row stats union",
     "nation_spend_gini": "rank window and final aggregate share the nation grain; all-integer sums",
@@ -86,7 +86,7 @@ HEADLINERS = {
     "stickiness_dau_wau": "(day,user) distinct then EXPLODED equi-grain groupBy — no theta join on day keys",
     "ab_test_report": "user-grain conversion agg; md5 bucket computed in-scan; two tiny aggregates",
     "seasonal_outliers": "one (type,hour) cell aggregate joined back to the scan; TakeOrdered top-k",
-    "join_size_sketch": "fact tables feed ONLY d*w-cell sketches; inner product joins cell frames",
+    "join_size_sketch": "one per-key count aggregate per side feeds sketch lanes AND exact branch (AQE exchange reuse); inner product joins d*w-cell frames",
     # round-6: the iterative graph tier + substring headliner (VERDICT
     # r05 item 2). For iterative operators the returned frame's plan is
     # the FINAL round over checkpointed inputs — the per-round shape; the
