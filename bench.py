@@ -103,19 +103,13 @@ FAMILY_CHUNKS = {
 # ceiling is what keeps a waiver from masking a later real regression.
 # Remove entries once both env pins carry the post-change baseline.
 SHUFFLE_WAIVERS: dict[str, tuple[float, str]] = {
-    # r11 single-pass histogram (operators/selection.py): the five
-    # token-pass consumers collapse to ONE materialized (doc_id, bucket)
-    # count histogram; its exchange (~1.4 MB at sf0.1) replaces five
-    # re-executions of the corpus token explode + per-token md5.
-    # Intentional plan change, shuffle bytes still trivial.
-    "dsir_importance": (4.0, "single-pass bucket histogram replaces 5 token passes"),
-    # r11 repeated-subtree materializations (commit 5b11261): eager
-    # localCheckpoints split formerly-shared exchanges into per-frame
-    # jobs, so the same logical work reports more shuffle-write bytes
-    # (each materialized frame's exchange is now its own stage write).
-    # Absolute volumes are still single-digit MB at sf0.1.
-    "copurchase_triangles": (6.0, "triangle_stats materializes edges/deg/oriented once"),
-    "overlapping_sessions_capped": (8.0, "sessionize session frame checkpointed once"),
+    # r12: the three r11 entries (dsir_importance, copurchase_triangles,
+    # overlapping_sessions_capped) are DELETED — both env pins now carry
+    # the post-change baselines (driver pin self-healed in the r11 run,
+    # local pin in the r12 re-pin), so the gate is fully armed again
+    # (VERDICT r11 item 1). No r12 plan change increases shuffle volume
+    # (the symmetrize/reuse changes only remove writes), so no new
+    # entries are needed.
 }
 
 
