@@ -106,14 +106,30 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices after the bracket only qualify with larger values — min() is
     unchanged. The truncating CAST bucket key is monotone in price, so
     bucket order == price order."""
+    # isNotNull on the shared base: the bracket equi-join below infers
+    # isnotnull(flag, price) into ITS copy of the pre-aggregate subtree;
+    # mirroring the filter on the bucket-scan branch makes the two
+    # subtrees canonically identical so AQE exchange reuse shares the
+    # (flag, price) shuffle (without it the exchange is written twice —
+    # caught by the shuffle gate, 6.1 -> 14.5 MB). Behavior-identical:
+    # the inner bracket join already drops NULL-key groups, and
+    # lineitem's flag/price are NOT NULL by TPC-H schema.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("long").alias("_q")
+    ).where(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
     # pass 0: (flag, price)-grain weights — the only fact-grain shuffle,
     # hash-partitioned and parallel (no global/keyed sort anywhere)
-    pp = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.sum("_q").alias("_w")
-    ).withColumn("_b", F.expr("CAST(l_extendedprice AS BIGINT) DIV 1024"))
+    pp = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("_q").alias("_w"))
+        .withColumn("_b", F.expr("CAST(l_extendedprice AS BIGINT) DIV 1024"))
+        # explicit on BOTH consumers for the same canonicalization reason
+        # (the join infers isnotnull on the derived bucket key); no-op
+        # rows-wise: _b is null only for null price, already filtered
+        .where(F.col("_b").isNotNull())
+    )
     # pass 1: bucket totals + crossing bucket per flag (tiny frames)
     pb = pp.groupBy("l_returnflag", "_b").agg(F.sum("_w").alias("_bw"))
     wb = Window.partitionBy("l_returnflag").orderBy("_b").rowsBetween(
